@@ -1,0 +1,216 @@
+"""Procedural test scenes (no glTF needed): unit meshes, the Cornell box
+(BASELINE config 2) and simple single-mesh scenes (BASELINE config 1)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from low_precision_raytracer_tpu.models.hierarchy import (
+    LIGHT_DIRECTIONAL,
+    LIGHT_POINT,
+    CameraObject,
+    LightObject,
+    MeshObject,
+    Object,
+)
+from low_precision_raytracer_tpu.models.materials import Material
+from low_precision_raytracer_tpu.models.scene import HostScene, Mesh
+
+
+def quad_mesh(size=1.0):
+    """Unit quad in the XY plane facing +Z."""
+    s = size / 2
+    pos = np.array([[-s, -s, 0], [s, -s, 0], [s, s, 0], [-s, s, 0]], np.float32)
+    idx = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    nrm = np.tile([0, 0, 1], (4, 1)).astype(np.float32)
+    tan = np.tile([1, 0, 0], (4, 1)).astype(np.float32)
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    return Mesh(pos, idx, normals=nrm, tangents=tan, uv0=uv, name="quad")
+
+
+def cube_mesh(size=1.0):
+    """Axis-aligned cube with outward normals, 12 triangles."""
+    s = size / 2
+    faces = []
+    # (axis, sign): +x, -x, +y, -y, +z, -z
+    for axis in range(3):
+        for sign in (1.0, -1.0):
+            n = np.zeros(3, np.float32)
+            n[axis] = sign
+            u = np.zeros(3, np.float32)
+            u[(axis + 1) % 3] = 1.0
+            v = np.cross(n, u)
+            c = n * s
+            corners = [c - u * s - v * s, c + u * s - v * s, c + u * s + v * s, c - u * s + v * s]
+            faces.append((np.stack(corners), n, u))
+    pos, nrm, tan, idx = [], [], [], []
+    for i, (corners, n, u) in enumerate(faces):
+        base = 4 * i
+        pos.append(corners)
+        nrm.append(np.tile(n, (4, 1)))
+        tan.append(np.tile(u, (4, 1)))
+        idx.append([[base, base + 1, base + 2], [base, base + 2, base + 3]])
+    return Mesh(
+        np.concatenate(pos).astype(np.float32),
+        np.concatenate(idx).astype(np.int32),
+        normals=np.concatenate(nrm).astype(np.float32),
+        tangents=np.concatenate(tan).astype(np.float32),
+        name="cube",
+    )
+
+
+def icosphere_mesh(subdiv=2, radius=1.0):
+    """Icosphere by midpoint subdivision."""
+    t = (1 + 5**0.5) / 2
+    verts = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        np.float32,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        np.int32,
+    )
+    for _ in range(subdiv):
+        cache: dict = {}
+        vlist = [v for v in verts]
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in cache:
+                m = vlist[a] + vlist[b]
+                m = m / np.linalg.norm(m)
+                cache[key] = len(vlist)
+                vlist.append(m.astype(np.float32))
+            return cache[key]
+
+        new_faces = []
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.stack(vlist)
+        faces = np.array(new_faces, np.int32)
+    verts = verts * radius
+    nrm = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    tan = np.cross(np.tile([0, 1, 0], (len(verts), 1)), nrm)
+    bad = np.linalg.norm(tan, axis=1) < 1e-6
+    tan[bad] = [1, 0, 0]
+    tan /= np.linalg.norm(tan, axis=1, keepdims=True)
+    return Mesh(verts, faces, normals=nrm, tangents=tan.astype(np.float32), name="icosphere")
+
+
+def _mesh_node(scene: HostScene, mesh_id: int, material_id: int, name: str, t=None, r=None, s=None):
+    mesh = scene.meshes[mesh_id]
+    lo, hi = mesh.aabb
+    node = MeshObject(
+        name=name, mesh_id=mesh_id, material_id=material_id, aabb_lo=lo, aabb_hi=hi
+    )
+    if t is not None:
+        node.translation = np.asarray(t, np.float32)
+    if r is not None:
+        node.rotation = np.asarray(r, np.float32)
+    if s is not None:
+        node.scale = np.asarray(s, np.float32)
+    return node
+
+
+def single_triangle_scene():
+    """One triangle + directional light + camera: the smallest traceable scene."""
+    scene = HostScene()
+    tri = Mesh(
+        np.array([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32),
+        np.array([[0, 1, 2]], np.int32),
+        normals=np.tile([0, 0, 1], (3, 1)).astype(np.float32),
+    )
+    mid = scene.add_mesh(tri)
+    mat = scene.add_material(Material(color=np.array([0.8, 0.2, 0.2], np.float32)))
+    scene.root = Object(name="root")
+    scene.root.add(_mesh_node(scene, mid, mat, "tri"))
+    light = LightObject(name="sun", light_type=LIGHT_DIRECTIONAL, intensity=np.array([1.0, 1.0, 1.0], np.float32))
+    light.rotation = np.array([0, 0, 0, 1], np.float32)
+    scene.root.add(light)
+    cam = CameraObject(name="cam", fov_y=np.pi / 3)
+    cam.translation = np.array([0, 0, 3], np.float32)
+    scene.root.add(cam)
+    scene.active_camera = cam
+    return scene
+
+
+def single_mesh_scene(mesh: Mesh | None = None):
+    """BASELINE config 1: single mesh, 1-bounce direct lighting."""
+    scene = HostScene()
+    mid = scene.add_mesh(mesh if mesh is not None else icosphere_mesh(2))
+    mat = scene.add_material(
+        Material(color=np.array([0.7, 0.7, 0.75], np.float32), metallic=0.0, roughness=0.4)
+    )
+    scene.root = Object(name="root")
+    scene.root.add(_mesh_node(scene, mid, mat, "mesh"))
+    key = LightObject(
+        name="key", light_type=LIGHT_POINT, intensity=np.array([60.0, 60.0, 55.0], np.float32)
+    )
+    key.translation = np.array([2.0, 2.5, 2.0], np.float32)
+    scene.root.add(key)
+    cam = CameraObject(name="cam", fov_y=np.pi / 3)
+    cam.translation = np.array([0, 0.4, 3.0], np.float32)
+    scene.root.add(cam)
+    scene.active_camera = cam
+    return scene
+
+
+def cornell_box_scene(light_intensity=30.0):
+    """BASELINE config 2: the Cornell box (5 walls, 2 boxes, 1 point light)."""
+    scene = HostScene()
+    quad = scene.add_mesh(quad_mesh(2.0))
+    box = scene.add_mesh(cube_mesh(1.0))
+
+    white = scene.add_material(Material(color=np.array([0.73, 0.73, 0.73], np.float32)))
+    red = scene.add_material(Material(color=np.array([0.65, 0.05, 0.05], np.float32)))
+    green = scene.add_material(Material(color=np.array([0.12, 0.45, 0.15], np.float32)))
+    metal = scene.add_material(
+        Material(color=np.array([0.8, 0.85, 0.9], np.float32), metallic=1.0, roughness=0.15)
+    )
+
+    scene.root = Object(name="root")
+    r = scene.root
+    sq2 = np.float32(np.sqrt(0.5))
+    # floor (XY quad rotated to face +Y)
+    r.add(_mesh_node(scene, quad, white, "floor", t=[0, -1, 0], r=[-sq2, 0, 0, sq2]))
+    # ceiling faces -Y
+    r.add(_mesh_node(scene, quad, white, "ceiling", t=[0, 1, 0], r=[sq2, 0, 0, sq2]))
+    # back wall faces +Z
+    r.add(_mesh_node(scene, quad, white, "back", t=[0, 0, -1]))
+    # left wall (red) faces +X
+    r.add(_mesh_node(scene, quad, red, "left", t=[-1, 0, 0], r=[0, sq2, 0, sq2]))
+    # right wall (green) faces -X
+    r.add(_mesh_node(scene, quad, green, "right", t=[1, 0, 0], r=[0, -sq2, 0, sq2]))
+    # tall box
+    deg = np.pi / 180
+    q18 = np.array([0, np.sin(18 * deg / 2), 0, np.cos(18 * deg / 2)], np.float32)
+    r.add(_mesh_node(scene, box, white, "tall", t=[-0.35, -0.4, -0.35], r=q18, s=[0.55, 1.2, 0.55]))
+    # short metal box
+    qm15 = np.array([0, np.sin(-15 * deg / 2), 0, np.cos(-15 * deg / 2)], np.float32)
+    r.add(_mesh_node(scene, box, metal, "short", t=[0.4, -0.7, 0.35], r=qm15, s=[0.55, 0.6, 0.55]))
+
+    light = LightObject(
+        name="lamp",
+        light_type=LIGHT_POINT,
+        intensity=np.array([light_intensity] * 3, np.float32),
+    )
+    light.translation = np.array([0, 0.85, 0], np.float32)
+    r.add(light)
+
+    # narrow fov so the 2x2 back wall fills the frame from z=3.2
+    cam = CameraObject(name="cam", fov_y=0.47)
+    cam.translation = np.array([0, 0, 3.2], np.float32)
+    r.add(cam)
+    scene.active_camera = cam
+    return scene
