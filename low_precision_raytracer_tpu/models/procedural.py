@@ -182,16 +182,17 @@ def cornell_box_scene(light_intensity=30.0):
     scene.root = Object(name="root")
     r = scene.root
     sq2 = np.float32(np.sqrt(0.5))
+    ws = [1.05, 1.05, 1]  # overlap wall seams so corner rays cannot escape
     # floor (XY quad rotated to face +Y)
-    r.add(_mesh_node(scene, quad, white, "floor", t=[0, -1, 0], r=[-sq2, 0, 0, sq2]))
+    r.add(_mesh_node(scene, quad, white, "floor", t=[0, -1, 0], r=[-sq2, 0, 0, sq2], s=ws))
     # ceiling faces -Y
-    r.add(_mesh_node(scene, quad, white, "ceiling", t=[0, 1, 0], r=[sq2, 0, 0, sq2]))
+    r.add(_mesh_node(scene, quad, white, "ceiling", t=[0, 1, 0], r=[sq2, 0, 0, sq2], s=ws))
     # back wall faces +Z
-    r.add(_mesh_node(scene, quad, white, "back", t=[0, 0, -1]))
+    r.add(_mesh_node(scene, quad, white, "back", t=[0, 0, -1], s=ws))
     # left wall (red) faces +X
-    r.add(_mesh_node(scene, quad, red, "left", t=[-1, 0, 0], r=[0, sq2, 0, sq2]))
+    r.add(_mesh_node(scene, quad, red, "left", t=[-1, 0, 0], r=[0, sq2, 0, sq2], s=ws))
     # right wall (green) faces -X
-    r.add(_mesh_node(scene, quad, green, "right", t=[1, 0, 0], r=[0, -sq2, 0, sq2]))
+    r.add(_mesh_node(scene, quad, green, "right", t=[1, 0, 0], r=[0, -sq2, 0, sq2], s=ws))
     # tall box
     deg = np.pi / 180
     q18 = np.array([0, np.sin(18 * deg / 2), 0, np.cos(18 * deg / 2)], np.float32)

@@ -1,0 +1,327 @@
+"""The shade stage (`shade<DataT, MAX_DIRECT_LIGHT, FIRST_ROUND, NO_GI>`,
+`rt/rtrt/cuda.hpp:1751-2056`).
+
+Pure function over SoA pixel arrays: consumes a ShadeInput (either the
+G-buffer on the first round or the bounce shade-commands), emits
+- per-round emission/ambient intensity,
+- the GI bounce ray + its BRDF multiplier (with the NaN demodulation tag on
+  round 0, `rt/rtrt/cuda.hpp:1917-1919`),
+- up to MAX_DIRECT_LIGHT shadow-ray commands with premultiplied
+  BRDF*cos*intensity/r^2 (`:2009-2055` — including the reference's /10
+  point-light scaling quirk),
+- the skybox radiance for empty/skybox pixels into DI slot 0.
+
+Template flags become static Python branches; curand becomes jax.random
+fields drawn per stage.  All shading math runs in the render dtype.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from low_precision_raytracer_tpu.config import SKYBOX_COLOR, Precision, RenderConfig
+from low_precision_raytracer_tpu.math.vec import dot, normalize, reflect
+from low_precision_raytracer_tpu.models.hierarchy import LIGHT_DIRECTIONAL
+from low_precision_raytracer_tpu.ops.bsdf import glassy_brdf, material_brdf
+from low_precision_raytracer_tpu.ops.sampling import (
+    pdf_ggx_reflect,
+    sample_ggx,
+    tangent_to_world,
+    uniform_hemisphere,
+)
+from low_precision_raytracer_tpu.ops.texture import sample_skybox, sample_texture
+
+SHADE_INVALID = 0
+SHADE_COMMON = 1
+SHADE_SKYBOX = 2
+
+
+class ShadeInput(NamedTuple):
+    """`PixelShaderInput` (`rt/rtrt/cuda.hpp:1034-1048`) as SoA arrays."""
+
+    type: jnp.ndarray  # (R,) i32
+    position: jnp.ndarray  # (R, 3) dtype
+    normal: jnp.ndarray
+    tangent: jnp.ndarray
+    color: jnp.ndarray  # vertex color
+    uv0: jnp.ndarray
+    uv1: jnp.ndarray
+    material: jnp.ndarray  # (R,) i32
+    obj: jnp.ndarray  # (R,) i32 inscene object id
+    tri: jnp.ndarray  # (R,) i32 global triangle id
+
+
+class LightCommands(NamedTuple):
+    """`TraceLightCommand` SoA (`rt/rtrt/cuda.hpp:1023-1032`)."""
+
+    valid: jnp.ndarray  # (R, L) bool (slot != UINT8_MAX)
+    direction: jnp.ndarray  # (R, L, 3)
+    max_t: jnp.ndarray  # (R, L)
+    multiplier: jnp.ndarray  # (R, L, 3)
+
+
+class ShadeOutputs(NamedTuple):
+    intensity: jnp.ndarray  # (R, 3) emission/ambient for this round
+    di_sky: jnp.ndarray  # (R, 3) skybox radiance -> DI slot 0
+    albedo: jnp.ndarray  # (R, 3) (first round; zeros otherwise)
+    lights: LightCommands
+    gi_valid: jnp.ndarray  # (R,)
+    gi_direction: jnp.ndarray  # (R, 3)
+    gi_multiplier: jnp.ndarray  # (R, 3) (NaN tag in [2] on first round)
+    view_dir_out: jnp.ndarray  # (R, 3) = -gi_direction
+    skip_tri: jnp.ndarray  # (R,) i32
+    source: jnp.ndarray  # (R, 3) ray origin for both command kinds
+
+
+def gbuffer_to_shade_input(g) -> ShadeInput:
+    return ShadeInput(
+        type=jnp.where(g["valid"], SHADE_COMMON, SHADE_INVALID).astype(jnp.int32),
+        position=g["position"],
+        normal=g["normal"],
+        tangent=g["tangent"],
+        color=g["color"],
+        uv0=g["uv0"],
+        uv1=g["uv1"],
+        material=g["material"],
+        obj=g["obj"],
+        tri=g["tri"],
+    )
+
+
+def _gather_material(scene, mid):
+    take = lambda a: jnp.take(a, mid, axis=0, mode="clip")
+    return dict(
+        color=take(scene.mat_color),
+        emission=take(scene.mat_emission),
+        metallic=take(scene.mat_metallic),
+        roughness=take(scene.mat_roughness),
+        double_sided=take(scene.mat_double_sided),
+        tex_color=take(scene.mat_tex_color),
+        uv_color=take(scene.mat_uv_color),
+    )
+
+
+def shade(
+    scene,
+    frame,
+    sinput: ShadeInput,
+    view_dir,
+    *,
+    prec: Precision,
+    cfg: RenderConfig,
+    first_round: bool,
+    no_gi: bool,
+    key,
+) -> ShadeOutputs:
+    """One shade pass over R pixels.
+
+    view_dir: (R, 3) dtype — the primary -ray direction on the first round
+    (`settings.get_primary_ray_direction`, negated) or the carried
+    `buffer.view_direction` on bounce rounds.
+    """
+    dt = prec.dtype
+    R = sinput.position.shape[0]
+    zero3 = jnp.zeros((R, 3), dt)
+    L = cfg.max_direct_lights
+
+    is_common = sinput.type == SHADE_COMMON
+    is_skybox = sinput.type == SHADE_SKYBOX
+
+    # ---- skybox radiance for empty/skybox pixels -> DI slot 0
+    # first round: primary direction (`rt/rtrt/cuda.hpp:1786-1795`);
+    # bounce: the GI ray direction = -view_direction (`:1828-1833`)
+    di_sky = zero3
+    if scene.sky_valid:
+        sky_dir = -normalize(view_dir) if not first_round else -view_dir
+        sky_rgb = sample_skybox(scene, frame, sky_dir).astype(dt)
+        sky_mask = is_skybox if not first_round else (sinput.type == SHADE_INVALID)
+        di_sky = jnp.where(sky_mask[:, None], sky_rgb, zero3)
+
+    mat = _gather_material(scene, sinput.material)
+
+    # ---- base colour: texture x vertex colour (`rt/rtrt/cuda.hpp:1849-1856`)
+    color = mat["color"]
+    has_tex = mat["tex_color"] >= 0
+    tex_uv = jnp.where(
+        (mat["uv_color"] == 0)[:, None], sinput.uv0, sinput.uv1
+    )
+    tex_rgba = sample_texture(scene, mat["tex_color"], tex_uv)
+    color = jnp.where(has_tex[:, None], tex_rgba[..., :3].astype(dt), color)
+    color = (color * sinput.color).astype(dt)
+
+    # ---- N, V; double-sided flip or reject (`rt/rtrt/cuda.hpp:1869-1879`)
+    raw_normal = sinput.normal
+    v_dot_n = dot(view_dir, raw_normal)
+    flip = (v_dot_n < 0) & mat["double_sided"]
+    rejected = (v_dot_n < 0) & ~mat["double_sided"]
+    normal = jnp.where(flip[:, None], -raw_normal, raw_normal)
+    valid = is_common & ~rejected
+
+    # ---- tangent frame re-orthogonalization (`rt/rtrt/cuda.hpp:1881-1887`)
+    bitangent = normalize(jnp.cross(raw_normal, sinput.tangent))
+    tangent = normalize(jnp.cross(bitangent, raw_normal))
+
+    # ---- emission (overridden by the NO_GI fake ambient, `:2001-2006`)
+    if no_gi:
+        skyc = jnp.asarray(SKYBOX_COLOR, dt)
+        intensity = skyc * color * jnp.asarray(0.5, dt)
+    else:
+        intensity = mat["emission"]
+    intensity = jnp.where(valid[:, None], intensity, zero3)
+
+    albedo = jnp.where(valid[:, None], color, zero3) if first_round else zero3
+
+    # ---- GI ray generation (`rt/rtrt/cuda.hpp:1898-1999`)
+    if not no_gi:
+        ks = jax.random.split(key, 8)
+        r_mirror = jax.random.uniform(ks[0], (R,), dt)
+        r_spec = jax.random.uniform(ks[1], (R,), dt)
+        g_lo = jax.random.normal(ks[2], (R, 3), jnp.float32)
+        r_metal = jax.random.uniform(ks[3], (R,), dt)
+        u_ggx1 = jax.random.uniform(ks[4], (R,), dt)
+        u_ggx2 = jax.random.uniform(ks[5], (R,), dt)
+        g_hi = jax.random.normal(ks[6], (R, 3), jnp.float32)
+
+        metallic = mat["metallic"]
+        roughness = mat["roughness"]
+        one = jnp.asarray(1.0, dt)
+
+        mirror_dir = normalize(reflect(view_dir, normal))
+
+        # --- low-roughness branch (roughness < 0.1)
+        lo_rough = roughness < jnp.asarray(0.1, dt)
+        # (a) metallic russian-roulette mirror: multiplier includes base colour
+        #     directly even on round 0 (no demodulation tag, `:1905-1920`)
+        g_mirror = glassy_brdf(metallic, view_dir, mirror_dir, normal)
+        mult_a = g_mirror.get_brdf(color) / metallic[:, None]
+        # (b) glassy specular at p = 0.6
+        pdf_b = (one - metallic) * jnp.asarray(0.6, dt)
+        if first_round:
+            mult_b = jnp.stack(
+                [g_mirror.colored / pdf_b, g_mirror.white / pdf_b, jnp.full((R,), jnp.nan, dt)],
+                axis=-1,
+            )
+        else:
+            mult_b = g_mirror.get_brdf(color) / pdf_b[:, None]
+        # (c) uniform hemisphere diffuse
+        diff_dir_lo, cos_lo = uniform_hemisphere(
+            normal, g_lo[:, 0].astype(dt), g_lo[:, 1].astype(dt), g_lo[:, 2].astype(dt)
+        )
+        brdf_c = material_brdf(metallic, roughness, view_dir, diff_dir_lo, normal)
+        mult_c_scalar = cos_lo * jnp.asarray(2.0 * jnp.pi, dt)
+        if first_round:
+            mult_c = jnp.stack(
+                [brdf_c.colored * mult_c_scalar, brdf_c.white * mult_c_scalar, jnp.full((R,), jnp.nan, dt)],
+                axis=-1,
+            )
+        else:
+            mult_c = brdf_c.get_brdf(color) * mult_c_scalar[:, None]
+
+        take_a = r_mirror < metallic
+        take_b = ~take_a & (r_spec < jnp.asarray(0.6, dt))
+        dir_lo = jnp.where(
+            take_a[:, None] | take_b[:, None], mirror_dir, diff_dir_lo
+        )
+        mult_lo = jnp.where(
+            take_a[:, None], mult_a, jnp.where(take_b[:, None], mult_b, mult_c)
+        )
+
+        # --- high-roughness branch (GGX importance / uniform hemisphere mix)
+        a = roughness * roughness
+        a2 = a * a
+        h_t = sample_ggx(a2, u_ggx1, u_ggx2)
+        h_w = normalize(tangent_to_world(h_t, normal, tangent, bitangent))
+        ggx_dir = reflect(view_dir, h_w)
+        ggx_cos = jnp.maximum(jnp.asarray(0.05, dt), dot(ggx_dir, h_w))
+        pdf_ggx = pdf_ggx_reflect(h_t[..., 2], a2) * metallic / (4 * ggx_cos)
+
+        diff_dir_hi, cos_hi = uniform_hemisphere(
+            normal, g_hi[:, 0].astype(dt), g_hi[:, 1].astype(dt), g_hi[:, 2].astype(dt)
+        )
+        pdf_diff = jnp.asarray(0.5 / jnp.pi, dt) * (one - metallic)
+
+        take_ggx = r_metal < metallic
+        dir_hi = normalize(jnp.where(take_ggx[:, None], ggx_dir, diff_dir_hi))
+        cos_sel = jnp.where(take_ggx, ggx_cos, cos_hi)
+        pdf_sel = jnp.where(take_ggx, pdf_ggx, pdf_diff)
+        brdf_hi = material_brdf(metallic, roughness, view_dir, dir_hi, normal)
+        mult_hi_scalar = cos_sel / pdf_sel
+        if first_round:
+            mult_hi = jnp.stack(
+                [
+                    brdf_hi.colored * mult_hi_scalar,
+                    brdf_hi.white * mult_hi_scalar,
+                    jnp.full((R,), jnp.nan, dt),
+                ],
+                axis=-1,
+            )
+        else:
+            mult_hi = brdf_hi.get_brdf(color) * mult_hi_scalar[:, None]
+
+        gi_direction = jnp.where(lo_rough[:, None], dir_lo, dir_hi)
+        gi_multiplier = jnp.where(lo_rough[:, None], mult_lo, mult_hi)
+        gi_valid = valid
+        gi_multiplier = jnp.where(valid[:, None], gi_multiplier, zero3)
+    else:
+        gi_direction = jnp.broadcast_to(jnp.asarray([0, 0, 1], dt), (R, 3))
+        gi_multiplier = zero3
+        gi_valid = jnp.zeros((R,), jnp.bool_)
+
+    view_dir_out = -gi_direction
+
+    # ---- direct-light commands (`rt/rtrt/cuda.hpp:2009-2055`)
+    l_valid, l_dir, l_maxt, l_mult = [], [], [], []
+    rough_di = jnp.maximum(mat["roughness"], jnp.asarray(0.10, dt))
+    for i in range(L):
+        lt = frame.light_type[i]
+        lpos = frame.light_pos[i].astype(dt)
+        ldirw = frame.light_dir[i].astype(dt)
+        lint = frame.light_intensity[i].astype(dt)
+        lv = frame.light_valid[i]
+
+        is_dir = lt == LIGHT_DIRECTIONAL
+        # point/spot path
+        dvec = lpos - sinput.position
+        dist2 = dot(dvec, dvec)
+        pdir = normalize(dvec)
+        # directional path
+        ddir = -normalize(ldirw)
+        ldir_i = jnp.where(is_dir, ddir, pdir)
+        cosine = dot(ldir_i, normal)
+
+        brdf3 = material_brdf(
+            mat["metallic"], rough_di, view_dir, ldir_i, normal
+        ).get_brdf(color)
+        point_mult = (cosine / dist2 / jnp.asarray(10.0, dt))[:, None] * brdf3 * lint
+        dir_mult = cosine[:, None] * brdf3 * lint
+        mult_i = jnp.where(is_dir, dir_mult, point_mult)
+        maxt_i = jnp.where(is_dir, jnp.asarray(1000.0, dt), jnp.sqrt(dist2))
+
+        ok = valid & lv & (cosine >= 0)
+        l_valid.append(ok)
+        l_dir.append(jnp.where(ok[:, None], ldir_i, jnp.broadcast_to(jnp.asarray([0, 0, 1], dt), (R, 3))))
+        l_maxt.append(jnp.where(ok, maxt_i, jnp.asarray(0.0, dt)))
+        l_mult.append(jnp.where(ok[:, None], mult_i, zero3))
+
+    lights = LightCommands(
+        valid=jnp.stack(l_valid, axis=1),
+        direction=jnp.stack(l_dir, axis=1),
+        max_t=jnp.stack(l_maxt, axis=1),
+        multiplier=jnp.stack(l_mult, axis=1),
+    )
+
+    return ShadeOutputs(
+        intensity=intensity,
+        di_sky=di_sky,
+        albedo=albedo,
+        lights=lights,
+        gi_valid=gi_valid,
+        gi_direction=gi_direction,
+        gi_multiplier=gi_multiplier,
+        view_dir_out=view_dir_out,
+        skip_tri=jnp.where(valid, sinput.tri, -1),
+        source=sinput.position,
+    )

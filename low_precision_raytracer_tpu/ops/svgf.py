@@ -1,0 +1,265 @@
+"""SVGF denoiser (`rt/rtrt/cuda.hpp:1117-1711`): temporal accumulation with
+outlier clamping, spatial/temporal moments, and 5 variance-guided a-trous
+wavelet iterations (strides 1, 2, 4, 8, 16).
+
+TPU-native formulation: every kernel is a fused XLA stencil built from
+statically shifted slices over NaN-padded (H, W) arrays.  NaN padding
+reproduces the reference's skip-out-of-bounds border handling exactly,
+because every accumulation is already isfinite-masked (the reference treats
+NaN/Inf as expected in-band values, SURVEY.md §5.3).
+
+The reference's mu ping-pong cudaMemcpy size bug (`rt/rtrt/cuda.hpp:1666-1669`)
+is not reproduced — state is functionally threaded (SURVEY.md 2.17).
+
+Runs entirely in the render dtype, like the reference's DataT kernels.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from low_precision_raytracer_tpu.config import SVGFConfig
+from low_precision_raytracer_tpu.math.vec import luminance, value_or
+from low_precision_raytracer_tpu.ops.reproject import sample_linear
+
+WAVELET_H = (3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
+GAUSS_G = (1.0 / 2.0, 1.0 / 4.0)
+
+
+def _pad_nan(x, k):
+    """Pad (H, W, ...) with NaN margin k."""
+    pad = [(k, k), (k, k)] + [(0, 0)] * (x.ndim - 2)
+    return jnp.pad(x, pad, constant_values=jnp.nan)
+
+
+def _shift(xp, i, j, H, W):
+    """View of the NaN-padded array shifted by (i, j)."""
+    k = (xp.shape[0] - H) // 2
+    return xp[k + i : k + i + H, k + j : k + j + W]
+
+
+class SVGFState(NamedTuple):
+    """Per-instance temporal state (one for GI-colored, one for GI-white)."""
+
+    miu1: jnp.ndarray  # (H, W)
+    miu2: jnp.ndarray  # (H, W)
+    color_history: jnp.ndarray  # (H, W, 3)
+
+
+def init_svgf_state(height, width, dtype) -> SVGFState:
+    return SVGFState(
+        miu1=jnp.zeros((height, width), dtype),
+        miu2=jnp.zeros((height, width), dtype),
+        color_history=jnp.zeros((height, width, 3), dtype),
+    )
+
+
+def preprocess_normal_depth(normal, depth):
+    """Depth gradients with forward diff at the border, backward elsewhere
+    (`preprocess_normal_depth`, `rt/rtrt/cuda.hpp:1442-1473`).
+    normal: (H, W, 3); depth: (H, W).  -> (normal, depth, grad (H, W, 2))."""
+    gx = depth - jnp.roll(depth, 1, axis=1)
+    gx = gx.at[:, 0].set(depth[:, 1] - depth[:, 0])
+    gy = depth - jnp.roll(depth, 1, axis=0)
+    gy = gy.at[0, :].set(depth[1, :] - depth[0, :])
+    return jnp.stack([gx, gy], axis=-1)
+
+
+def temporal_accumulation_color(input_color, history_color, svgf_map, color_taa_w):
+    """Outlier clamp (9x9 finite mean +-0.5 sigma, GAMES-202 style) + history
+    lerp (`temporal_accumulation_color`, `rt/rtrt/cuda.hpp:1187-1243`).
+
+    -> (integrated_color (H, W, 3), illum (H, W))."""
+    dt = input_color.dtype
+    H, W = input_color.shape[:2]
+    cp = _pad_nan(input_color, 4)
+    miu1 = jnp.zeros_like(input_color)
+    miu2 = jnp.zeros_like(input_color)
+    weights = jnp.zeros_like(input_color)
+    for i in range(-4, 5):
+        for j in range(-4, 5):
+            q = _shift(cp, i, j, H, W)
+            fin = jnp.isfinite(q)
+            zero = jnp.asarray(0.0, dt)
+            weights = weights + fin.astype(dt)
+            miu1 = miu1 + jnp.where(fin, q, zero)
+            miu2 = miu2 + jnp.where(fin, q * q, zero)
+    miu1 = miu1 / weights
+    miu2 = miu2 / weights
+    p_color = value_or(input_color, miu1)
+    var = miu2 - miu1 * miu1
+    std = jnp.sqrt(var)
+    half = jnp.asarray(0.5, dt)
+    p_color = jnp.clip(p_color, miu1 - half * std, miu1 + half * std)
+
+    hist = sample_linear(svgf_map, history_color, p_color)
+    hist = value_or(hist, p_color)
+    w = jnp.asarray(color_taa_w, dt)
+    integrated = w * p_color + (1 - w) * hist
+    return integrated, luminance(integrated)
+
+
+def temporal_accumulation_moments(
+    svgf_map,
+    depth,
+    grad,
+    normal,
+    miu1_prev,
+    miu2_prev,
+    illum,
+    moments_taa_w,
+    cfg: SVGFConfig,
+):
+    """Spatial (bilateral 5x5, <4 valid frames) or temporal moments
+    (`temporal_accumulation_moments`, `rt/rtrt/cuda.hpp:1245-1337`).
+
+    -> (miu1, miu2, variance)."""
+    dt = illum.dtype
+    H, W = illum.shape
+    dp = _pad_nan(depth, 2)
+    npad = _pad_nan(normal, 2)
+    ip = _pad_nan(illum, 2)
+
+    m1 = jnp.zeros_like(illum)
+    m2 = jnp.zeros_like(illum)
+    wsum = jnp.zeros_like(illum)
+    for i in range(-2, 3):
+        for j in range(-2, 3):
+            h = jnp.asarray(WAVELET_H[abs(i)] * WAVELET_H[abs(j)], dt)
+            depth_q = _shift(dp, i, j, H, W)
+            normal_q = _shift(npad, i, j, H, W)
+            illum_q = _shift(ip, i, j, H, W)
+            dpv0 = jnp.asarray(float(i), dt)
+            dpv1 = jnp.asarray(float(j), dt)
+            d_dot = grad[..., 0] * dpv0 + grad[..., 1] * dpv1
+            w_z = jnp.exp(
+                -jnp.abs(depth - depth_q)
+                / (jnp.asarray(cfg.sigma_z, dt) * jnp.abs(d_dot + jnp.asarray(cfg.eps, dt)))
+            )
+            ndot = jnp.sum(normal * normal_q, axis=-1)
+            w_n = jnp.maximum(0.0, ndot).astype(dt) ** jnp.asarray(cfg.sigma_n, dt)
+            hw = h * w_z * w_n
+            ok = jnp.isfinite(hw) & jnp.isfinite(illum_q)
+            hw = jnp.where(ok, hw, 0.0).astype(dt)
+            iq = jnp.where(ok, illum_q, 0.0).astype(dt)
+            m1 = m1 + hw * iq
+            m2 = m2 + hw * iq * iq
+            wsum = wsum + hw
+    m1_spatial = m1 / wsum
+    m2_spatial = m2 / wsum
+
+    w = jnp.asarray(moments_taa_w, dt)
+    illum2 = illum * illum
+    m1_t = (1 - w) * sample_linear(svgf_map, miu1_prev, jnp.zeros_like(illum)) + illum * w
+    m2_t = (1 - w) * sample_linear(svgf_map, miu2_prev, jnp.zeros_like(illum)) + illum2 * w
+    m1_t = value_or(m1_t, illum)
+    m2_t = value_or(m2_t, illum2)
+
+    spatial = svgf_map["frame_count"] < cfg.spatial_moments_below
+    miu1 = jnp.where(spatial, m1_spatial, m1_t)
+    miu2 = jnp.where(spatial, m2_spatial, m2_t)
+    return miu1, miu2, miu2 - miu1 * miu1
+
+
+def wavelet_filter(color_in, var_in, depth, grad, normal, illum, stride, cfg: SVGFConfig):
+    """One variance-guided a-trous iteration
+    (`wavelet_filter<stride>`, `rt/rtrt/cuda.hpp:1339-1440`).
+    -> (color_out, var_out)."""
+    dt = illum.dtype
+    H, W = illum.shape
+
+    # 3x3 gaussian prefilter on variance (in-bounds taps only, no NaN skip)
+    vp0 = jnp.pad(var_in, ((1, 1), (1, 1)), constant_values=0)
+    mp0 = jnp.pad(jnp.ones_like(var_in), ((1, 1), (1, 1)), constant_values=0)
+    gnum = jnp.zeros_like(var_in)
+    gden = jnp.zeros_like(var_in)
+    for i in range(-1, 2):
+        for j in range(-1, 2):
+            g = jnp.asarray(GAUSS_G[abs(i)] * GAUSS_G[abs(j)], dt)
+            gnum = gnum + g * _shift(vp0, i, j, H, W)
+            gden = gden + g * _shift(mp0, i, j, H, W)
+    sqrt_g_var = jnp.sqrt(gnum / gden)
+
+    k = 2 * stride
+    cp = _pad_nan(color_in, k)
+    vp = _pad_nan(var_in, k)
+    dpad = _pad_nan(depth, k)
+    npad = _pad_nan(normal, k)
+    ip = _pad_nan(illum, k)
+
+    num_c = jnp.zeros_like(color_in)
+    den_c = jnp.zeros_like(illum)
+    num_v = jnp.zeros_like(illum)
+    den_v = jnp.zeros_like(illum)
+    sig_l = jnp.asarray(cfg.sigma_l, dt)
+    eps = jnp.asarray(cfg.eps, dt)
+    for i in range(-2, 3):
+        for j in range(-2, 3):
+            si, sj = i * stride, j * stride
+            h = jnp.asarray(WAVELET_H[abs(i)] * WAVELET_H[abs(j)], dt)
+            depth_q = _shift(dpad, si, sj, H, W)
+            normal_q = _shift(npad, si, sj, H, W)
+            illum_q = _shift(ip, si, sj, H, W)
+            color_q = _shift(cp, si, sj, H, W)
+            var_q = _shift(vp, si, sj, H, W)
+
+            dpv0 = jnp.asarray(float(si), dt)
+            dpv1 = jnp.asarray(float(sj), dt)
+            d_dot = grad[..., 0] * dpv0 + grad[..., 1] * dpv1
+            w_z = jnp.exp(
+                -jnp.abs(depth - depth_q)
+                / (jnp.asarray(cfg.sigma_z, dt) * jnp.abs(d_dot + eps))
+            )
+            ndot = jnp.sum(normal * normal_q, axis=-1)
+            w_n = jnp.maximum(0.0, ndot).astype(dt) ** jnp.asarray(cfg.sigma_n, dt)
+            w_l = jnp.exp(-jnp.abs(illum - illum_q) / (sig_l * sqrt_g_var + eps))
+            hw = h * w_z * w_n * w_l
+            hw_fin = jnp.isfinite(hw)
+
+            ok_v = hw_fin & jnp.isfinite(var_q)
+            hv = jnp.where(ok_v, hw, 0.0).astype(dt)
+            num_v = num_v + hv * hv * jnp.where(ok_v, var_q, 0.0).astype(dt)
+            den_v = den_v + hv
+
+            ok_c = hw_fin & jnp.all(jnp.isfinite(color_q), axis=-1)
+            hc = jnp.where(ok_c, hw, 0.0).astype(dt)
+            num_c = num_c + hc[..., None] * jnp.where(ok_c[..., None], color_q, 0.0).astype(dt)
+            den_c = den_c + hc
+
+    next_var = num_v / (den_v * den_v)
+    next_color = num_c / den_c[..., None]
+    next_color = value_or(next_color, color_in)
+    next_var = value_or(next_var, var_in)
+    return next_color, next_var
+
+
+def svgf_denoise(
+    color,
+    state: SVGFState,
+    svgf_map,
+    normal,
+    depth,
+    grad,
+    cfg: SVGFConfig,
+    color_taa_w,
+    moments_taa_w,
+):
+    """Full denoise sequence (`svgf_denoise`, `rt/rtrt/cuda.hpp:1636-1711`).
+
+    -> (denoised_color, new_state).  Iteration #1's output doubles as next
+    frame's color history (`:1676-1688`)."""
+    integrated, illum = temporal_accumulation_color(
+        color, state.color_history, svgf_map, color_taa_w
+    )
+    miu1, miu2, var = temporal_accumulation_moments(
+        svgf_map, depth, grad, normal, state.miu1, state.miu2, illum, moments_taa_w, cfg
+    )
+    c, v = integrated, var
+    new_history = state.color_history
+    for it, stride in enumerate(cfg.strides):
+        c, v = wavelet_filter(c, v, depth, grad, normal, illum, stride, cfg)
+        if it == 0:
+            new_history = c
+    return c, SVGFState(miu1=miu1, miu2=miu2, color_history=new_history)

@@ -1,0 +1,90 @@
+"""Texture sampling from the flat atlas.
+
+Replaces CUDA texture objects (`RDTexture`, `rt/rtrt/memory.hpp:334-369`:
+pitch-2D, normalized float reads, bilinear filter, wrap addressing, optional
+sRGB) with manual bilinear gathers from the concatenated atlas
+(SURVEY.md §7 hard part #4).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from low_precision_raytracer_tpu.ops.sampling import direction_to_spherical
+
+
+def _srgb_to_linear(c):
+    """IEC 61966-2-1 decode (what cudaTextureDesc.sRGB applies on read)."""
+    return jnp.where(
+        c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4
+    )
+
+
+def sample_texture(scene, tex_id, uv):
+    """Bilinear wrap-addressed fetch -> (..., 4) fp32 in [0, 1].
+
+    tex_id: (...,) i32 atlas texture ids (callers mask id < 0 themselves).
+    uv: (..., 2) any float dtype, normalized coords.
+    """
+    f32 = jnp.float32
+    tid = jnp.maximum(tex_id, 0)
+    w = jnp.take(scene.tex_width, tid, mode="clip")
+    h = jnp.take(scene.tex_height, tid, mode="clip")
+    off = jnp.take(scene.tex_offset, tid, mode="clip")
+    srgb = jnp.take(scene.tex_srgb, tid, mode="clip")
+
+    u = uv[..., 0].astype(f32) * w - 0.5
+    v = uv[..., 1].astype(f32) * h - 0.5
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fu = u - x0
+    fv = v - y0
+
+    def texel(xi, yi):
+        xi = jnp.mod(xi.astype(jnp.int32), w)
+        yi = jnp.mod(yi.astype(jnp.int32), h)
+        idx = off + yi * w + xi
+        return jnp.take(scene.tex_data, idx, axis=0, mode="clip").astype(f32) / 255.0
+
+    c00 = texel(x0, y0)
+    c10 = texel(x0 + 1, y0)
+    c01 = texel(x0, y0 + 1)
+    c11 = texel(x0 + 1, y0 + 1)
+    top = c00 * (1 - fu)[..., None] + c10 * fu[..., None]
+    bot = c01 * (1 - fu)[..., None] + c11 * fu[..., None]
+    out = top * (1 - fv)[..., None] + bot * fv[..., None]
+
+    rgb = jnp.where(srgb[..., None], _srgb_to_linear(out[..., :3]), out[..., :3])
+    return jnp.concatenate([rgb, out[..., 3:4]], axis=-1)
+
+
+def sample_skybox(scene, frame, directions):
+    """Equirectangular HDR skybox fetch (`rt/rtrt/cuda.hpp:1786-1795`):
+    bilinear wrap over the fp32 panorama, scaled by exposure.
+
+    directions: (..., 3) -> (..., 3) fp32 radiance.
+    """
+    f32 = jnp.float32
+    sky = scene.sky_data  # (H, W, 3) f32
+    H, W = sky.shape[0], sky.shape[1]
+    u, v = direction_to_spherical(directions, frame.sky_delta_x, frame.sky_delta_y)
+    x = u * W - 0.5
+    y = v * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fu = (x - x0)[..., None]
+    fv = (y - y0)[..., None]
+
+    flat = sky.reshape(-1, 3)
+
+    def texel(xi, yi):
+        xi = jnp.mod(xi.astype(jnp.int32), W)
+        yi = jnp.clip(yi.astype(jnp.int32), 0, H - 1)
+        return jnp.take(flat, yi * W + xi, axis=0, mode="clip")
+
+    c00 = texel(x0, y0)
+    c10 = texel(x0 + 1, y0)
+    c01 = texel(x0, y0 + 1)
+    c11 = texel(x0 + 1, y0 + 1)
+    out = (c00 * (1 - fu) + c10 * fu) * (1 - fv) + (c01 * (1 - fu) + c11 * fu) * fv
+    return out.astype(f32) * frame.sky_exposure

@@ -1,0 +1,45 @@
+"""The carried frame state pytree (SURVEY.md §3.5): everything the reference
+hands from frame N to frame N+1 through persistent device buffers."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from low_precision_raytracer_tpu.config import Precision, RenderConfig
+from low_precision_raytracer_tpu.models.scene import pytree_dataclass
+from low_precision_raytracer_tpu.ops.svgf import SVGFState, init_svgf_state
+
+
+@pytree_dataclass(meta=())
+class FrameState:
+    # SVGF per-instance temporal state (colored / white demodulated channels,
+    # run twice per frame like the reference, `rt/gui/imgui_window.cu:231-239`)
+    svgf_colored: SVGFState
+    svgf_white: SVGFState
+    # TAA history colour (`buffer.taa_history_color`)
+    taa_history: jnp.ndarray  # (H, W, 3) dtype
+    # committed SVGF temporal-map frame counts (`svgf_temporal_map.frame_count`)
+    svgf_frame_count: jnp.ndarray  # (H, W) i32
+    # last frame's per-pixel mesh id / primitive (`LastFramePixelID`)
+    last_mesh_id: jnp.ndarray  # (H, W) i32, -1 = empty
+    last_prim: jnp.ndarray  # (H, W) i32
+    # last frame's per-mesh L2W (`buffer.last_frame_L2W`, keyed by objectid)
+    last_l2w: jnp.ndarray  # (n_meshes, 4, 4) dtype
+    # last frame's world-to-clip (`buffer.last_frame_transform_W2C`)
+    last_w2c: jnp.ndarray  # (4, 4) f32
+
+
+def init_frame_state(cfg: RenderConfig, n_meshes: int) -> FrameState:
+    dt = cfg.dtype
+    H, W = cfg.height, cfg.width
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=dt), (n_meshes, 4, 4))
+    return FrameState(
+        svgf_colored=init_svgf_state(H, W, dt),
+        svgf_white=init_svgf_state(H, W, dt),
+        taa_history=jnp.zeros((H, W, 3), dt),
+        svgf_frame_count=jnp.zeros((H, W), jnp.int32),
+        last_mesh_id=jnp.full((H, W), -1, jnp.int32),
+        last_prim=jnp.zeros((H, W), jnp.int32),
+        last_l2w=eye,
+        last_w2c=jnp.eye(4, dtype=jnp.float32),
+    )

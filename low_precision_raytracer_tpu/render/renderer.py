@@ -1,0 +1,270 @@
+"""The frame orchestrator (`Renderer<DataT>::render_cuda`,
+`rt/gui/imgui_window.cu:121-283` — the 13-stage kernel schedule).
+
+On TPU the whole schedule is ONE pure jitted step:
+
+    image, aux, state = render_frame(scene, frame, state, cfg, key)
+
+No per-stage host syncs (the reference's `cudaDeviceSynchronize` after every
+launch exists only for its timing UI); the profiling harness re-creates the
+per-stage timing dict with `block_until_ready` in `utils/timing.py`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from low_precision_raytracer_tpu.config import RenderConfig, get_precision
+from low_precision_raytracer_tpu.models.scene import (
+    HostScene,
+    build_scene_arrays,
+    flatten_frame,
+)
+from low_precision_raytracer_tpu.ops.camera import primary_ray_grid
+from low_precision_raytracer_tpu.ops.compose import (
+    add_denoised_color,
+    tonemap_gamma,
+    write_clean_color,
+)
+from low_precision_raytracer_tpu.ops.gbuffer import (
+    fill_gbuffer,
+    interpolate_hit_attributes,
+)
+from low_precision_raytracer_tpu.ops.reproject import generate_temporal_maps
+from low_precision_raytracer_tpu.ops.shade import (
+    SHADE_COMMON,
+    SHADE_INVALID,
+    SHADE_SKYBOX,
+    ShadeInput,
+    gbuffer_to_shade_input,
+    shade,
+)
+from low_precision_raytracer_tpu.ops.svgf import preprocess_normal_depth, svgf_denoise
+from low_precision_raytracer_tpu.ops.taa import temporal_anti_aliasing
+from low_precision_raytracer_tpu.ops.traversal import trace_rays
+from low_precision_raytracer_tpu.render.framestate import FrameState, init_frame_state
+
+
+def _trace_di(scene, frame, source, lights, skip_tri, prec, cfg):
+    """`trace_di_light` (`rt/rtrt/cuda.hpp:2058-2081`): any-hit shadow ray per
+    (pixel, light) command; invalid slots get max_dist 0 so their lanes
+    terminate immediately (dense queues, no compaction — like the reference).
+
+    -> di_intensity (R, L, 3) in the render dtype."""
+    R = source.shape[0]
+    L = cfg.max_direct_lights
+    dt = prec.dtype
+    o = jnp.broadcast_to(source[:, None, :], (R, L, 3)).reshape(R * L, 3)
+    d = lights.direction.reshape(R * L, 3)
+    maxt = jnp.where(lights.valid, lights.max_t.astype(jnp.float32), 0.0).reshape(R * L)
+    skips = jnp.broadcast_to(skip_tri[:, None], (R, L)).reshape(R * L)
+    hit = trace_rays(
+        scene,
+        frame,
+        o,
+        d,
+        prec=prec,
+        find_any=True,
+        fallback=cfg.triangle_fallback,
+        leaf_size=cfg.bvh_leaf_size,
+        skip_tri=skips,
+        min_dist=prec.ray_moveforward_t,
+        max_dist=maxt,
+    )
+    visible = (hit.tri < 0).reshape(R, L)
+    vis = (visible & lights.valid).astype(dt)[..., None]
+    return vis * lights.multiplier
+
+
+def _trace_gi(scene, frame, shade_out, prec, cfg):
+    """`trace_gi` (`rt/rtrt/cuda.hpp:2083-2141`): closest-hit bounce ray ->
+    next round's ShadeInput (COMMON / SKYBOX / INVALID)."""
+    dt = prec.dtype
+    R = shade_out.source.shape[0]
+    maxt = jnp.where(shade_out.gi_valid, 1e5, 0.0)
+    hit = trace_rays(
+        scene,
+        frame,
+        shade_out.source,
+        shade_out.gi_direction,
+        prec=prec,
+        find_any=False,
+        fallback=cfg.triangle_fallback,
+        leaf_size=cfg.bvh_leaf_size,
+        skip_tri=shade_out.skip_tri,
+        min_dist=prec.ray_moveforward_t,
+        max_dist=maxt,
+    )
+    attrs = interpolate_hit_attributes(scene, frame, hit, dt)
+    got = hit.tri >= 0
+    stype = jnp.where(
+        shade_out.gi_valid,
+        jnp.where(got, SHADE_COMMON, SHADE_SKYBOX),
+        SHADE_INVALID,
+    ).astype(jnp.int32)
+    return ShadeInput(
+        type=stype,
+        position=attrs["position"],
+        normal=attrs["normal"],
+        tangent=attrs["tangent"],
+        color=attrs["color"],
+        uv0=attrs["uv0"],
+        uv1=attrs["uv1"],
+        material=attrs["material"],
+        obj=jnp.maximum(hit.obj, 0),
+        tri=jnp.maximum(hit.tri, 0),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
+    """One full frame.  -> (image (H, W, 3) f32 gamma-encoded, aux, state)."""
+    prec = get_precision(cfg.precision)
+    dt = prec.dtype
+    H, W = cfg.height, cfg.width
+    R = H * W
+    k_taa, k_shade0, k_shade1 = jax.random.split(key, 3)
+
+    # ---- primary rays + traced G-buffer ("Primary Ray" stage)
+    o, d = primary_ray_grid(frame.cam_l2w, frame.cam_fov_y, W, H, dt)
+    o = o.reshape(R, 3)
+    d = d.reshape(R, 3)
+    g_flat, _ = fill_gbuffer(
+        scene, frame, o, d, prec, leaf_size=cfg.bvh_leaf_size, fallback=cfg.triangle_fallback
+    )
+    g2d = {k: v.reshape((H, W) + v.shape[1:]) for k, v in g_flat.items()}
+
+    # ---- "Generate Temporal Map"
+    svgf_map, taa_map = generate_temporal_maps(g2d, frame, state, W, H, dt, k_taa)
+
+    # ---- "Pixel Shade #1"
+    sin0 = gbuffer_to_shade_input(g_flat)
+    out0 = shade(
+        scene,
+        frame,
+        sin0,
+        view_dir=-d,
+        prec=prec,
+        cfg=cfg,
+        first_round=True,
+        no_gi=not cfg.gi_on,
+        key=k_shade0,
+    )
+
+    # ---- "Trace DI Ray #1" + "Accumulate DI #1"
+    di0 = _trace_di(scene, frame, out0.source, out0.lights, out0.skip_tri, prec, cfg)
+    di0 = di0.at[:, 0, :].add(out0.di_sky)  # skybox radiance rides slot 0
+    intensity0 = out0.intensity + jnp.sum(di0, axis=1)
+
+    # ---- GI round ("Trace GI #1", "Shade #2", "Trace DI #2", "Accumulate #2")
+    if cfg.gi_on:
+        sin1 = _trace_gi(scene, frame, out0, prec, cfg)
+        out1 = shade(
+            scene,
+            frame,
+            sin1,
+            view_dir=out0.view_dir_out,
+            prec=prec,
+            cfg=cfg,
+            first_round=False,
+            no_gi=True,  # the reference shades the bounce with NO_GI=true
+            key=k_shade1,
+        )
+        di1 = _trace_di(scene, frame, out1.source, out1.lights, out1.skip_tri, prec, cfg)
+        di1 = di1.at[:, 0, :].add(out1.di_sky)
+        intensity1 = out1.intensity + jnp.sum(di1, axis=1)
+    else:
+        intensity1 = jnp.zeros((R, 3), dt)
+
+    # ---- "SVGF" block: clean colour split + two denoiser instances
+    clean, mul_c, mul_w = write_clean_color(
+        intensity0.reshape(H, W, 3),
+        intensity1.reshape(H, W, 3),
+        out0.gi_multiplier.reshape(H, W, 3),
+        cfg.demo,
+    )
+    new_colored, new_white = state.svgf_colored, state.svgf_white
+    if cfg.demo.svgf:
+        normal2d = g2d["normal"]
+        depth2d = g2d["depth"]
+        grad = preprocess_normal_depth(normal2d, depth2d)
+        mul_c, new_colored = svgf_denoise(
+            mul_c, state.svgf_colored, svgf_map, normal2d, depth2d, grad,
+            cfg.svgf, cfg.svgf.color_mix_weight, cfg.svgf.moments_mix_weight,
+        )
+        mul_w, new_white = svgf_denoise(
+            mul_w, state.svgf_white, svgf_map, normal2d, depth2d, grad,
+            cfg.svgf, cfg.svgf.color_mix_weight, cfg.svgf.moments_mix_weight,
+        )
+    color = add_denoised_color(
+        clean, mul_c, mul_w, out0.albedo.reshape(H, W, 3), cfg.demo
+    )
+
+    # ---- "TAA"
+    if cfg.taa_on:
+        color = temporal_anti_aliasing(
+            color, state.taa_history, taa_map, cfg.taa_mix_weight
+        )
+    new_taa_history = color
+
+    # ---- output + "Backup Temporal Data"
+    image = tonemap_gamma(color)
+
+    mesh_id = jnp.where(
+        g2d["valid"], jnp.take(frame.obj_mesh, g2d["obj"], mode="clip"), -1
+    ).astype(jnp.int32)
+    new_l2w = state.last_l2w.at[frame.obj_mesh].set(frame.obj_l2w.astype(dt))
+
+    new_state = FrameState(
+        svgf_colored=new_colored,
+        svgf_white=new_white,
+        taa_history=new_taa_history,
+        svgf_frame_count=svgf_map["frame_count"],
+        last_mesh_id=mesh_id,
+        last_prim=g2d["tri"].astype(jnp.int32),
+        last_l2w=new_l2w,
+        last_w2c=frame.cam_w2c,
+    )
+    aux = dict(
+        clean=clean,
+        gi_colored=mul_c,
+        gi_white=mul_w,
+        albedo=out0.albedo.reshape(H, W, 3),
+        valid=g2d["valid"],
+        hit_t=g2d["t"].reshape(H, W),
+    )
+    return image, aux, new_state
+
+
+class Renderer:
+    """Host-side convenience wrapper: owns the device scene + frame state and
+    runs the jitted step per frame (the `Renderer` class of the framework,
+    SURVEY.md 2.20)."""
+
+    def __init__(self, host_scene: HostScene, cfg: RenderConfig):
+        self.host = host_scene
+        self.cfg = cfg
+        self.prec = get_precision(cfg.precision)
+        self.scene = build_scene_arrays(host_scene, self.prec, leaf_size=cfg.bvh_leaf_size)
+        self.state = init_frame_state(cfg, self.scene.n_meshes)
+        self.frame_index = 0
+        self.key = jax.random.PRNGKey(0)
+
+    def render(self, time: float = 0.0):
+        """Flatten the scene at `time` (TLAS rebuild on host, like the
+        reference's per-frame `scene_bvh.update`) and render one frame."""
+        frame = flatten_frame(
+            self.host,
+            self.prec,
+            time=time,
+            max_direct_lights=self.cfg.max_direct_lights,
+            width=self.cfg.width,
+            height=self.cfg.height,
+        )
+        self.key, sub = jax.random.split(self.key)
+        image, aux, self.state = render_frame(self.scene, frame, self.state, self.cfg, sub)
+        self.frame_index += 1
+        return image, aux
