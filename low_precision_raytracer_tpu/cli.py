@@ -1,0 +1,167 @@
+"""Headless CLI (replaces the reference's ImGui explorer app, SURVEY.md 2.21):
+
+    lprt render scene.glb --precision bf16 --width 1024 --height 768 \
+         --frames 8 --out out.png
+    lprt render --scene cornell --profile
+    lprt info scene.glb
+    lprt bench --width 1920 --height 1080
+
+The reference's pre-load static config (precision + resolution,
+`rt/gui/imgui_window.cu:735-752`) maps to CLI flags; its per-frame Inspect
+panel toggles map to --no-svgf/--no-taa/--no-gi/--demodulate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_scene(name_or_path: str):
+    from low_precision_raytracer_tpu.models import procedural
+
+    builders = {
+        "cornell": procedural.cornell_box_scene,
+        "sphere": procedural.single_mesh_scene,
+        "triangle": procedural.single_triangle_scene,
+    }
+    if name_or_path in builders:
+        return builders[name_or_path]()
+    from low_precision_raytracer_tpu.models.gltf import load_gltf
+
+    scene = load_gltf(name_or_path)
+    if scene.active_camera is None:
+        # rig a default camera like the explorer does when the file has none
+        from low_precision_raytracer_tpu.models.hierarchy import CameraObject
+        import numpy as np
+
+        cam = CameraObject(name="default-cam", fov_y=np.pi / 3)
+        los = [m.aabb[0] for m in scene.meshes]
+        his = [m.aabb[1] for m in scene.meshes]
+        lo = np.min(np.stack(los), axis=0)
+        hi = np.max(np.stack(his), axis=0)
+        center = (lo + hi) / 2
+        radius = float(np.linalg.norm(hi - lo)) / 2 + 1e-3
+        cam.translation = center + np.array([0, 0, 2.5 * radius], np.float32)
+        scene.root.add(cam)
+        scene.active_camera = cam
+    return scene
+
+
+def cmd_render(args) -> int:
+    from low_precision_raytracer_tpu.config import DemoSettings, RenderConfig
+    from low_precision_raytracer_tpu.render.renderer import Renderer
+    from low_precision_raytracer_tpu.utils.image import save_png
+
+    cfg = RenderConfig(
+        width=args.width,
+        height=args.height,
+        precision=args.precision,
+        gi_on=not args.no_gi,
+        taa_on=not args.no_taa,
+        taa_mix_weight=args.taa_weight,
+        demo=DemoSettings(svgf=not args.no_svgf, demodulate=args.demodulate),
+        triangle_fallback=args.fallback,
+    )
+    scene = _build_scene(args.scene)
+    if args.skybox:
+        from low_precision_raytracer_tpu.models.scene import Skybox
+        from low_precision_raytracer_tpu.utils.image import load_hdr_equirect
+
+        scene.skybox = Skybox(data=load_hdr_equirect(args.skybox), exposure=args.skybox_exposure)
+
+    renderer = Renderer(scene, cfg)
+    image = None
+    t0 = time.perf_counter()
+    for f in range(args.frames):
+        image, aux = renderer.render(time=f * args.time_step)
+    import jax
+
+    jax.block_until_ready(image)
+    dt = time.perf_counter() - t0
+    print(
+        f"rendered {args.frames} frame(s) {args.width}x{args.height} "
+        f"{args.precision} in {dt:.2f}s ({args.frames / dt:.2f} fps incl. compile)",
+        file=sys.stderr,
+    )
+    if args.profile:
+        from low_precision_raytracer_tpu.render.profile import profile_frame
+
+        stats = profile_frame(renderer)
+        for k, v in stats.items():
+            print(f"{k:>24s}: {v * 1e3:8.3f} ms", file=sys.stderr)
+    if args.out:
+        save_png(args.out, image)
+        print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_info(args) -> int:
+    scene = _build_scene(args.scene)
+    tris = sum(m.n_triangles for m in scene.meshes)
+    verts = sum(m.positions.shape[0] for m in scene.meshes)
+    info = dict(
+        meshes=len(scene.meshes),
+        triangles=int(tris),
+        vertices=int(verts),
+        materials=len(scene.materials),
+        textures=len(scene.textures),
+        animated=scene.animated,
+        has_camera=scene.active_camera is not None,
+    )
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench as bench_mod  # repo-root bench.py
+
+    mrays, dt, n_rays = bench_mod.bench(
+        width=args.width, height=args.height, precision=args.precision, frames=args.frames
+    )
+    print(json.dumps({"mrays_per_s": round(mrays, 2), "ms_per_frame": round(dt * 1e3, 2)}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="lprt", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render a scene to PNG")
+    pr.add_argument("scene", help="glTF path or builtin: cornell|sphere|triangle")
+    pr.add_argument("--width", type=int, default=1024)
+    pr.add_argument("--height", type=int, default=768)
+    pr.add_argument("--precision", choices=["fp32", "bf16", "fp16"], default="fp32")
+    pr.add_argument("--frames", type=int, default=1)
+    pr.add_argument("--time-step", type=float, default=1 / 30)
+    pr.add_argument("--out", default="out.png")
+    pr.add_argument("--no-gi", action="store_true")
+    pr.add_argument("--no-svgf", action="store_true")
+    pr.add_argument("--no-taa", action="store_true")
+    pr.add_argument("--taa-weight", type=float, default=1.0)
+    pr.add_argument("--demodulate", action="store_true")
+    pr.add_argument("--fallback", choices=["both", "dtype"], default="both")
+    pr.add_argument("--skybox", default=None, help="equirectangular HDR path")
+    pr.add_argument("--skybox-exposure", type=float, default=1.0)
+    pr.add_argument("--profile", action="store_true")
+    pr.set_defaults(fn=cmd_render)
+
+    pi = sub.add_parser("info", help="print scene statistics")
+    pi.add_argument("scene")
+    pi.set_defaults(fn=cmd_info)
+
+    pb = sub.add_parser("bench", help="run the benchmark")
+    pb.add_argument("--width", type=int, default=1920)
+    pb.add_argument("--height", type=int, default=1080)
+    pb.add_argument("--precision", default="bf16")
+    pb.add_argument("--frames", type=int, default=20)
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -159,6 +159,8 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
     di0 = di0.at[:, 0, :].add(out0.di_sky)  # skybox radiance rides slot 0
     intensity0 = out0.intensity + jnp.sum(di0, axis=1)
 
+    n_rays = jnp.asarray(R, jnp.int32) + jnp.sum(out0.lights.valid.astype(jnp.int32))
+
     # ---- GI round ("Trace GI #1", "Shade #2", "Trace DI #2", "Accumulate #2")
     if cfg.gi_on:
         sin1 = _trace_gi(scene, frame, out0, prec, cfg)
@@ -176,6 +178,11 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
         di1 = _trace_di(scene, frame, out1.source, out1.lights, out1.skip_tri, prec, cfg)
         di1 = di1.at[:, 0, :].add(out1.di_sky)
         intensity1 = out1.intensity + jnp.sum(di1, axis=1)
+        n_rays = (
+            n_rays
+            + jnp.sum(out0.gi_valid.astype(jnp.int32))
+            + jnp.sum(out1.lights.valid.astype(jnp.int32))
+        )
     else:
         intensity1 = jnp.zeros((R, 3), dt)
 
@@ -235,6 +242,7 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
         albedo=out0.albedo.reshape(H, W, 3),
         valid=g2d["valid"],
         hit_t=g2d["t"].reshape(H, W),
+        n_rays=n_rays,
     )
     return image, aux, new_state
 

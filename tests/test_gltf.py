@@ -1,0 +1,134 @@
+import numpy as np
+import pytest
+
+from gltf_writer import GLBBuilder, cube_glb
+
+from low_precision_raytracer_tpu.models.gltf import GLTFError, load_gltf
+from low_precision_raytracer_tpu.models.hierarchy import (
+    LIGHT_POINT,
+    CameraObject,
+    LightObject,
+    MeshObject,
+)
+
+
+def test_load_cube_glb(tmp_path):
+    path = str(tmp_path / "cube.glb")
+    cube_glb(path, with_texture=True, with_light=True, with_camera=True)
+    scene = load_gltf(path)
+    assert len(scene.meshes) == 1
+    assert scene.meshes[0].n_triangles == 12
+    # default material at 0 + the cube's material
+    assert len(scene.materials) == 2
+    assert len(scene.textures) == 1
+    assert scene.texture_srgb[0] is True
+    assert scene.active_camera is not None
+    # cube node carries a MeshObject child with material id 1
+    meshes = [n for n in scene.root.walk() if isinstance(n, MeshObject)]
+    assert len(meshes) == 1
+    assert meshes[0].material_id == 1
+    # spot light mapped to point (reference quirk)
+    lights = [n for n in scene.root.walk() if isinstance(n, LightObject)]
+    assert len(lights) == 2
+    assert all(l.light_type == LIGHT_POINT for l in lights)
+    # material factors
+    np.testing.assert_allclose(scene.materials[1].color, [0.8, 0.3, 0.2], atol=1e-6)
+    assert scene.materials[1].tex_color == 0
+
+
+def test_tangent_synthesis(tmp_path):
+    b = GLBBuilder()
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    nrm = np.tile([0, 0, 1], (3, 1)).astype(np.float32)
+    mid = b.add_mesh(pos, [0, 1, 2], normals=nrm, name="tri")
+    b.add_node(mesh=mid)
+    path = str(tmp_path / "tri.glb")
+    b.write_glb(path)
+    scene = load_gltf(path)
+    t = scene.meshes[0].tangents
+    # synthesized perpendicular: normal (0,0,1) -> branch 2 -> (0,-1,0)
+    np.testing.assert_allclose(np.abs(t[0]), [0, 1, 0], atol=1e-6)
+    dots = np.sum(t * scene.meshes[0].normals, axis=1)
+    np.testing.assert_allclose(dots, 0, atol=1e-5)
+
+
+def test_animation_channels(tmp_path):
+    path = str(tmp_path / "anim.glb")
+    cube_glb(path, with_animation=True)
+    scene = load_gltf(path)
+    assert scene.animated
+    cube = scene.root.search("cube")
+    assert cube is not None
+    scene.root.apply_animation(1.0)
+    np.testing.assert_allclose(cube.translation, [0, 1, 0], atol=1e-5)
+    # lerp (not slerp) between keyframes
+    scene.root.apply_animation(0.5)
+    np.testing.assert_allclose(cube.translation, [0, 0.5, 0], atol=1e-5)
+    # rotation channel present and normalized before use
+    m = cube.transform_matrix()
+    assert np.isfinite(m).all()
+
+
+def test_matrix_node_decompose(tmp_path):
+    b = GLBBuilder()
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    nrm = np.tile([0, 0, 1], (3, 1)).astype(np.float32)
+    mid = b.add_mesh(pos, [0, 1, 2], normals=nrm)
+    from low_precision_raytracer_tpu.math.hostmath import trs_matrix
+
+    q = np.array([0, np.sin(np.pi / 8), 0, np.cos(np.pi / 8)], np.float32)
+    m = trs_matrix([1, 2, 3], q, [2, 2, 2])
+    b.add_node(mesh=mid, matrix=m)
+    path = str(tmp_path / "mat.glb")
+    b.write_glb(path)
+    scene = load_gltf(path)
+    node = scene.root.children[0]
+    np.testing.assert_allclose(node.translation, [1, 2, 3], atol=1e-5)
+    np.testing.assert_allclose(node.scale, [2, 2, 2], atol=1e-5)
+    np.testing.assert_allclose(np.abs(node.rotation), np.abs(q), atol=1e-5)
+    # recomposed matrix matches
+    np.testing.assert_allclose(node.transform_matrix(), m, atol=1e-4)
+
+
+def test_gltf_json_variant(tmp_path):
+    """.gltf with embedded base64 buffer."""
+    import base64
+    import json
+
+    b = GLBBuilder()
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    nrm = np.tile([0, 0, 1], (3, 1)).astype(np.float32)
+    mid = b.add_mesh(pos, [0, 1, 2], normals=nrm)
+    b.add_node(mesh=mid)
+    g = b.gltf_dict()
+    g["buffers"][0]["uri"] = "data:application/octet-stream;base64," + base64.b64encode(
+        bytes(b.bin)
+    ).decode()
+    path = tmp_path / "tri.gltf"
+    path.write_text(json.dumps(g))
+    scene = load_gltf(str(path))
+    assert scene.meshes[0].n_triangles == 1
+    np.testing.assert_allclose(scene.meshes[0].positions, pos)
+
+
+def test_bad_extension(tmp_path):
+    p = tmp_path / "scene.obj"
+    p.write_text("")
+    with pytest.raises(GLTFError):
+        load_gltf(str(p))
+
+
+def test_render_from_glb(tmp_path):
+    """Loaded scene renders end-to-end (BASELINE config 1 via glTF)."""
+    path = str(tmp_path / "cube.glb")
+    cube_glb(path, with_texture=True)
+    scene = load_gltf(path)
+    from low_precision_raytracer_tpu.config import RenderConfig
+    from low_precision_raytracer_tpu.render.renderer import Renderer
+
+    cfg = RenderConfig(width=32, height=32, precision="fp32", gi_on=False, taa_on=False)
+    img, aux = Renderer(scene, cfg).render()
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert np.asarray(aux["valid"]).mean() > 0.05
+    assert img.max() > 0.01

@@ -1,0 +1,87 @@
+"""End-to-end render tests — BASELINE configs 1, 2, 3 at small resolution."""
+
+import jax
+import numpy as np
+import pytest
+
+from low_precision_raytracer_tpu.config import DemoSettings, RenderConfig
+from low_precision_raytracer_tpu.models.procedural import (
+    cornell_box_scene,
+    single_mesh_scene,
+)
+from low_precision_raytracer_tpu.render.renderer import Renderer
+from low_precision_raytracer_tpu.utils.image import psnr
+
+
+def test_config1_single_mesh_direct():
+    """BASELINE config 1: single mesh, fp32, 1-bounce direct lighting."""
+    cfg = RenderConfig(width=48, height=48, precision="fp32", gi_on=False, taa_on=False)
+    r = Renderer(single_mesh_scene(), cfg)
+    img, aux = r.render()
+    img = np.asarray(img)
+    assert img.shape == (48, 48, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05  # lit surface visible
+    valid = np.asarray(aux["valid"])
+    # sphere hits a reasonable chunk of the frame
+    assert 0.1 < valid.mean() < 0.9
+    # background (miss) pixels are black without a skybox
+    assert np.allclose(img[~valid], 0.0, atol=1e-5)
+
+
+def test_config2_cornell_gi():
+    """BASELINE config 2: Cornell box multi-bounce with GGX sampling."""
+    cfg = RenderConfig(width=48, height=48, precision="fp32", gi_on=True)
+    r = Renderer(cornell_box_scene(), cfg)
+    img, aux = r.render()
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert np.asarray(aux["valid"]).mean() > 0.999
+    # walls are lit: left half should be redder than right half (red wall
+    # bounce) — weak check that colour transport works at all
+    assert img.mean() > 0.05
+    # GI channels actually carry energy
+    assert np.asarray(aux["gi_colored"]).max() > 0 or np.asarray(aux["gi_white"]).max() > 0
+
+
+def test_temporal_stability_static_scene():
+    """With a static camera, successive frames should converge (SVGF + TAA
+    accumulate), not diverge."""
+    cfg = RenderConfig(width=32, height=32, precision="fp32", gi_on=True, taa_mix_weight=0.2)
+    r = Renderer(cornell_box_scene(), cfg)
+    img1, _ = r.render()
+    imgs = [np.asarray(img1)]
+    for _ in range(4):
+        img, _ = r.render()
+        imgs.append(np.asarray(img))
+    d_early = np.abs(imgs[1] - imgs[0]).mean()
+    d_late = np.abs(imgs[4] - imgs[3]).mean()
+    assert np.isfinite(d_late)
+    assert d_late <= d_early * 1.5 + 1e-3  # not exploding
+
+
+def test_config3_bf16_parity():
+    """BASELINE config 3: bf16 trace+shade vs fp32, per-pixel parity.
+
+    The reference's manual fp16-vs-fp32 A/B toggle made automatic
+    (SURVEY.md §4)."""
+    host = cornell_box_scene()
+    cfg32 = RenderConfig(width=48, height=48, precision="fp32", gi_on=False, taa_on=False,
+                         demo=DemoSettings(svgf=False))
+    cfg16 = cfg32.replace(precision="bf16")
+    img32, _ = Renderer(host, cfg32).render()
+    img16, _ = Renderer(host, cfg16).render()
+    p = psnr(np.asarray(img32), np.asarray(img16))
+    assert p > 20.0, f"bf16 vs fp32 PSNR {p:.2f} dB"
+
+
+def test_demo_toggles():
+    """DemoSettings term toggles change the output the way they should."""
+    host = cornell_box_scene()
+    base = RenderConfig(width=32, height=32, precision="fp32", gi_on=True, taa_on=False)
+    img_all, _ = Renderer(host, base).render()
+    img_direct, _ = Renderer(
+        host, base.replace(demo=DemoSettings(add_gi_colored=False, add_gi_white=False))
+    ).render()
+    # removing GI terms cannot brighten the image
+    assert np.asarray(img_direct).mean() <= np.asarray(img_all).mean() + 1e-4
