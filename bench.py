@@ -31,6 +31,9 @@ def bench(width=1920, height=1080, precision="bf16", frames=20, warmup=3):
     frame = flatten_frame(
         host, cfg.prec, max_direct_lights=cfg.max_direct_lights, width=width, height=height
     )
+    from low_precision_raytracer_tpu.ops.trace import resolve_cfg
+
+    cfg = resolve_cfg(scene, frame, cfg)
     state = init_frame_state(cfg, scene.n_meshes)
     key = jax.random.PRNGKey(0)
 

@@ -142,8 +142,14 @@ class RenderConfig:
     # 'dtype' : low-precision test only, widened acceptance band (fast path)
     # Pallas kernels upgrade this to tile-granular fallback.
     triangle_fallback: str = "both"
-    # traversal implementation: 'jax' (batched lax.while_loop) or 'pallas'
-    traversal_impl: str = "jax"
+    # traversal implementation:
+    #   'auto'  : dense MXU all-pairs for small scenes, BVH otherwise
+    #   'jax'   : batched lax.while_loop two-level BVH walk
+    #   'dense' : force the MXU all-pairs path
+    #   'pallas': Pallas BVH kernel
+    traversal_impl: str = "auto"
+    # 'auto' picks dense when instance-triangles <= this and objects <= 64
+    dense_max_tris: int = 8192
     # triangles per BVH leaf (reference uses 1, `rt/trace/object_bvh.hpp:75`;
     # >1 trades traversal steps for vectorized leaf tests — better on TPU)
     bvh_leaf_size: int = 4
@@ -151,7 +157,7 @@ class RenderConfig:
     def __post_init__(self):
         assert self.precision in _PRECISIONS
         assert self.triangle_fallback in ("both", "dtype")
-        assert self.traversal_impl in ("jax", "pallas")
+        assert self.traversal_impl in ("auto", "jax", "dense", "pallas")
 
     @property
     def prec(self) -> Precision:

@@ -58,18 +58,29 @@ class BVHArrays:
         return self.aabb_lo.shape[0]
 
 
-def build_bvh(prim_lo, prim_hi, split_key, leaf_size=1) -> BVHArrays:
+def build_bvh(prim_lo, prim_hi, split_key, leaf_size=1, use_native=True) -> BVHArrays:
     """Build a median-split BVH over primitives.
 
     prim_lo/prim_hi: (P, 3) fp32 per-primitive AABBs (node AABBs are unions).
     split_key: (P, 3) fp32 per-primitive sort key (first vertex for BLAS,
     AABB lower bound for TLAS).
+
+    Uses the native C++ builder (native/bvh_builder.cpp) when available —
+    identical topology by construction (both stable-sort median splits);
+    falls back to this numpy implementation.
     """
     prim_lo = np.asarray(prim_lo, np.float32)
     prim_hi = np.asarray(prim_hi, np.float32)
     split_key = np.asarray(split_key, np.float32)
     n = prim_lo.shape[0]
     assert n > 0, "cannot build a BVH over zero primitives"
+
+    if use_native and n > 64:  # builder overhead only pays off beyond tiny inputs
+        from low_precision_raytracer_tpu.models.native import native_build_bvh
+
+        out = native_build_bvh(prim_lo, prim_hi, split_key, leaf_size)
+        if out is not None:
+            return BVHArrays(**out)
 
     order = np.arange(n, dtype=np.int64)
 

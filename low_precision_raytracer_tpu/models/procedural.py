@@ -209,9 +209,11 @@ def cornell_box_scene(light_intensity=30.0):
     light.translation = np.array([0, 0.85, 0], np.float32)
     r.add(light)
 
-    # narrow fov so the 2x2 back wall fills the frame from z=3.2
+    # narrow fov so the 2x2 back wall fills the frame from z=3.2; the small
+    # x/y offset breaks exact pixel-center/triangle-edge alignment (rays down
+    # the quad diagonals would otherwise thread the shared-edge seam)
     cam = CameraObject(name="cam", fov_y=0.47)
-    cam.translation = np.array([0, 0, 3.2], np.float32)
+    cam.translation = np.array([0.0131, 0.0077, 3.2], np.float32)
     r.add(cam)
     scene.active_camera = cam
     return scene

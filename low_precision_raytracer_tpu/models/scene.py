@@ -207,7 +207,7 @@ class SceneArrays:
         return self.tri_idx.shape[0]
 
 
-@pytree_dataclass(meta=())
+@pytree_dataclass(meta=("obj_layout",))
 class FrameInput:
     # object constants (`CUDAObjectConstantData`)
     obj_l2w: jnp.ndarray  # (O, 4, 4) dtype
@@ -239,6 +239,10 @@ class FrameInput:
     sky_delta_x: jnp.ndarray
     sky_delta_y: jnp.ndarray
     sky_exposure: jnp.ndarray
+    # STATIC instance layout: ((mesh_id, tri_start, tri_end), ...) per object
+    # — lets the dense MXU backend unroll over objects without reading
+    # traced values (object list is static per scene)
+    obj_layout: tuple = ()
 
 
 def compute_m_matrices(positions_f32: np.ndarray, tri_idx: np.ndarray):
@@ -430,6 +434,11 @@ def frame_input_from_flat(
 
     sky = host.skybox
 
+    t_off = np.cumsum([0] + [m.n_triangles for m in host.meshes])
+    obj_layout = tuple(
+        (int(m), int(t_off[m]), int(t_off[m + 1])) for m in flat.obj_mesh.tolist()
+    )
+
     as_dt = lambda x: jnp.asarray(np.asarray(x, np.float32), dtype=dt)
     i32 = lambda x: jnp.asarray(x, jnp.int32)
     f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
@@ -460,4 +469,5 @@ def frame_input_from_flat(
         sky_delta_x=f32(sky.delta_x if sky else 0.0),
         sky_delta_y=f32(sky.delta_y if sky else 0.0),
         sky_exposure=f32(sky.exposure if sky else 1.0),
+        obj_layout=obj_layout,
     )

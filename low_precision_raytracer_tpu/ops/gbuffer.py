@@ -10,9 +10,10 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from low_precision_raytracer_tpu.config import Precision
+from low_precision_raytracer_tpu.config import Precision, RenderConfig
 from low_precision_raytracer_tpu.math.vec import normalize
-from low_precision_raytracer_tpu.ops.traversal import Hit, trace_rays
+from low_precision_raytracer_tpu.ops.trace import trace
+from low_precision_raytracer_tpu.ops.traversal import Hit
 
 
 def interpolate_hit_attributes(scene, frame, hit: Hit, dtype):
@@ -65,7 +66,7 @@ def interpolate_hit_attributes(scene, frame, hit: Hit, dtype):
     )
 
 
-def fill_gbuffer(scene, frame, origins, directions, prec: Precision, *, leaf_size, fallback):
+def fill_gbuffer(scene, frame, origins, directions, prec: Precision, *, cfg: RenderConfig):
     """Trace primary rays and produce the G-buffer pixel arrays.
 
     origins/directions: (R, 3) dtype.  Returns dict with `valid` mask plus
@@ -74,15 +75,14 @@ def fill_gbuffer(scene, frame, origins, directions, prec: Precision, *, leaf_siz
     ray t; the reference packs clip depth into normal_depth.w — we store the
     world-space hit distance which feeds SVGF's depth gradients).
     """
-    hit = trace_rays(
+    hit = trace(
         scene,
         frame,
         origins,
         directions,
         prec=prec,
+        cfg=cfg,
         find_any=False,
-        fallback=fallback,
-        leaf_size=leaf_size,
     )
     attrs = interpolate_hit_attributes(scene, frame, hit, prec.dtype)
     valid = hit.tri >= 0

@@ -1,0 +1,99 @@
+"""Trace dispatcher: picks the intersection backend per cfg + scene size.
+
+- 'dense': MXU all-pairs (ops/dense.py) — fastest for small scenes;
+- 'jax'  : lane-parallel two-level BVH walk (ops/traversal.py);
+- 'pallas': Pallas BVH kernel (ops/traversal_pallas.py);
+- 'auto' : dense when the instance-triangle count is small, else BVH.
+
+Scene size is static (array shapes), so the choice is made at trace time
+and baked into the compiled program.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from low_precision_raytracer_tpu.config import Precision, RenderConfig
+from low_precision_raytracer_tpu.ops.dense import trace_rays_dense
+from low_precision_raytracer_tpu.ops.traversal import Hit, trace_rays
+
+
+def _instance_tris(frame) -> int:
+    return int(sum(t1 - t0 for _m, t0, t1 in frame.obj_layout))
+
+
+def resolve_impl(scene, frame, cfg: RenderConfig) -> str:
+    """Resolve 'auto' to a concrete backend from the static instance layout."""
+    impl = cfg.traversal_impl
+    if impl == "auto":
+        n_obj = len(frame.obj_layout)
+        if 0 < n_obj <= 64 and _instance_tris(frame) <= cfg.dense_max_tris:
+            return "dense"
+        return "jax"
+    return impl
+
+
+def resolve_cfg(scene, frame, cfg: RenderConfig) -> RenderConfig:
+    if cfg.traversal_impl == "auto":
+        return cfg.replace(traversal_impl=resolve_impl(scene, frame, cfg))
+    return cfg
+
+
+def trace(
+    scene,
+    frame,
+    origins,
+    directions,
+    *,
+    prec: Precision,
+    cfg: RenderConfig,
+    find_any: bool = False,
+    skip_tri=None,
+    min_dist=0.0,
+    max_dist=1e5,
+) -> Hit:
+    impl = cfg.traversal_impl
+    if impl == "auto":  # resolve_cfg not applied — fall back inside trace
+        impl = resolve_impl(scene, frame, cfg)
+    if impl == "dense":
+        return trace_rays_dense(
+            scene,
+            frame,
+            origins,
+            directions,
+            prec=prec,
+            fallback=cfg.triangle_fallback,
+            skip_tri=skip_tri,
+            min_dist=min_dist,
+            max_dist=max_dist,
+            find_any=find_any,
+        )
+    if impl == "pallas":
+        from low_precision_raytracer_tpu.ops.traversal_pallas import trace_rays_pallas
+
+        return trace_rays_pallas(
+            scene,
+            frame,
+            origins,
+            directions,
+            prec=prec,
+            find_any=find_any,
+            fallback=cfg.triangle_fallback,
+            leaf_size=cfg.bvh_leaf_size,
+            skip_tri=skip_tri,
+            min_dist=min_dist,
+            max_dist=max_dist,
+        )
+    return trace_rays(
+        scene,
+        frame,
+        origins,
+        directions,
+        prec=prec,
+        find_any=find_any,
+        fallback=cfg.triangle_fallback,
+        leaf_size=cfg.bvh_leaf_size,
+        skip_tri=skip_tri,
+        min_dist=min_dist,
+        max_dist=max_dist,
+    )

@@ -55,10 +55,7 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
         o, d = primary_ray_grid(frame.cam_l2w, frame.cam_fov_y, W, H, dt)
         o = o.reshape(R, 3)
         d = d.reshape(R, 3)
-        g, _ = fill_gbuffer(
-            scene, frame, o, d, prec,
-            leaf_size=cfg.bvh_leaf_size, fallback=cfg.triangle_fallback,
-        )
+        g, _ = fill_gbuffer(scene, frame, o, d, prec, cfg=cfg)
         return g, d
 
     # warm up each stage once (compile), then measure

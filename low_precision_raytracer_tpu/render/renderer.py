@@ -44,7 +44,7 @@ from low_precision_raytracer_tpu.ops.shade import (
 )
 from low_precision_raytracer_tpu.ops.svgf import preprocess_normal_depth, svgf_denoise
 from low_precision_raytracer_tpu.ops.taa import temporal_anti_aliasing
-from low_precision_raytracer_tpu.ops.traversal import trace_rays
+from low_precision_raytracer_tpu.ops.trace import trace
 from low_precision_raytracer_tpu.render.framestate import FrameState, init_frame_state
 
 
@@ -61,15 +61,14 @@ def _trace_di(scene, frame, source, lights, skip_tri, prec, cfg):
     d = lights.direction.reshape(R * L, 3)
     maxt = jnp.where(lights.valid, lights.max_t.astype(jnp.float32), 0.0).reshape(R * L)
     skips = jnp.broadcast_to(skip_tri[:, None], (R, L)).reshape(R * L)
-    hit = trace_rays(
+    hit = trace(
         scene,
         frame,
         o,
         d,
         prec=prec,
+        cfg=cfg,
         find_any=True,
-        fallback=cfg.triangle_fallback,
-        leaf_size=cfg.bvh_leaf_size,
         skip_tri=skips,
         min_dist=prec.ray_moveforward_t,
         max_dist=maxt,
@@ -85,15 +84,14 @@ def _trace_gi(scene, frame, shade_out, prec, cfg):
     dt = prec.dtype
     R = shade_out.source.shape[0]
     maxt = jnp.where(shade_out.gi_valid, 1e5, 0.0)
-    hit = trace_rays(
+    hit = trace(
         scene,
         frame,
         shade_out.source,
         shade_out.gi_direction,
         prec=prec,
+        cfg=cfg,
         find_any=False,
-        fallback=cfg.triangle_fallback,
-        leaf_size=cfg.bvh_leaf_size,
         skip_tri=shade_out.skip_tri,
         min_dist=prec.ray_moveforward_t,
         max_dist=maxt,
@@ -132,9 +130,7 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
     o, d = primary_ray_grid(frame.cam_l2w, frame.cam_fov_y, W, H, dt)
     o = o.reshape(R, 3)
     d = d.reshape(R, 3)
-    g_flat, _ = fill_gbuffer(
-        scene, frame, o, d, prec, leaf_size=cfg.bvh_leaf_size, fallback=cfg.triangle_fallback
-    )
+    g_flat, _ = fill_gbuffer(scene, frame, o, d, prec, cfg=cfg)
     g2d = {k: v.reshape((H, W) + v.shape[1:]) for k, v in g_flat.items()}
 
     # ---- "Generate Temporal Map"
@@ -253,11 +249,17 @@ class Renderer:
     SURVEY.md 2.20)."""
 
     def __init__(self, host_scene: HostScene, cfg: RenderConfig):
+        from low_precision_raytracer_tpu.ops.trace import resolve_cfg
+
         self.host = host_scene
-        self.cfg = cfg
         self.prec = get_precision(cfg.precision)
         self.scene = build_scene_arrays(host_scene, self.prec, leaf_size=cfg.bvh_leaf_size)
-        self.state = init_frame_state(cfg, self.scene.n_meshes)
+        frame0 = flatten_frame(
+            host_scene, self.prec, max_direct_lights=cfg.max_direct_lights,
+            width=cfg.width, height=cfg.height,
+        )
+        self.cfg = resolve_cfg(self.scene, frame0, cfg)  # bake 'auto' backend
+        self.state = init_frame_state(self.cfg, self.scene.n_meshes)
         self.frame_index = 0
         self.key = jax.random.PRNGKey(0)
 

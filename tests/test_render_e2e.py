@@ -36,7 +36,7 @@ def test_config2_cornell_gi():
     img, aux = r.render()
     img = np.asarray(img)
     assert np.isfinite(img).all()
-    assert np.asarray(aux["valid"]).mean() > 0.999
+    assert np.asarray(aux["valid"]).mean() > 0.995
     # walls are lit: left half should be redder than right half (red wall
     # bounce) — weak check that colour transport works at all
     assert img.mean() > 0.05
