@@ -18,8 +18,18 @@ from __future__ import annotations
 import dataclasses
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Precision discipline: JAX's DEFAULT matmul precision lowers fp32 matmuls to
+# single-pass bf16 multiplies on TPU, silently demoting the pipeline's
+# intentionally-fp32 math (the always-fp32 z-row of the triangle test, ray
+# transforms, reprojection chains).  'highest' restores true fp32 there while
+# leaving bf16-input matmuls exactly as fast (bf16 in / fp32 accumulate is
+# already the MXU-native mode).  Low precision in this framework is an
+# explicit dtype choice, never an implicit compiler demotion.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @dataclass(frozen=True)
@@ -143,10 +153,12 @@ class RenderConfig:
     # Pallas kernels upgrade this to tile-granular fallback.
     triangle_fallback: str = "both"
     # traversal implementation:
-    #   'auto'  : dense MXU all-pairs for small scenes, BVH otherwise
-    #   'jax'   : batched lax.while_loop two-level BVH walk
-    #   'dense' : force the MXU all-pairs path
-    #   'pallas': Pallas BVH kernel
+    #   'auto'        : dense Pallas kernel (TPU) / dense XLA (CPU) for small
+    #                   scenes, BVH walk otherwise
+    #   'jax'         : batched lax.while_loop two-level BVH walk
+    #   'dense'       : force the XLA all-pairs path
+    #   'dense_pallas': force the Pallas all-pairs kernel
+    #   'pallas'      : Pallas BVH kernel
     traversal_impl: str = "auto"
     # 'auto' picks dense when instance-triangles <= this and objects <= 64
     dense_max_tris: int = 8192
@@ -157,7 +169,7 @@ class RenderConfig:
     def __post_init__(self):
         assert self.precision in _PRECISIONS
         assert self.triangle_fallback in ("both", "dtype")
-        assert self.traversal_impl in ("auto", "jax", "dense", "pallas")
+        assert self.traversal_impl in ("auto", "jax", "dense", "dense_pallas", "pallas")
 
     @property
     def prec(self) -> Precision:

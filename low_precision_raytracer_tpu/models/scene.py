@@ -239,9 +239,19 @@ class FrameInput:
     sky_delta_x: jnp.ndarray
     sky_delta_y: jnp.ndarray
     sky_exposure: jnp.ndarray
+    # dense-backend per-instance-triangle world-space test coefficients
+    # (see ops/dense.py): rows n = A^T m (A = W2L linear part) and offsets
+    # e = m.(b - v2) + n.c, recentered at the scene centre c
+    dense_n: jnp.ndarray = None  # (TI, 3, 3) dtype
+    dense_n_f32: jnp.ndarray = None  # (TI, 3, 3) f32
+    dense_e: jnp.ndarray = None  # (TI, 3) f32
+    dense_e_dt: jnp.ndarray = None  # (TI, 3) dtype
+    dense_tri: jnp.ndarray = None  # (TI,) i32 global triangle id
+    dense_obj: jnp.ndarray = None  # (TI,) i32 inscene object id
+    dense_center: jnp.ndarray = None  # (3,) f32 scene centre
     # STATIC instance layout: ((mesh_id, tri_start, tri_end), ...) per object
-    # — lets the dense MXU backend unroll over objects without reading
-    # traced values (object list is static per scene)
+    # — lets the dense MXU backend size itself without reading traced values
+    # (object list is static per scene)
     obj_layout: tuple = ()
 
 
@@ -439,6 +449,8 @@ def frame_input_from_flat(
         (int(m), int(t_off[m]), int(t_off[m + 1])) for m in flat.obj_mesh.tolist()
     )
 
+    dense = _dense_coefficients(host, flat, t_off, prec)
+
     as_dt = lambda x: jnp.asarray(np.asarray(x, np.float32), dtype=dt)
     i32 = lambda x: jnp.asarray(x, jnp.int32)
     f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
@@ -470,4 +482,80 @@ def frame_input_from_flat(
         sky_delta_y=f32(sky.delta_y if sky else 0.0),
         sky_exposure=f32(sky.exposure if sky else 1.0),
         obj_layout=obj_layout,
+        **dense,
+    )
+
+
+# hard cap on the dense backend's instance-triangle precompute
+DENSE_COEFF_MAX_TRIS = 16384
+DENSE_COEFF_MAX_OBJECTS = 64
+
+
+def _host_m_cache(host: HostScene):
+    """Per-HostScene cache of the fp32 M matrices / v2 (frame-independent)."""
+    cache = getattr(host, "_m_cache", None)
+    n_tris = sum(m.n_triangles for m in host.meshes)
+    if cache is not None and cache[0] == n_tris:
+        return cache[1], cache[2]
+    v_off = np.cumsum([0] + [m.positions.shape[0] for m in host.meshes])
+    pos = np.concatenate([m.positions for m in host.meshes]).astype(np.float32)
+    tri_idx = np.concatenate(
+        [m.indices + v_off[i] for i, m in enumerate(host.meshes)]
+    ).astype(np.int32)
+    m_f32 = compute_m_matrices(pos, tri_idx)
+    v2_f32 = pos[tri_idx[:, 2]]
+    host._m_cache = (n_tris, m_f32, v2_f32)
+    return m_f32, v2_f32
+
+
+def _dense_coefficients(host: HostScene, flat: FlatScene, t_off, prec: Precision):
+    """World-space per-instance-triangle test coefficients for the dense MXU
+    backend (ops/dense.py): with local test (m @ (A o + b - v2)) and W2L
+    linear part A, the world-ray form is n.o + e with rows n = m @ A and
+    offsets e = m.(b - v2) (+ n.c recentering).  Computed per frame on the
+    host in float64 -> fp32 (the TLAS-rebuild analogue for the dense path).
+    """
+    n_obj = flat.obj_mesh.shape[0]
+    ti = int(np.sum(t_off[flat.obj_mesh + 1] - t_off[flat.obj_mesh]))
+    none = dict(
+        dense_n=None, dense_n_f32=None, dense_e=None, dense_e_dt=None,
+        dense_tri=None, dense_obj=None, dense_center=None,
+    )
+    if ti == 0 or ti > DENSE_COEFF_MAX_TRIS or n_obj > DENSE_COEFF_MAX_OBJECTS:
+        return none
+
+    m_f32, v2_f32 = _host_m_cache(host)
+    center = (
+        (flat.obj_aabb_lo.min(axis=0) + flat.obj_aabb_hi.max(axis=0)) / 2
+    ).astype(np.float64)
+
+    ns, es, tris, objs = [], [], [], []
+    for o in range(n_obj):
+        mesh = int(flat.obj_mesh[o])
+        t0, t1 = int(t_off[mesh]), int(t_off[mesh + 1])
+        if t0 == t1:
+            continue
+        w2l = flat.obj_w2l[o].astype(np.float64)
+        A = w2l[:3, :3]
+        b = w2l[:3, 3]
+        m = m_f32[t0:t1].astype(np.float64)  # (T, 3, 3) rows
+        v2 = v2_f32[t0:t1].astype(np.float64)
+        n = m @ A  # rows transformed: n[t, r] = A^T m[t, r]
+        e = np.einsum("trk,tk->tr", m, b[None, :] - v2) + n @ center
+        ns.append(n)
+        es.append(e)
+        tris.append(np.arange(t0, t1, dtype=np.int32))
+        objs.append(np.full(t1 - t0, o, np.int32))
+
+    n_all = np.concatenate(ns).astype(np.float32)
+    e_all = np.concatenate(es).astype(np.float32)
+    dt = prec.dtype
+    return dict(
+        dense_n=jnp.asarray(n_all, dtype=dt),
+        dense_n_f32=jnp.asarray(n_all),
+        dense_e=jnp.asarray(e_all),
+        dense_e_dt=jnp.asarray(e_all, dtype=dt),
+        dense_tri=jnp.asarray(np.concatenate(tris)),
+        dense_obj=jnp.asarray(np.concatenate(objs)),
+        dense_center=jnp.asarray(center.astype(np.float32)),
     )

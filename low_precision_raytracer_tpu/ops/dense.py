@@ -1,39 +1,49 @@
 """Dense (BVH-free) ray-scene intersection for small scenes — the MXU path.
 
 TPU-native insight: the reference's M-shift triangle test
-(`rt/rtrt/cuda.hpp:205-240`) transforms the ray by per-triangle matrix rows,
-which across a *batch of rays x batch of triangles* is exactly a pair of
-``(R, 3) @ (3, T)`` matmuls per row — systolic-array food.  For scenes up to
-a few thousand triangles, testing every ray against every triangle on the
-MXU beats any divergent traversal: zero gathers, zero control flow, bf16
-inputs with fp32 accumulation (`preferred_element_type`), which is exactly
-the "low-precision trace with fp32 accumulation" the design calls for.
+(`rt/rtrt/cuda.hpp:205-240`) transforms the ray into object space and dots it
+with per-triangle matrix rows.  Folding each instance's world->local affine
+into the rows once per frame (host precompute, `models/scene.py:
+_dense_coefficients`) turns the whole two-level query into
 
-Semantics vs the traversal path:
-- partial products are accumulated in fp32 by the MXU instead of the
-  reference's term-by-term dtype adds; the error bounds use the same
-  delta constants on the sum of |partials| (computed as |O| @ |m|, also a
-  matmul), which keeps them conservative;
-- (Oz, Dz, t) stay fp32 exactly like the reference (fp32 matmul);
-- the ambiguous-band fp32 fallback, skip-geometry, min/max distance and
-  closest-hit semantics are identical.
+    Ox = o_w @ n0 + e0,   Dx = d_w @ n0      (and rows 1, 2)
 
-Per-object world->local transforms use a static Python loop over objects
-(object count is small by construction when this path is selected).
+over ALL instance-triangles at once — a single ``(R, 3) @ (3, TI)`` matmul
+chain per row: systolic-array food, zero gathers, zero control flow.  bf16
+coefficient rows with fp32 MXU accumulation realise the "low-precision trace
+with fp32 accumulation" design; the z row (t) always uses fp32 coefficients
+(`rt/rtrt/cuda.hpp:234-240`).  The ambiguous-band fp32 re-test, skip
+geometry, min/max distance and closest-hit semantics match the traversal
+backend.  Rays are processed in chunks to bound the (chunk, TI) working set.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from low_precision_raytracer_tpu.config import Precision
-from low_precision_raytracer_tpu.ops.traversal import Hit, _transform_ray
+from low_precision_raytracer_tpu.ops.traversal import Hit
 
 F32 = jnp.float32
 
+# rays per chunk: bounds the (chunk, TI) intermediates in HBM/VMEM
+CHUNK = 32768
 
-def _matmul(a, b, out_dtype=F32):
-    return jnp.dot(a, b, preferred_element_type=out_dtype)
+
+def _mm(a, b):
+    """Low-precision-input matmul with fp32 accumulation (MXU native)."""
+    return jnp.dot(a, b, preferred_element_type=F32)
+
+
+def _mm_f32(a, b):
+    """Full-fp32 matmul.  Precision.HIGHEST is required: JAX's DEFAULT lowers
+    fp32 matmuls to single-pass bf16 multiplies on TPU, which would silently
+    demote the always-fp32 z-row (`rt/rtrt/cuda.hpp:234-240`) and the fp32
+    fallback path to bf16 accuracy."""
+    return jnp.dot(
+        a, b, preferred_element_type=F32, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def trace_rays_dense(
@@ -49,70 +59,62 @@ def trace_rays_dense(
     max_dist=1e5,
     find_any: bool = False,  # no early-out in dense mode; same result
 ) -> Hit:
-    """All-pairs closest-hit over every object instance.  Shapes: (R, 3) in."""
+    """All-pairs closest hit over every object instance.  Shapes: (R, 3) in."""
+    assert frame.dense_n is not None, (
+        "dense backend needs FrameInput dense coefficients (scene too large?)"
+    )
     dt = prec.dtype
     R = origins.shape[0]
-    o_w = origins.astype(dt)
-    d_w = directions.astype(dt)
     min_dist = jnp.broadcast_to(jnp.asarray(min_dist, F32), (R,))
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, F32), (R,))
     if skip_tri is None:
         skip_tri = jnp.full((R,), -1, jnp.int32)
 
+    c = frame.dense_center
+    o_sh = (origins.astype(F32) - c).astype(dt)
+    d_w = directions.astype(dt)
+
+    TI = frame.dense_n.shape[0]
+    n_dt = frame.dense_n.reshape(TI, 9)
+    n_f32 = frame.dense_n_f32.reshape(TI, 9)
+    e_f32 = frame.dense_e
+    e_dt = frame.dense_e_dt
+    tri_ids = frame.dense_tri
+    obj_ids = frame.dense_obj
+
     d1 = jnp.asarray(prec.delta1, F32)
     d2 = jnp.asarray(prec.delta2, F32)
+    d12 = d1 + d2
 
-    best_t = jnp.full((R,), 1e5, F32)
-    best_u = jnp.zeros((R,), F32)
-    best_v = jnp.zeros((R,), F32)
-    best_tri = jnp.full((R,), -1, jnp.int32)
-    best_obj = jnp.full((R,), -1, jnp.int32)
+    n0 = n_dt[:, 0:3].T  # (3, TI) dtype
+    n1 = n_dt[:, 3:6].T
+    n2f = n_f32[:, 6:9].T  # z row always fp32
+    a0 = jnp.abs(n0)
+    a1 = jnp.abs(n1)
 
-    assert frame.obj_layout, "FrameInput.obj_layout required for the dense backend"
-    for o, (_mesh, t0, t1) in enumerate(frame.obj_layout):
-        T = t1 - t0
-        if T == 0:
-            continue
-        tri_ids = jnp.arange(t0, t1, dtype=jnp.int32)
+    def chunk_fn(args):
+        o_c, d_c, skip_c, mind_c, maxd_c = args
+        mm = _mm_f32 if prec.is_f32 else _mm
+        Ox = mm(o_c, n0) + e_f32[:, 0]
+        Dx = mm(d_c, n0)
+        Oy = mm(o_c, n1) + e_f32[:, 1]
+        Dy = mm(d_c, n1)
+        Oz = _mm_f32(o_c.astype(F32), n2f) + e_f32[:, 2]
+        Dz = _mm_f32(d_c.astype(F32), n2f)
 
-        o_loc, d_loc = _transform_ray(frame.obj_w2l[o].astype(dt), o_w, d_w)
-
-        v2 = scene.tri_v2[t0:t1]  # (T, 3) dtype
-        m = scene.tri_m[t0:t1]  # (T, 3, 3) dtype
-        m0 = m[:, 0, :].T  # (3, T)
-        m1 = m[:, 1, :].T
-        m2f = m[:, 2, :].astype(F32).T
-
-        # Ox = (o_loc - v2_t) . m0_t  =  o_loc@m0 - diag(v2@m0) per triangle
-        c0 = jnp.sum(v2 * m[:, 0, :], axis=-1).astype(F32)  # (T,)
-        c1 = jnp.sum(v2 * m[:, 1, :], axis=-1).astype(F32)
-        c2 = jnp.sum(v2.astype(F32) * m[:, 2, :].astype(F32), axis=-1)
-
-        Ox = _matmul(o_loc, m0) - c0  # (R, T) f32 accum
-        Dx = _matmul(d_loc, m0)
-        Oy = _matmul(o_loc, m1) - c1
-        Dy = _matmul(d_loc, m1)
-        Oz = _matmul(o_loc.astype(F32), m2f) - c2
-        Dz = _matmul(d_loc.astype(F32), m2f)
-
-        t = -Oz / Dz  # (R, T) f32
+        t = -Oz / Dz
         t_dx = t * Dx
         t_dy = t * Dy
         u = Ox + t_dx
         v = Oy + t_dy
 
-        # error bounds: sum|partials| via abs-matmuls (conservative)
-        s_ox = _matmul(jnp.abs(o_loc), jnp.abs(m0)) + jnp.abs(c0)
-        s_dx = _matmul(jnp.abs(d_loc), jnp.abs(m0))
-        s_oy = _matmul(jnp.abs(o_loc), jnp.abs(m1)) + jnp.abs(c1)
-        s_dy = _matmul(jnp.abs(d_loc), jnp.abs(m1))
-        d12 = d1 + d2
-        e_ox = d12 * s_ox
-        e_dx = d12 * s_dx
-        e_oy = d12 * s_oy
-        e_dy = d12 * s_dy
-        error_u = (e_ox + t * e_dx + d1 * (jnp.abs(Ox) + 3 * jnp.abs(t_dx))) * 0.2
-        error_v = (e_oy + t * e_dy + d1 * (jnp.abs(Oy) + 3 * jnp.abs(t_dy))) * 0.2
+        # error bounds on sum-of-|partials| (abs matmuls, conservative)
+        s_ox = mm(jnp.abs(o_c), a0) + jnp.abs(e_f32[:, 0])
+        s_dx = mm(jnp.abs(d_c), a0)
+        s_oy = mm(jnp.abs(o_c), a1) + jnp.abs(e_f32[:, 1])
+        s_dy = mm(jnp.abs(d_c), a1)
+        error_u = (d12 * s_ox + t * d12 * s_dx + d1 * (jnp.abs(Ox) + 3 * jnp.abs(t_dx))) * 0.2
+        error_v = (d12 * s_oy + t * d12 * s_dy + d1 * (jnp.abs(Oy) + 3 * jnp.abs(t_dy))) * 0.2
 
         w = 1.0 - u - v
         in_band = lambda x, e: (x >= -e) & (x <= 0)
@@ -122,34 +124,23 @@ def trace_rays_dense(
         dtype_accept = (u > -error_u) & (v > -error_v) & (u + v < 1 + error_u + error_v)
 
         if fallback == "both" and not prec.is_f32:
-            v2f = scene.tri_v2_f32[t0:t1]
-            mf = scene.tri_m_f32[t0:t1]
-            m0f = mf[:, 0, :].T
-            m1f = mf[:, 1, :].T
-            m2ff = mf[:, 2, :].T
-            c0f = jnp.sum(v2f * mf[:, 0, :], axis=-1)
-            c1f = jnp.sum(v2f * mf[:, 1, :], axis=-1)
-            c2f = jnp.sum(v2f * mf[:, 2, :], axis=-1)
-            olf = o_loc.astype(F32)
-            dlf = d_loc.astype(F32)
-            Ox32 = _matmul(olf, m0f) - c0f
-            Dx32 = _matmul(dlf, m0f)
-            Oy32 = _matmul(olf, m1f) - c1f
-            Dy32 = _matmul(dlf, m1f)
-            Oz32 = _matmul(olf, m2ff) - c2f
-            Dz32 = _matmul(dlf, m2ff)
-            t32 = -Oz32 / Dz32
+            of = o_c.astype(F32)
+            df = d_c.astype(F32)
+            n0f = n_f32[:, 0:3].T
+            n1f = n_f32[:, 3:6].T
+            Ox32 = _mm_f32(of, n0f) + e_f32[:, 0]
+            Dx32 = _mm_f32(df, n0f)
+            Oy32 = _mm_f32(of, n1f) + e_f32[:, 1]
+            Dy32 = _mm_f32(df, n1f)
+            t32 = t  # z row is already fp32
             u32 = Ox32 + t32 * Dx32
             v32 = Oy32 + t32 * Dy32
             ok32 = (u32 > 0) & (v32 > 0) & (u32 + v32 < 1)
-            t_sel = jnp.where(ambiguous, t32, t)
+            t_sel = t
             u_sel = jnp.where(ambiguous, u32, u)
             v_sel = jnp.where(ambiguous, v32, v)
             accept_geom = jnp.where(ambiguous, ok32, dtype_accept)
         elif fallback == "both":
-            # fp32 precision: the "fallback" is the same numbers with the
-            # strict (unwidened) acceptance inside the band, like the
-            # reference's fp32 template instantiation
             strict = (u > 0) & (v > 0) & (u + v < 1)
             t_sel, u_sel, v_sel = t, u, v
             accept_geom = jnp.where(ambiguous, strict, dtype_accept)
@@ -159,23 +150,42 @@ def trace_rays_dense(
 
         accept = (
             accept_geom
-            & (t_sel > min_dist[:, None])
-            & (t_sel < max_dist[:, None])
-            & (tri_ids[None, :] != skip_tri[:, None])
+            & (t_sel > mind_c[:, None])
+            & (t_sel < maxd_c[:, None])
+            & (tri_ids[None, :] != skip_c[:, None])
             & jnp.isfinite(t_sel)
         )
 
         t_masked = jnp.where(accept, t_sel, jnp.inf)
-        k = jnp.argmin(t_masked, axis=1)  # (R,)
+        k = jnp.argmin(t_masked, axis=1)
         tk = jnp.take_along_axis(t_masked, k[:, None], axis=1)[:, 0]
-        any_hit = jnp.isfinite(tk) & (tk < best_t)
+        hit = jnp.isfinite(tk)
         uk = jnp.take_along_axis(u_sel, k[:, None], axis=1)[:, 0]
         vk = jnp.take_along_axis(v_sel, k[:, None], axis=1)[:, 0]
+        return (
+            jnp.where(hit, tk, 1e5),
+            jnp.where(hit, uk, 0.0),
+            jnp.where(hit, vk, 0.0),
+            jnp.where(hit, tri_ids[k], -1),
+            jnp.where(hit, obj_ids[k], -1),
+        )
 
-        best_u = jnp.where(any_hit, uk, best_u)
-        best_v = jnp.where(any_hit, vk, best_v)
-        best_tri = jnp.where(any_hit, tri_ids[k], best_tri)
-        best_obj = jnp.where(any_hit, jnp.int32(o), best_obj)
-        best_t = jnp.where(any_hit, tk, best_t)
+    if R <= CHUNK:
+        t, u, v, tri, obj = chunk_fn((o_sh, d_w, skip_tri, min_dist, max_dist))
+        return Hit(t=t, u=u, v=v, tri=tri, obj=obj)
 
-    return Hit(t=best_t, u=best_u, v=best_v, tri=best_tri, obj=best_obj)
+    pad = (-R) % CHUNK
+    def padded(x, fill=0):
+        return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+
+    nc = (R + pad) // CHUNK
+    chunks = (
+        padded(o_sh).reshape(nc, CHUNK, 3),
+        padded(d_w, 1).reshape(nc, CHUNK, 3),
+        padded(skip_tri, -1).reshape(nc, CHUNK),
+        padded(min_dist).reshape(nc, CHUNK),
+        padded(max_dist).reshape(nc, CHUNK),
+    )
+    t, u, v, tri, obj = jax.lax.map(chunk_fn, chunks)
+    flat = lambda x: x.reshape(-1)[:R]
+    return Hit(t=flat(t), u=flat(u), v=flat(v), tri=flat(tri), obj=flat(obj))

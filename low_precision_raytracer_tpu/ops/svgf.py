@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from low_precision_raytracer_tpu.config import SVGFConfig
@@ -74,20 +75,21 @@ def temporal_accumulation_color(input_color, history_color, svgf_map, color_taa_
     -> (integrated_color (H, W, 3), illum (H, W))."""
     dt = input_color.dtype
     H, W = input_color.shape[:2]
-    cp = _pad_nan(input_color, 4)
-    miu1 = jnp.zeros_like(input_color)
-    miu2 = jnp.zeros_like(input_color)
-    weights = jnp.zeros_like(input_color)
-    for i in range(-4, 5):
-        for j in range(-4, 5):
-            q = _shift(cp, i, j, H, W)
-            fin = jnp.isfinite(q)
-            zero = jnp.asarray(0.0, dt)
-            weights = weights + fin.astype(dt)
-            miu1 = miu1 + jnp.where(fin, q, zero)
-            miu2 = miu2 + jnp.where(fin, q * q, zero)
-    miu1 = miu1 / weights
-    miu2 = miu2 / weights
+    # 9x9 finite box sums as reduce_window (one fused HLO per sum instead of
+    # 81 unrolled taps — compile-time and VPU-friendly); out-of-bounds taps
+    # contribute nothing, matching the reference's bounds checks
+    fin = jnp.isfinite(input_color)
+    zero = jnp.asarray(0.0, dt)
+    safe = jnp.where(fin, input_color, zero)
+
+    def box9(x):
+        return jax.lax.reduce_window(
+            x, zero, jax.lax.add, (9, 9, 1), (1, 1, 1), "SAME"
+        )
+
+    weights = box9(fin.astype(dt))
+    miu1 = box9(safe) / weights
+    miu2 = box9(safe * safe) / weights
     p_color = value_or(input_color, miu1)
     var = miu2 - miu1 * miu1
     std = jnp.sqrt(var)

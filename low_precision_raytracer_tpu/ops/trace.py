@@ -24,11 +24,13 @@ def _instance_tris(frame) -> int:
 
 def resolve_impl(scene, frame, cfg: RenderConfig) -> str:
     """Resolve 'auto' to a concrete backend from the static instance layout."""
+    import jax
+
     impl = cfg.traversal_impl
     if impl == "auto":
         n_obj = len(frame.obj_layout)
         if 0 < n_obj <= 64 and _instance_tris(frame) <= cfg.dense_max_tris:
-            return "dense"
+            return "dense_pallas" if jax.default_backend() == "tpu" else "dense"
         return "jax"
     return impl
 
@@ -55,6 +57,24 @@ def trace(
     impl = cfg.traversal_impl
     if impl == "auto":  # resolve_cfg not applied — fall back inside trace
         impl = resolve_impl(scene, frame, cfg)
+    if impl == "dense_pallas":
+        import jax
+
+        from low_precision_raytracer_tpu.ops.dense_pallas import trace_rays_dense_pallas
+
+        return trace_rays_dense_pallas(
+            scene,
+            frame,
+            origins,
+            directions,
+            prec=prec,
+            fallback=cfg.triangle_fallback,
+            skip_tri=skip_tri,
+            min_dist=min_dist,
+            max_dist=max_dist,
+            find_any=find_any,
+            interpret=jax.default_backend() == "cpu",
+        )
     if impl == "dense":
         return trace_rays_dense(
             scene,
