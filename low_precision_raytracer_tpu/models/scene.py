@@ -194,6 +194,10 @@ class SceneArrays:
     tex_srgb: jnp.ndarray
     # skybox
     sky_data: jnp.ndarray  # (h, w, 3) f32
+    # packed per-triangle attribute rows for the one-hot-matmul interpolation
+    # path (small scenes): (T, 48) = 3 vertices x [pos3 nrm3 tan3 col3 uv0.2
+    # uv1.2]; a gather from a small table IS an (R, T) one-hot matmul on TPU
+    tri_attr: jnp.ndarray = None
     # static meta
     leaf_size: int = 1
     sky_valid: bool = False
@@ -207,7 +211,7 @@ class SceneArrays:
         return self.tri_idx.shape[0]
 
 
-@pytree_dataclass(meta=("obj_layout",))
+@pytree_dataclass(meta=("obj_layout", "n_lights"))
 class FrameInput:
     # object constants (`CUDAObjectConstantData`)
     obj_l2w: jnp.ndarray  # (O, 4, 4) dtype
@@ -253,6 +257,11 @@ class FrameInput:
     # — lets the dense MXU backend size itself without reading traced values
     # (object list is static per scene)
     obj_layout: tuple = ()
+    # STATIC active light count (<= max_direct_lights): shadow-ray batches
+    # are sized to the scene's real light count instead of always tracing
+    # MAX_DIRECT_LIGHT dead slots like the reference's fixed grid
+    # (`rt/gui/imgui_window.cu:172-173`)
+    n_lights: int = 0
 
 
 def compute_m_matrices(positions_f32: np.ndarray, tri_idx: np.ndarray):
@@ -338,6 +347,14 @@ def build_scene_arrays(host: HostScene, prec: Precision | str, leaf_size: int = 
         else np.zeros((1, 1, 3), np.float32)
     )
 
+    # packed per-triangle attribute rows (one-hot interpolation path)
+    n_tris = tri_idx.shape[0]
+    if n_tris <= 4096:
+        per_vert = np.concatenate([pos, nrm, tan, col, uv0, uv1], axis=1)  # (V, 16)
+        tri_attr = per_vert[tri_idx].reshape(n_tris, 48).astype(np.float32)
+    else:
+        tri_attr = None
+
     as_dt = lambda x: jnp.asarray(np.asarray(x, np.float32), dtype=dt)
     i32 = lambda x: jnp.asarray(x, jnp.int32)
 
@@ -383,6 +400,7 @@ def build_scene_arrays(host: HostScene, prec: Precision | str, leaf_size: int = 
         tex_height=i32(tex_height),
         tex_srgb=jnp.asarray(tex_srgb),
         sky_data=jnp.asarray(sky_data),
+        tri_attr=(as_dt(tri_attr) if tri_attr is not None else None),
         leaf_size=int(leaf_size),
         sky_valid=bool(sky_valid),
     )
@@ -482,6 +500,7 @@ def frame_input_from_flat(
         sky_delta_y=f32(sky.delta_y if sky else 0.0),
         sky_exposure=f32(sky.exposure if sky else 1.0),
         obj_layout=obj_layout,
+        n_lights=int(k),
         **dense,
     )
 

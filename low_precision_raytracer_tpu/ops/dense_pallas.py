@@ -131,11 +131,11 @@ def _kernel(
             ok32 = (u32 > 0) & (v32 > 0) & (u32 + v32 < 1)
             u_sel = jnp.where(ambiguous, u32, u)
             v_sel = jnp.where(ambiguous, v32, v)
-            accept_geom = jnp.where(ambiguous, ok32, dtype_accept)
+            accept_geom = (ambiguous & ok32) | (~ambiguous & dtype_accept)
         elif fallback == "both":
             strict = (u > 0) & (v > 0) & (u + v < 1)
             u_sel, v_sel = u, v
-            accept_geom = jnp.where(ambiguous, strict, dtype_accept)
+            accept_geom = (ambiguous & strict) | (~ambiguous & dtype_accept)
         else:
             u_sel, v_sel = u, v
             accept_geom = dtype_accept

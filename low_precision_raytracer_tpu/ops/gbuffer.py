@@ -8,6 +8,7 @@ default.  Produces a dict of SoA pixel arrays instead of 7 MRT surfaces.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from low_precision_raytracer_tpu.config import Precision, RenderConfig
@@ -23,7 +24,99 @@ def interpolate_hit_attributes(scene, frame, hit: Hit, dtype):
 
     Like the reference, normals/tangents are transformed by L2W directly
     (no inverse-transpose), so non-uniform scale skews them identically.
+
+    Small scenes use the one-hot-matmul path: a gather from a small table IS
+    an ``(R, T) @ (T, C)`` matmul on TPU — MXU instead of scalar gathers.
     """
+    if scene.tri_attr is not None:
+        return _interpolate_onehot(scene, frame, hit, dtype)
+    return _interpolate_gather(scene, frame, hit, dtype)
+
+
+def _finish_world(frame_l2w_rows, position, normal, tangent):
+    """World transform on (R, 4, 4)-gathered rows."""
+    rot = frame_l2w_rows[..., :3, :3]
+    normal = normalize((rot @ normal[..., :, None])[..., 0])
+    tangent = normalize((rot @ tangent[..., :, None])[..., 0])
+    pos_w = (rot @ position[..., :, None])[..., 0] + frame_l2w_rows[..., :3, 3]
+    return pos_w, normal, tangent
+
+
+def _interpolate_onehot(scene, frame, hit: Hit, dtype):
+    dt = dtype
+    R = hit.tri.shape[0]
+    T = scene.tri_attr.shape[0]
+    O = frame.obj_l2w.shape[0]
+
+    u = hit.u.astype(dt)[..., None]
+    v = hit.v.astype(dt)[..., None]
+    w = (1.0 - hit.u - hit.v).astype(dt)[..., None]
+
+    # bound per-chunk (rays, T) one-hot size; misses (tri = -1) -> zero rows
+    chunk = max(min(64 * 1024 * 1024 // max(T, 1), R), 1024)
+
+    def interp_chunk(args):
+        tri_c, obj_c, u_c, v_c, w_c = args
+        onehot_t = (tri_c[:, None] == jnp.arange(T, dtype=jnp.int32)[None, :]).astype(dt)
+        a = jnp.dot(onehot_t, scene.tri_attr, preferred_element_type=jnp.float32)
+        a = a.astype(dt)
+        a0, a1, a2 = a[:, 0:16], a[:, 16:32], a[:, 32:48]
+        attr = u_c * a0 + v_c * a1 + w_c * a2  # (chunk, 16)
+
+        onehot_o = (obj_c[:, None] == jnp.arange(O, dtype=jnp.int32)[None, :]).astype(dt)
+        l2w = jnp.dot(
+            onehot_o, frame.obj_l2w.reshape(O, 16), preferred_element_type=jnp.float32
+        ).astype(dt).reshape(-1, 4, 4)
+        mat = jnp.dot(
+            onehot_o,
+            frame.obj_material.astype(dt)[:, None],
+            preferred_element_type=jnp.float32,
+        )[:, 0].astype(jnp.int32)
+        return attr, l2w, mat
+
+    tri = jnp.maximum(hit.tri, 0)
+    obj = jnp.maximum(hit.obj, 0)
+    if R <= chunk:
+        attr, l2w, material = interp_chunk((tri, obj, u, v, w))
+    else:
+        pad = (-R) % chunk
+        pz = lambda x: jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        nc = (R + pad) // chunk
+        parts = jax.lax.map(
+            interp_chunk,
+            (
+                pz(tri).reshape(nc, chunk),
+                pz(obj).reshape(nc, chunk),
+                pz(u).reshape(nc, chunk, 1),
+                pz(v).reshape(nc, chunk, 1),
+                pz(w).reshape(nc, chunk, 1),
+            ),
+        )
+        attr = parts[0].reshape(-1, 16)[:R]
+        l2w = parts[1].reshape(-1, 4, 4)[:R]
+        material = parts[2].reshape(-1)[:R]
+
+    position = attr[:, 0:3]
+    normal = normalize(attr[:, 3:6])
+    tangent = normalize(attr[:, 6:9])
+    color = attr[:, 9:12]
+    uv0 = attr[:, 12:14]
+    uv1 = attr[:, 14:16]
+    pos_w, normal, tangent = _finish_world(l2w, position, normal, tangent)
+    return dict(
+        position=pos_w,
+        normal=normal,
+        tangent=tangent,
+        color=color,
+        uv0=uv0,
+        uv1=uv1,
+        material=material,
+        obj=hit.obj,
+        tri=hit.tri,
+    )
+
+
+def _interpolate_gather(scene, frame, hit: Hit, dtype):
     dt = dtype
     tri = jnp.maximum(hit.tri, 0)
     obj = jnp.maximum(hit.obj, 0)
@@ -47,11 +140,7 @@ def interpolate_hit_attributes(scene, frame, hit: Hit, dtype):
     uv1 = lerp(scene.v_uv1)
 
     l2w = jnp.take(frame.obj_l2w, obj, axis=0, mode="clip")  # (R, 4, 4) dtype
-    rot = l2w[..., :3, :3]
-    normal = normalize((rot @ normal[..., :, None])[..., 0])
-    tangent = normalize((rot @ tangent[..., :, None])[..., 0])
-    pos_w = (rot @ position[..., :, None])[..., 0] + l2w[..., :3, 3]
-
+    pos_w, normal, tangent = _finish_world(l2w, position, normal, tangent)
     material = jnp.take(frame.obj_material, obj, mode="clip")
     return dict(
         position=pos_w,

@@ -85,15 +85,25 @@ def generate_temporal_maps(
     obj = g["obj"]
     mesh_p = jnp.take(frame.obj_mesh, obj, mode="clip")  # objectid of pixel
 
-    # world -> local -> last world -> last clip (all in the render dtype,
-    # like the reference's Mat4<DataT> chain)
+    # world -> local -> last world -> last clip.  The reference chains three
+    # Mat4<DataT> multiplies per pixel (`rt/rtrt/cuda.hpp:2286-2289`); on TPU
+    # we compose ONE 4x4 per object (O tiny) and apply it per pixel via a
+    # one-hot matmul gather — no per-pixel matrix gathers.
+    O = frame.obj_w2l.shape[0]
+    l2w_last_o = jnp.take(state.last_l2w, frame.obj_mesh, axis=0)  # (O, 4, 4)
+    comp = (
+        state.last_w2c.astype(dt)[None] @ l2w_last_o.astype(dt) @ frame.obj_w2l.astype(dt)
+    )  # (O, 4, 4)
+    onehot_o = (
+        obj.reshape(-1)[:, None] == jnp.arange(O, dtype=jnp.int32)[None, :]
+    ).astype(dt)
+    comp_px = jnp.dot(
+        onehot_o, comp.reshape(O, 16), preferred_element_type=jnp.float32
+    ).astype(dt).reshape(H, W, 4, 4)
+
     pos = g["position"].astype(dt)
-    w2l = jnp.take(frame.obj_w2l, obj, axis=0, mode="clip")
-    l2w_last = jnp.take(state.last_l2w, mesh_p, axis=0, mode="clip")
     p4 = jnp.concatenate([pos, jnp.ones((H, W, 1), dt)], axis=-1)
-    local = (w2l @ p4[..., None])[..., 0]
-    world_last = (l2w_last @ local[..., None])[..., 0]
-    clip = (state.last_w2c.astype(dt) @ world_last[..., None])[..., 0]
+    clip = (comp_px @ p4[..., None])[..., 0]
     g_fx = (1 + clip[..., 0] / clip[..., 3]) / 2 * W
     g_fy = (1 + clip[..., 1] / clip[..., 3]) / 2 * H
 

@@ -92,6 +92,35 @@ def gbuffer_to_shade_input(g) -> ShadeInput:
 
 
 def _gather_material(scene, mid):
+    M = scene.mat_color.shape[0]
+    if M <= 1024:
+        # one-hot matmul gather: (R, M) @ (M, 11) on the MXU beats per-field
+        # scalar gathers (see ops/gbuffer.py one-hot interpolation)
+        f32 = jnp.float32
+        table = jnp.concatenate(
+            [
+                scene.mat_color.astype(f32),
+                scene.mat_emission.astype(f32),
+                scene.mat_metallic.astype(f32)[:, None],
+                scene.mat_roughness.astype(f32)[:, None],
+                scene.mat_double_sided.astype(f32)[:, None],
+                scene.mat_tex_color.astype(f32)[:, None],
+                scene.mat_uv_color.astype(f32)[:, None],
+            ],
+            axis=1,
+        )  # (M, 11)
+        onehot = (mid[:, None] == jnp.arange(M, dtype=jnp.int32)[None, :]).astype(f32)
+        g = jnp.dot(onehot, table, preferred_element_type=f32)
+        dt = scene.mat_color.dtype
+        return dict(
+            color=g[:, 0:3].astype(dt),
+            emission=g[:, 3:6].astype(dt),
+            metallic=g[:, 6].astype(dt),
+            roughness=g[:, 7].astype(dt),
+            double_sided=g[:, 8] > 0.5,
+            tex_color=g[:, 9].astype(jnp.int32),
+            uv_color=g[:, 10].astype(jnp.int32),
+        )
     take = lambda a: jnp.take(a, mid, axis=0, mode="clip")
     return dict(
         color=take(scene.mat_color),
@@ -125,7 +154,8 @@ def shade(
     dt = prec.dtype
     R = sinput.position.shape[0]
     zero3 = jnp.zeros((R, 3), dt)
-    L = cfg.max_direct_lights
+    # only the scene's real light count is traced (static, see FrameInput)
+    L = min(frame.n_lights, cfg.max_direct_lights)
 
     is_common = sinput.type == SHADE_COMMON
     is_skybox = sinput.type == SHADE_SKYBOX
@@ -144,12 +174,13 @@ def shade(
 
     # ---- base colour: texture x vertex colour (`rt/rtrt/cuda.hpp:1849-1856`)
     color = mat["color"]
-    has_tex = mat["tex_color"] >= 0
-    tex_uv = jnp.where(
-        (mat["uv_color"] == 0)[:, None], sinput.uv0, sinput.uv1
-    )
-    tex_rgba = sample_texture(scene, mat["tex_color"], tex_uv)
-    color = jnp.where(has_tex[:, None], tex_rgba[..., :3].astype(dt), color)
+    if scene.tex_data.shape[0] > 1:  # static: scene actually has textures
+        has_tex = mat["tex_color"] >= 0
+        tex_uv = jnp.where(
+            (mat["uv_color"] == 0)[:, None], sinput.uv0, sinput.uv1
+        )
+        tex_rgba = sample_texture(scene, mat["tex_color"], tex_uv)
+        color = jnp.where(has_tex[:, None], tex_rgba[..., :3].astype(dt), color)
     color = (color * sinput.color).astype(dt)
 
     # ---- N, V; double-sided flip or reject (`rt/rtrt/cuda.hpp:1869-1879`)
@@ -306,12 +337,20 @@ def shade(
         l_maxt.append(jnp.where(ok, maxt_i, jnp.asarray(0.0, dt)))
         l_mult.append(jnp.where(ok[:, None], mult_i, zero3))
 
-    lights = LightCommands(
-        valid=jnp.stack(l_valid, axis=1),
-        direction=jnp.stack(l_dir, axis=1),
-        max_t=jnp.stack(l_maxt, axis=1),
-        multiplier=jnp.stack(l_mult, axis=1),
-    )
+    if L > 0:
+        lights = LightCommands(
+            valid=jnp.stack(l_valid, axis=1),
+            direction=jnp.stack(l_dir, axis=1),
+            max_t=jnp.stack(l_maxt, axis=1),
+            multiplier=jnp.stack(l_mult, axis=1),
+        )
+    else:
+        lights = LightCommands(
+            valid=jnp.zeros((R, 0), jnp.bool_),
+            direction=jnp.zeros((R, 0, 3), dt),
+            max_t=jnp.zeros((R, 0), dt),
+            multiplier=jnp.zeros((R, 0, 3), dt),
+        )
 
     return ShadeOutputs(
         intensity=intensity,

@@ -55,8 +55,10 @@ def _trace_di(scene, frame, source, lights, skip_tri, prec, cfg):
 
     -> di_intensity (R, L, 3) in the render dtype."""
     R = source.shape[0]
-    L = cfg.max_direct_lights
+    L = lights.valid.shape[1]
     dt = prec.dtype
+    if L == 0:
+        return jnp.zeros((R, 0, 3), dt)
     o = jnp.broadcast_to(source[:, None, :], (R, L, 3)).reshape(R * L, 3)
     d = lights.direction.reshape(R * L, 3)
     maxt = jnp.where(lights.valid, lights.max_t.astype(jnp.float32), 0.0).reshape(R * L)
@@ -150,10 +152,9 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
         key=k_shade0,
     )
 
-    # ---- "Trace DI Ray #1" + "Accumulate DI #1"
+    # ---- "Trace DI Ray #1" + "Accumulate DI #1" (+ skybox radiance)
     di0 = _trace_di(scene, frame, out0.source, out0.lights, out0.skip_tri, prec, cfg)
-    di0 = di0.at[:, 0, :].add(out0.di_sky)  # skybox radiance rides slot 0
-    intensity0 = out0.intensity + jnp.sum(di0, axis=1)
+    intensity0 = out0.intensity + jnp.sum(di0, axis=1) + out0.di_sky
 
     n_rays = jnp.asarray(R, jnp.int32) + jnp.sum(out0.lights.valid.astype(jnp.int32))
 
@@ -172,8 +173,7 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
             key=k_shade1,
         )
         di1 = _trace_di(scene, frame, out1.source, out1.lights, out1.skip_tri, prec, cfg)
-        di1 = di1.at[:, 0, :].add(out1.di_sky)
-        intensity1 = out1.intensity + jnp.sum(di1, axis=1)
+        intensity1 = out1.intensity + jnp.sum(di1, axis=1) + out1.di_sky
         n_rays = (
             n_rays
             + jnp.sum(out0.gi_valid.astype(jnp.int32))

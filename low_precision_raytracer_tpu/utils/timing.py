@@ -58,12 +58,23 @@ class StageTimer:
         return "\n".join(lines)
 
 
+def sync(tree):
+    """Force completion.  `block_until_ready` is not trustworthy on tunneled
+    platforms (axon returns early); a host transfer of one element is."""
+    import numpy as np
+
+    leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "shape")]
+    for leaf in leaves[:1]:
+        np.asarray(leaf.reshape(-1)[:1])
+    return tree
+
+
 def time_fn(fn, *args, warmup=1, iters=10, **kw):
-    """Wall-clock a jitted callable with proper device sync."""
+    """Wall-clock a jitted callable with host-transfer sync."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args, **kw))
+        sync(fn(*args, **kw))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+        sync(out)
     return (time.perf_counter() - t0) / iters
