@@ -41,6 +41,24 @@ def _shift(xp, i, j, H, W):
     return xp[k + i : k + i + H, k + j : k + j + W]
 
 
+def _tap_tables(stride, dt):
+    """5x5 a-trous tap tables: (h weights, di offsets, dj offsets), indexed
+    by a fori_loop (keeps the compiled stencil 25x smaller than unrolling)."""
+    import numpy as np
+
+    hs, dis, djs = [], [], []
+    for i in range(-2, 3):
+        for j in range(-2, 3):
+            hs.append(WAVELET_H[abs(i)] * WAVELET_H[abs(j)])
+            dis.append(i * stride)
+            djs.append(j * stride)
+    return (
+        jnp.asarray(np.asarray(hs), dt),
+        jnp.asarray(dis, jnp.int32),
+        jnp.asarray(djs, jnp.int32),
+    )
+
+
 class SVGFState(NamedTuple):
     """Per-instance temporal state (one for GI-colored, one for GI-white)."""
 
@@ -123,32 +141,31 @@ def temporal_accumulation_moments(
     dp = _pad_nan(depth, 2)
     npad = _pad_nan(normal, 2)
     ip = _pad_nan(illum, 2)
+    h_tab, di_tab, dj_tab = _tap_tables(1, dt)
 
-    m1 = jnp.zeros_like(illum)
-    m2 = jnp.zeros_like(illum)
-    wsum = jnp.zeros_like(illum)
-    for i in range(-2, 3):
-        for j in range(-2, 3):
-            h = jnp.asarray(WAVELET_H[abs(i)] * WAVELET_H[abs(j)], dt)
-            depth_q = _shift(dp, i, j, H, W)
-            normal_q = _shift(npad, i, j, H, W)
-            illum_q = _shift(ip, i, j, H, W)
-            dpv0 = jnp.asarray(float(i), dt)
-            dpv1 = jnp.asarray(float(j), dt)
-            d_dot = grad[..., 0] * dpv0 + grad[..., 1] * dpv1
-            w_z = jnp.exp(
-                -jnp.abs(depth - depth_q)
-                / (jnp.asarray(cfg.sigma_z, dt) * jnp.abs(d_dot + jnp.asarray(cfg.eps, dt)))
-            )
-            ndot = jnp.sum(normal * normal_q, axis=-1)
-            w_n = jnp.maximum(0.0, ndot).astype(dt) ** jnp.asarray(cfg.sigma_n, dt)
-            hw = h * w_z * w_n
-            ok = jnp.isfinite(hw) & jnp.isfinite(illum_q)
-            hw = jnp.where(ok, hw, 0.0).astype(dt)
-            iq = jnp.where(ok, illum_q, 0.0).astype(dt)
-            m1 = m1 + hw * iq
-            m2 = m2 + hw * iq * iq
-            wsum = wsum + hw
+    def tap(idx, acc):
+        m1, m2, wsum = acc
+        di = di_tab[idx]
+        dj = dj_tab[idx]
+        h = h_tab[idx]
+        depth_q = jax.lax.dynamic_slice(dp, (2 + di, 2 + dj), (H, W))
+        normal_q = jax.lax.dynamic_slice(npad, (2 + di, 2 + dj, 0), (H, W, 3))
+        illum_q = jax.lax.dynamic_slice(ip, (2 + di, 2 + dj), (H, W))
+        d_dot = grad[..., 0] * di.astype(dt) + grad[..., 1] * dj.astype(dt)
+        w_z = jnp.exp(
+            -jnp.abs(depth - depth_q)
+            / (jnp.asarray(cfg.sigma_z, dt) * jnp.abs(d_dot + jnp.asarray(cfg.eps, dt)))
+        )
+        ndot = jnp.sum(normal * normal_q, axis=-1)
+        w_n = jnp.maximum(0.0, ndot).astype(dt) ** jnp.asarray(cfg.sigma_n, dt)
+        hw = h * w_z * w_n
+        ok = jnp.isfinite(hw) & jnp.isfinite(illum_q)
+        hw = jnp.where(ok, hw, 0.0).astype(dt)
+        iq = jnp.where(ok, illum_q, 0.0).astype(dt)
+        return (m1 + hw * iq, m2 + hw * iq * iq, wsum + hw)
+
+    zero = jnp.zeros_like(illum)
+    m1, m2, wsum = jax.lax.fori_loop(0, 25, tap, (zero, zero, zero))
     m1_spatial = m1 / wsum
     m2_spatial = m2 / wsum
 
@@ -191,44 +208,47 @@ def wavelet_filter(color_in, var_in, depth, grad, normal, illum, stride, cfg: SV
     npad = _pad_nan(normal, k)
     ip = _pad_nan(illum, k)
 
-    num_c = jnp.zeros_like(color_in)
-    den_c = jnp.zeros_like(illum)
-    num_v = jnp.zeros_like(illum)
-    den_v = jnp.zeros_like(illum)
     sig_l = jnp.asarray(cfg.sigma_l, dt)
     eps = jnp.asarray(cfg.eps, dt)
-    for i in range(-2, 3):
-        for j in range(-2, 3):
-            si, sj = i * stride, j * stride
-            h = jnp.asarray(WAVELET_H[abs(i)] * WAVELET_H[abs(j)], dt)
-            depth_q = _shift(dpad, si, sj, H, W)
-            normal_q = _shift(npad, si, sj, H, W)
-            illum_q = _shift(ip, si, sj, H, W)
-            color_q = _shift(cp, si, sj, H, W)
-            var_q = _shift(vp, si, sj, H, W)
+    h_tab, di_tab, dj_tab = _tap_tables(stride, dt)
 
-            dpv0 = jnp.asarray(float(si), dt)
-            dpv1 = jnp.asarray(float(sj), dt)
-            d_dot = grad[..., 0] * dpv0 + grad[..., 1] * dpv1
-            w_z = jnp.exp(
-                -jnp.abs(depth - depth_q)
-                / (jnp.asarray(cfg.sigma_z, dt) * jnp.abs(d_dot + eps))
-            )
-            ndot = jnp.sum(normal * normal_q, axis=-1)
-            w_n = jnp.maximum(0.0, ndot).astype(dt) ** jnp.asarray(cfg.sigma_n, dt)
-            w_l = jnp.exp(-jnp.abs(illum - illum_q) / (sig_l * sqrt_g_var + eps))
-            hw = h * w_z * w_n * w_l
-            hw_fin = jnp.isfinite(hw)
+    def tap(idx, acc):
+        num_c, den_c, num_v, den_v = acc
+        di = di_tab[idx]
+        dj = dj_tab[idx]
+        h = h_tab[idx]
+        depth_q = jax.lax.dynamic_slice(dpad, (k + di, k + dj), (H, W))
+        normal_q = jax.lax.dynamic_slice(npad, (k + di, k + dj, 0), (H, W, 3))
+        illum_q = jax.lax.dynamic_slice(ip, (k + di, k + dj), (H, W))
+        color_q = jax.lax.dynamic_slice(cp, (k + di, k + dj, 0), (H, W, 3))
+        var_q = jax.lax.dynamic_slice(vp, (k + di, k + dj), (H, W))
 
-            ok_v = hw_fin & jnp.isfinite(var_q)
-            hv = jnp.where(ok_v, hw, 0.0).astype(dt)
-            num_v = num_v + hv * hv * jnp.where(ok_v, var_q, 0.0).astype(dt)
-            den_v = den_v + hv
+        d_dot = grad[..., 0] * di.astype(dt) + grad[..., 1] * dj.astype(dt)
+        w_z = jnp.exp(
+            -jnp.abs(depth - depth_q)
+            / (jnp.asarray(cfg.sigma_z, dt) * jnp.abs(d_dot + eps))
+        )
+        ndot = jnp.sum(normal * normal_q, axis=-1)
+        w_n = jnp.maximum(0.0, ndot).astype(dt) ** jnp.asarray(cfg.sigma_n, dt)
+        w_l = jnp.exp(-jnp.abs(illum - illum_q) / (sig_l * sqrt_g_var + eps))
+        hw = h * w_z * w_n * w_l
+        hw_fin = jnp.isfinite(hw)
 
-            ok_c = hw_fin & jnp.all(jnp.isfinite(color_q), axis=-1)
-            hc = jnp.where(ok_c, hw, 0.0).astype(dt)
-            num_c = num_c + hc[..., None] * jnp.where(ok_c[..., None], color_q, 0.0).astype(dt)
-            den_c = den_c + hc
+        ok_v = hw_fin & jnp.isfinite(var_q)
+        hv = jnp.where(ok_v, hw, 0.0).astype(dt)
+        num_v = num_v + hv * hv * jnp.where(ok_v, var_q, 0.0).astype(dt)
+        den_v = den_v + hv
+
+        ok_c = hw_fin & jnp.all(jnp.isfinite(color_q), axis=-1)
+        hc = jnp.where(ok_c, hw, 0.0).astype(dt)
+        num_c = num_c + hc[..., None] * jnp.where(ok_c[..., None], color_q, 0.0).astype(dt)
+        den_c = den_c + hc
+        return (num_c, den_c, num_v, den_v)
+
+    zero1 = jnp.zeros_like(illum)
+    num_c, den_c, num_v, den_v = jax.lax.fori_loop(
+        0, 25, tap, (jnp.zeros_like(color_in), zero1, zero1, zero1)
+    )
 
     next_var = num_v / (den_v * den_v)
     next_color = num_c / den_c[..., None]
