@@ -110,6 +110,9 @@ class SVGFConfig:
     # frames below this use the spatial (bilateral) moments estimate
     # (`rt/rtrt/cuda.hpp:1271`)
     spatial_moments_below: int = 4
+    # wavelet backend: 'auto' (fused Pallas kernel on TPU, XLA elsewhere),
+    # 'pallas', or 'xla'
+    wavelet_impl: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -93,26 +93,36 @@ def temporal_accumulation_color(input_color, history_color, svgf_map, color_taa_
     -> (integrated_color (H, W, 3), illum (H, W))."""
     dt = input_color.dtype
     H, W = input_color.shape[:2]
-    # 9x9 finite box sums as reduce_window (one fused HLO per sum instead of
-    # 81 unrolled taps — compile-time and VPU-friendly); out-of-bounds taps
-    # contribute nothing, matching the reference's bounds checks
+    # 9x9 finite box sums as a separable shifted-add filter (9+9 adds per
+    # sum; reduce_window compiles pathologically slowly on this toolchain);
+    # out-of-bounds taps contribute nothing, matching the reference's
+    # bounds checks
     fin = jnp.isfinite(input_color)
     zero = jnp.asarray(0.0, dt)
     safe = jnp.where(fin, input_color, zero)
 
     def box9(x):
-        return jax.lax.reduce_window(
-            x, zero, jax.lax.add, (9, 9, 1), (1, 1, 1), "SAME"
-        )
+        xp = jnp.pad(x, ((4, 4), (0, 0), (0, 0)))
+        rows = xp[0:H]
+        for i in range(1, 9):
+            rows = rows + xp[i : i + H]
+        rp = jnp.pad(rows, ((0, 0), (4, 4), (0, 0)))
+        out = rp[:, 0:W]
+        for j in range(1, 9):
+            out = out + rp[:, j : j + W]
+        return out
 
     weights = box9(fin.astype(dt))
     miu1 = box9(safe) / weights
     miu2 = box9(safe * safe) / weights
     p_color = value_or(input_color, miu1)
     var = miu2 - miu1 * miu1
-    std = jnp.sqrt(var)
+    std = jnp.sqrt(var)  # NaN when var rounds slightly negative
     half = jnp.asarray(0.5, dt)
-    p_color = jnp.clip(p_color, miu1 - half * std, miu1 + half * std)
+    clamped = jnp.clip(p_color, miu1 - half * std, miu1 + half * std)
+    # the reference's clip_both with NaN bounds returns the value unchanged
+    # (`rt/rtrt/cuda.hpp:919-926`: NaN comparisons are false)
+    p_color = jnp.where(jnp.isfinite(std), clamped, p_color)
 
     hist = sample_linear(svgf_map, history_color, p_color)
     hist = value_or(hist, p_color)
@@ -280,8 +290,29 @@ def svgf_denoise(
     )
     c, v = integrated, var
     new_history = state.color_history
-    for it, stride in enumerate(cfg.strides):
-        c, v = wavelet_filter(c, v, depth, grad, normal, illum, stride, cfg)
-        if it == 0:
-            new_history = c
+
+    # 'auto' currently resolves to the XLA path: on the present TPU
+    # toolchain the fused Pallas wavelet measures at the same runtime but
+    # compiles ~30x slower, so it stays opt-in ('pallas')
+    use_pallas = cfg.wavelet_impl == "pallas"
+    if use_pallas:
+        from low_precision_raytracer_tpu.ops.svgf_pallas import (
+            pack_cv,
+            pack_geometry,
+            wavelet_filter_pallas,
+        )
+
+        H, W = illum.shape
+        geo = pack_geometry(depth, grad, normal, illum)
+        for it, stride in enumerate(cfg.strides):
+            cv = pack_cv(c[:H] if c.shape[0] > H else c, v[:H] if v.shape[0] > H else v)
+            c, v = wavelet_filter_pallas(geo, cv, stride, cfg, W=W)
+            if it == 0:
+                new_history = c[:H]
+        c = c[:H]
+    else:
+        for it, stride in enumerate(cfg.strides):
+            c, v = wavelet_filter(c, v, depth, grad, normal, illum, stride, cfg)
+            if it == 0:
+                new_history = c
     return c, SVGFState(miu1=miu1, miu2=miu2, color_history=new_history)
