@@ -41,14 +41,16 @@ def bench(width=1920, height=1080, precision="bf16", frames=20, warmup=3):
     for i in range(warmup):
         key, sub = jax.random.split(key)
         image, aux, state = render_frame(scene, frame, state, cfg, sub)
-    jax.block_until_ready(image)
+    # NOTE: sync via a host transfer — block_until_ready returns early on
+    # tunneled TPU platforms, and would overstate throughput ~1000x
+    _ = np.asarray(image[0, 0])
     n_rays = int(aux["n_rays"])
 
     t0 = time.perf_counter()
     for i in range(frames):
         key, sub = jax.random.split(key)
         image, aux, state = render_frame(scene, frame, state, cfg, sub)
-    jax.block_until_ready(image)
+    _ = np.asarray(image[0, 0])
     dt = (time.perf_counter() - t0) / frames
 
     mrays = n_rays / dt / 1e6

@@ -108,6 +108,114 @@ def icosphere_mesh(subdiv=2, radius=1.0):
     return Mesh(verts, faces, normals=nrm, tangents=tan.astype(np.float32), name="icosphere")
 
 
+def animated_cornell_scene():
+    """BASELINE config 4: Cornell box with TRS animations (orbiting tall box,
+    bobbing light) driving temporal reprojection + SVGF."""
+    scene = cornell_box_scene()
+    from low_precision_raytracer_tpu.models.hierarchy import Sampler
+
+    tall = scene.root.search("tall")
+    times = np.array([0.0, 1.0, 2.0, 3.0, 4.0], np.float32)
+    quarter = np.array(
+        [0, np.sin(np.pi / 4), 0, np.cos(np.pi / 4)], np.float32
+    )
+    half = np.array([0, 1, 0, 0], np.float32)
+    three_q = np.array([0, np.sin(3 * np.pi / 4), 0, np.cos(3 * np.pi / 4)], np.float32)
+    ident = np.array([0, 0, 0, 1], np.float32)
+    tall.animation.rotation = Sampler(
+        times=times, values=np.stack([ident, quarter, half, three_q, ident])
+    )
+    tall.animation.translation = Sampler(
+        times=np.array([0.0, 2.0, 4.0], np.float32),
+        values=np.array([[-0.35, -0.4, -0.35], [-0.1, -0.4, -0.35], [-0.35, -0.4, -0.35]], np.float32),
+    )
+    lamp = scene.root.search("lamp")
+    lamp.animation.translation = Sampler(
+        times=np.array([0.0, 1.0, 2.0], np.float32),
+        values=np.array([[0, 0.85, 0], [0.3, 0.85, 0], [0, 0.85, 0]], np.float32),
+    )
+    scene.animated = True
+    return scene
+
+
+def sponza_like_scene(pillar_grid: int = 4, sphere_subdiv: int = 2, with_skybox: bool = True):
+    """BASELINE config 5: a Sponza-class scene — colonnade of pillars, floor,
+    varied PBR materials, equirect HDR skybox IBL.  Triangle count scales
+    with pillar_grid/sphere_subdiv (defaults ~ tens of thousands of
+    instance-triangles, exercising the BVH path)."""
+    from low_precision_raytracer_tpu.models.scene import Skybox
+
+    scene = HostScene()
+    floor = scene.add_mesh(quad_mesh(2.0))
+    pillar = scene.add_mesh(cube_mesh(1.0))
+    ball = scene.add_mesh(icosphere_mesh(sphere_subdiv))
+
+    ground = scene.add_material(Material(color=np.array([0.6, 0.6, 0.6], np.float32), roughness=0.8))
+    stone = scene.add_material(Material(color=np.array([0.75, 0.7, 0.6], np.float32), roughness=0.6))
+    gold = scene.add_material(
+        Material(color=np.array([1.0, 0.77, 0.34], np.float32), metallic=1.0, roughness=0.3)
+    )
+    glaze = scene.add_material(
+        Material(color=np.array([0.2, 0.4, 0.8], np.float32), metallic=0.0, roughness=0.05)
+    )
+
+    scene.root = Object(name="root")
+    r = scene.root
+    sq2 = np.float32(np.sqrt(0.5))
+    size = pillar_grid * 3.0
+    r.add(_mesh_node(scene, floor, ground, "floor", t=[0, 0, 0], r=[-sq2, 0, 0, sq2],
+                     s=[size, size, 1]))
+    mats = [stone, gold, glaze]
+    k = 0
+    for i in range(pillar_grid):
+        for j in range(pillar_grid):
+            x = (i - (pillar_grid - 1) / 2) * 4.0
+            z = (j - (pillar_grid - 1) / 2) * 4.0
+            r.add(_mesh_node(scene, pillar, stone, f"pillar{i}_{j}",
+                             t=[x, 1.5, z], s=[0.6, 3.0, 0.6]))
+            r.add(_mesh_node(scene, ball, mats[k % 3], f"ball{i}_{j}",
+                             t=[x, 3.4, z], s=[0.5, 0.5, 0.5]))
+            k += 1
+
+    sun = LightObject(name="sun", light_type=LIGHT_DIRECTIONAL,
+                      intensity=np.array([3.0, 2.9, 2.6], np.float32))
+    deg = np.pi / 180
+    sun.rotation = np.array([np.sin(-60 * deg / 2), 0, 0, np.cos(-60 * deg / 2)], np.float32)
+    r.add(sun)
+    fill = LightObject(name="fill", light_type=LIGHT_POINT,
+                       intensity=np.array([40.0, 42.0, 50.0], np.float32))
+    fill.translation = np.array([0.0, 5.0, 0.0], np.float32)
+    r.add(fill)
+
+    cam = CameraObject(name="cam", fov_y=np.pi / 3)
+    cam.translation = np.array([0.0, 2.2, pillar_grid * 2.2], np.float32)
+    r.add(cam)
+    scene.active_camera = cam
+
+    if with_skybox:
+        scene.skybox = Skybox(data=procedural_sky(64, 128), exposure=1.0)
+    return scene
+
+
+def procedural_sky(height: int = 64, width: int = 128):
+    """Simple analytic HDR sky panorama (blue gradient + sun disc) — an
+    egress-free stand-in for an equirectangular .hdr file."""
+    v = np.linspace(0, 1, height, dtype=np.float32)[:, None]  # 0=top of image
+    u = np.linspace(0, 1, width, dtype=np.float32)[None, :]
+    elev = (1 - v) * np.pi - np.pi / 2  # image top = zenith (see uv mapping)
+    horizon = np.exp(-np.abs(np.sin(elev)) * 2.5)
+    zenith = np.clip(np.sin(elev), 0, 1)
+    r = 0.18 + 0.5 * horizon
+    g = 0.28 + 0.5 * horizon
+    b = 0.55 + 0.35 * horizon + 0.25 * zenith
+    sky = np.stack(np.broadcast_arrays(r * np.ones_like(u), g * np.ones_like(u), b + 0 * u), axis=-1)
+    # sun disc
+    su, sv = 0.25, 0.3
+    d2 = ((u - su) ** 2 + (v - sv) ** 2)
+    sun = np.exp(-d2 / 0.0004)[..., None] * np.array([60.0, 55.0, 45.0], np.float32)
+    return (sky + sun).astype(np.float32)
+
+
 def _mesh_node(scene: HostScene, mesh_id: int, material_id: int, name: str, t=None, r=None, s=None):
     mesh = scene.meshes[mesh_id]
     lo, hi = mesh.aabb

@@ -36,7 +36,7 @@ from low_precision_raytracer_tpu.config import Precision
 from low_precision_raytracer_tpu.ops.aabb import ray_aabb_object, ray_aabb_scene
 from low_precision_raytracer_tpu.ops.triangle import ray_triangle
 
-INVALID = jnp.int32(-1)
+INVALID = -1  # plain int: module import must not touch the device
 
 
 class Hit(NamedTuple):

@@ -1,0 +1,79 @@
+"""Golden-image regression tests (SURVEY.md §4): deterministic small renders
+of the BASELINE configs compared against checked-in goldens by PSNR.
+
+Regenerate with:  python tests/test_golden.py regen
+"""
+
+import os
+
+import numpy as np
+
+from low_precision_raytracer_tpu.config import DemoSettings, RenderConfig
+from low_precision_raytracer_tpu.models.procedural import (
+    cornell_box_scene,
+    single_mesh_scene,
+    sponza_like_scene,
+)
+from low_precision_raytracer_tpu.render.renderer import Renderer
+from low_precision_raytracer_tpu.utils.image import psnr
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+CONFIGS = {
+    # name -> (scene builder, RenderConfig)
+    "config1_mesh_direct": (
+        single_mesh_scene,
+        RenderConfig(width=48, height=48, precision="fp32", gi_on=False, taa_on=False),
+    ),
+    "config2_cornell_gi": (
+        cornell_box_scene,
+        RenderConfig(width=48, height=48, precision="fp32", gi_on=True),
+    ),
+    "config5_sponza_sky": (
+        lambda: sponza_like_scene(pillar_grid=2, sphere_subdiv=1),
+        RenderConfig(width=48, height=48, precision="fp32", gi_on=True,
+                     demo=DemoSettings(svgf=False), taa_on=False),
+    ),
+}
+
+
+def _render(name):
+    builder, cfg = CONFIGS[name]
+    r = Renderer(builder(), cfg)
+    img, _ = r.render()
+    return np.asarray(img, np.float32)
+
+
+def _golden_path(name):
+    return os.path.join(GOLDEN_DIR, f"{name}.npy")
+
+
+def _check(name, min_psnr=35.0):
+    img = _render(name)
+    path = _golden_path(name)
+    assert os.path.exists(path), f"golden missing: run `python {__file__} regen`"
+    want = np.load(path)
+    p = psnr(img, want)
+    assert p > min_psnr, f"{name}: PSNR vs golden {p:.2f} dB"
+
+
+def test_golden_config1():
+    _check("config1_mesh_direct")
+
+
+def test_golden_config2():
+    _check("config2_cornell_gi")
+
+
+def test_golden_config5():
+    _check("config5_sponza_sky")
+
+
+if __name__ == "__main__":
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "regen":
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        for name in CONFIGS:
+            np.save(_golden_path(name), _render(name))
+            print("wrote", _golden_path(name))
