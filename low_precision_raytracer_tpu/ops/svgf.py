@@ -59,6 +59,32 @@ def _tap_tables(stride, dt):
     )
 
 
+
+def _pow_int(x, n: int):
+    """x**n via binary squaring (n static) — avoids the generic pow
+    (exp(log)) lowering, which dominates stencil runtime on the VPU."""
+    result = None
+    base = x
+    while n > 0:
+        if n & 1:
+            result = base if result is None else result * base
+        base = base * base
+        n >>= 1
+    return result
+
+
+def _edge_weights(dz_abs, denom_z, ndot, sigma_n: float, extra=None):
+    """w_z * w_n (optionally * w_l) with a single exp: exp(a)*exp(b) =
+    exp(a+b), and integer sigma_n via squarings."""
+    arg = -dz_abs / denom_z
+    if extra is not None:
+        arg = arg + extra
+    w = jnp.exp(arg)
+    if float(sigma_n).is_integer():
+        return w * _pow_int(jnp.maximum(0.0, ndot).astype(w.dtype), int(sigma_n))
+    return w * jnp.maximum(0.0, ndot).astype(w.dtype) ** jnp.asarray(sigma_n, w.dtype)
+
+
 class SVGFState(NamedTuple):
     """Per-instance temporal state (one for GI-colored, one for GI-white)."""
 
@@ -162,13 +188,13 @@ def temporal_accumulation_moments(
         normal_q = jax.lax.dynamic_slice(npad, (2 + di, 2 + dj, 0), (H, W, 3))
         illum_q = jax.lax.dynamic_slice(ip, (2 + di, 2 + dj), (H, W))
         d_dot = grad[..., 0] * di.astype(dt) + grad[..., 1] * dj.astype(dt)
-        w_z = jnp.exp(
-            -jnp.abs(depth - depth_q)
-            / (jnp.asarray(cfg.sigma_z, dt) * jnp.abs(d_dot + jnp.asarray(cfg.eps, dt)))
-        )
         ndot = jnp.sum(normal * normal_q, axis=-1)
-        w_n = jnp.maximum(0.0, ndot).astype(dt) ** jnp.asarray(cfg.sigma_n, dt)
-        hw = h * w_z * w_n
+        hw = h * _edge_weights(
+            jnp.abs(depth - depth_q),
+            jnp.asarray(cfg.sigma_z, dt) * jnp.abs(d_dot + jnp.asarray(cfg.eps, dt)),
+            ndot,
+            cfg.sigma_n,
+        )
         ok = jnp.isfinite(hw) & jnp.isfinite(illum_q)
         hw = jnp.where(ok, hw, 0.0).astype(dt)
         iq = jnp.where(ok, illum_q, 0.0).astype(dt)
@@ -234,14 +260,14 @@ def wavelet_filter(color_in, var_in, depth, grad, normal, illum, stride, cfg: SV
         var_q = jax.lax.dynamic_slice(vp, (k + di, k + dj), (H, W))
 
         d_dot = grad[..., 0] * di.astype(dt) + grad[..., 1] * dj.astype(dt)
-        w_z = jnp.exp(
-            -jnp.abs(depth - depth_q)
-            / (jnp.asarray(cfg.sigma_z, dt) * jnp.abs(d_dot + eps))
-        )
         ndot = jnp.sum(normal * normal_q, axis=-1)
-        w_n = jnp.maximum(0.0, ndot).astype(dt) ** jnp.asarray(cfg.sigma_n, dt)
-        w_l = jnp.exp(-jnp.abs(illum - illum_q) / (sig_l * sqrt_g_var + eps))
-        hw = h * w_z * w_n * w_l
+        hw = h * _edge_weights(
+            jnp.abs(depth - depth_q),
+            jnp.asarray(cfg.sigma_z, dt) * jnp.abs(d_dot + eps),
+            ndot,
+            cfg.sigma_n,
+            extra=-jnp.abs(illum - illum_q) / (sig_l * sqrt_g_var + eps),
+        )
         hw_fin = jnp.isfinite(hw)
 
         ok_v = hw_fin & jnp.isfinite(var_q)

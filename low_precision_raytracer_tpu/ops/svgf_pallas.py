@@ -125,10 +125,12 @@ def _wavelet_kernel(
                 + nz_p * gslice(C_NZ, di, dj)
             )
             d_dot = gx * jnp.asarray(float(di), dt) + gy * jnp.asarray(float(dj), dt)
-            w_z = jnp.exp(-jnp.abs(depth_p - depth_q) / (sz * jnp.abs(d_dot + eps)))
-            w_n = jnp.maximum(zero, ndot) ** sn
-            w_l = jnp.exp(-jnp.abs(illum_p - illum_q) / (sl * sqrt_g_var + eps))
-            hw = hval * w_z * w_n * w_l
+            arg = (-jnp.abs(depth_p - depth_q) / (sz * jnp.abs(d_dot + eps))
+                   - jnp.abs(illum_p - illum_q) / (sl * sqrt_g_var + eps))
+            from low_precision_raytracer_tpu.ops.svgf import _pow_int
+            w_n = _pow_int(jnp.maximum(zero, ndot), int(cfg_sigma_n)) \
+                if float(cfg_sigma_n).is_integer() else jnp.maximum(zero, ndot) ** sn
+            hw = hval * jnp.exp(arg) * w_n
             hw_fin = jnp.isfinite(hw)
 
             var_q = cvslice(C_VAR, di, dj)

@@ -1,14 +1,19 @@
-"""Test harness: force an 8-device virtual CPU mesh BEFORE importing jax so
-multi-chip sharding tests run anywhere (SURVEY.md §4: pixel tiles are
-embarrassingly parallel, so the sharded run must match single-chip)."""
+"""Test harness: force an 8-device virtual CPU mesh so multi-chip sharding
+tests run anywhere (SURVEY.md §4: pixel tiles are embarrassingly parallel, so
+the sharded run must match single-chip).
+
+NOTE: this environment pins JAX_PLATFORMS=axon via sitecustomize, so the env
+var alone is ignored — the config update below is what actually selects the
+CPU backend (and keeps the test suite off the shared TPU tunnel)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import jax  # noqa: E402,F401  (oracles are pure numpy; no x64 needed in jax)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
