@@ -115,6 +115,54 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_parity(args) -> int:
+    """bf16-vs-fp32 parity harness (SURVEY.md §4): renders the same scene at
+    both precisions and reports PSNR/SSIM + the fp32-fallback rate — the
+    reference's manual Half-Float A/B toggle made automatic."""
+    from low_precision_raytracer_tpu.config import RenderConfig
+    from low_precision_raytracer_tpu.render.renderer import Renderer
+    from low_precision_raytracer_tpu.utils.image import psnr, ssim
+    import numpy as np
+
+    imgs = {}
+    renderers = {}
+    for prec in ("fp32", args.precision):
+        cfg = RenderConfig(
+            width=args.width, height=args.height, precision=prec, gi_on=not args.no_gi
+        )
+        scene = _build_scene(args.scene)
+        renderers[prec] = Renderer(scene, cfg)
+        img = None
+        for f in range(args.frames):
+            img, _ = renderers[prec].render(time=f * args.time_step)
+        imgs[prec] = np.asarray(img)
+    p = psnr(imgs["fp32"], imgs[args.precision])
+    s = ssim(imgs["fp32"], imgs[args.precision])
+
+    # fallback-rate diagnostic on the low-precision primary rays
+    from low_precision_raytracer_tpu.models.scene import flatten_frame
+    from low_precision_raytracer_tpu.ops.camera import primary_ray_grid
+    from low_precision_raytracer_tpu.ops.diagnostics import fallback_rate
+
+    r = renderers[args.precision]
+    frame = flatten_frame(r.host, r.prec, max_direct_lights=r.cfg.max_direct_lights,
+                          width=r.cfg.width, height=r.cfg.height)
+    rate = float("nan")
+    if frame.dense_n is not None:
+        o, d = primary_ray_grid(frame.cam_l2w, frame.cam_fov_y, r.cfg.width,
+                                r.cfg.height, r.prec.dtype)
+        stats = fallback_rate(r.scene, frame, o.reshape(-1, 3), d.reshape(-1, 3), r.prec)
+        rate = float(stats["rate"])
+    print(json.dumps({
+        "precision": args.precision,
+        "psnr_db": round(p, 2),
+        "ssim": round(s, 4),
+        "fp32_fallback_rate": round(rate, 6),
+        "frames": args.frames,
+    }))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench as bench_mod  # repo-root bench.py
 
@@ -151,6 +199,16 @@ def main(argv=None) -> int:
     pi = sub.add_parser("info", help="print scene statistics")
     pi.add_argument("scene")
     pi.set_defaults(fn=cmd_info)
+
+    pp = sub.add_parser("parity", help="bf16-vs-fp32 PSNR/SSIM parity check")
+    pp.add_argument("scene", nargs="?", default="cornell")
+    pp.add_argument("--precision", choices=["bf16", "fp16"], default="bf16")
+    pp.add_argument("--width", type=int, default=256)
+    pp.add_argument("--height", type=int, default=256)
+    pp.add_argument("--frames", type=int, default=4)
+    pp.add_argument("--time-step", type=float, default=1 / 30)
+    pp.add_argument("--no-gi", action="store_true")
+    pp.set_defaults(fn=cmd_parity)
 
     pb = sub.add_parser("bench", help="run the benchmark")
     pb.add_argument("--width", type=int, default=1920)
