@@ -8,8 +8,17 @@ screen, then builds TWO 2x2 bilinear maps (SURVEY.md 2.18):
 - the TAA map, with stochastically jittered bilinear taps and the
   same-object test only gating the frame count.
 
-A temporal map is a dict of SoA arrays:
-  {frame_count (H,W) i32, weights (H,W,4) dtype, px/py (H,W,4) i32}.
+TPU-native formulation:
+- the three per-pixel 4x4 matrix multiplies collapse into ONE per-object
+  composite matrix applied via a one-hot matmul (gathers from small tables
+  are MXU matmuls);
+- a temporal map stores the 2x2 footprint as a single (base_y, base_x)
+  anchor + 4 weights; every history fetch is ONE windowed `lax.gather`
+  (slice_sizes=(2,2)) instead of four scalar gathers — 4x fewer gather
+  indices, the dominant cost of this stage;
+- map layout: {frame_count (H,W) i32, weights (H,W,4) dtype,
+  base_y/base_x (H,W) i32 (pre-shifted for the +1 padding)} with tap order
+  [(y0,x0), (y0,x1), (y1,x0), (y1,x1)].
 
 Deviation: the reference increments the propagated SVGF frame count once per
 *tap loop iteration* (up to +4/frame, `rt/rtrt/cuda.hpp:2330-2333`), which
@@ -20,80 +29,102 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+
+def gather2x2(arr, base_y, base_x):
+    """Fetch the 2x2 window anchored at (base_y, base_x) for every pixel.
+
+    arr: (H, W) or (H, W, C); base_*: (H, W) i32 PRE-SHIFTED for a 1-pixel
+    zero pad (i.e. already in [0, H] / [0, W]).
+    -> (H, W, 4[, C]) in tap order [(0,0), (0,1), (1,0), (1,1)]."""
+    H, W = arr.shape[:2]
+    chan = arr.ndim == 3
+    pad = ((1, 1), (1, 1), (0, 0)) if chan else ((1, 1), (1, 1))
+    ap = jnp.pad(arr, pad)
+    idx = jnp.stack([base_y.reshape(-1), base_x.reshape(-1)], axis=-1)  # (N, 2)
+    if chan:
+        C = arr.shape[2]
+        dn = lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+        )
+        out = lax.gather(
+            ap, idx, dn, slice_sizes=(2, 2, C), mode="clip"
+        )  # (N, 2, 2, C)
+        return out.reshape(H, W, 4, C)
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+    out = lax.gather(ap, idx, dn, slice_sizes=(2, 2), mode="clip")  # (N, 2, 2)
+    return out.reshape(H, W, 4)
 
 
 def sample_linear(tmap, arr, default):
     """Weighted 2x2 history gather (`sample_linear`,
     `rt/rtrt/cuda.hpp:1085-1115`).  arr: (H, W) or (H, W, C)."""
-    H, W = arr.shape[:2]
-    flat = arr.reshape(H * W, -1)
-    idx = tmap["py"] * W + tmap["px"]  # (H, W, 4)
-    vals = jnp.take(flat, idx.reshape(-1), axis=0, mode="clip").reshape(
-        H, W, 4, flat.shape[-1]
-    )
-    wgt = tmap["weights"].astype(vals.dtype)[..., None]  # (H, W, 4, 1)
-    num = jnp.sum(vals * wgt, axis=2)
-    den = jnp.sum(wgt, axis=2)
-    out = num / den
+    vals = gather2x2(arr, tmap["base_y"], tmap["base_x"])  # (H, W, 4[, C])
+    wgt = tmap["weights"].astype(jnp.float32)
+    if arr.ndim == 3:
+        vals = vals.astype(jnp.float32)
+        num = jnp.sum(vals * wgt[..., None], axis=2)
+        den = jnp.sum(wgt, axis=2)[..., None]
+    else:
+        vals = vals.astype(jnp.float32)
+        num = jnp.sum(vals * wgt, axis=2)
+        den = jnp.sum(wgt, axis=2)
+    out = (num / den).astype(arr.dtype)
     valid = tmap["frame_count"] > 0
-    res = jnp.where(valid[..., None], out, default.reshape(H, W, -1))
-    if arr.ndim == 2:
-        return res[..., 0].astype(arr.dtype)
-    return res.astype(arr.dtype)
+    if arr.ndim == 3:
+        return jnp.where(valid[..., None], out, default)
+    return jnp.where(valid, out, default)
 
 
-def _bilinear_taps(fx, fy, trunc=True):
-    """4 integer taps + bilinear weights; the reference truncates toward
-    zero ((int) cast, `rt/rtrt/cuda.hpp:2310-2313`)."""
-    lx = jnp.trunc(fx) if trunc else jnp.floor(fx)
-    ly = jnp.trunc(fy) if trunc else jnp.floor(fy)
-    ux = lx + 1
-    uy = ly + 1
-    xs = jnp.stack([lx, lx, ux, ux], axis=-1)
-    ys = jnp.stack([ly, uy, ly, uy], axis=-1)
-    w = jnp.stack(
-        [
-            (ux - fx) * (uy - fy),
-            (ux - fx) * (fy - ly),
-            (fx - lx) * (uy - fy),
-            (fx - lx) * (fy - ly),
-        ],
-        axis=-1,
+def _footprint(fx, fy, H, W, dt):
+    """2x2 bilinear footprint: anchor (trunc toward zero, like the
+    reference's (int) cast `rt/rtrt/cuda.hpp:2310-2313`), per-tap weights in
+    window order, and per-tap in-bounds masks."""
+    lx = jnp.trunc(fx)
+    ly = jnp.trunc(fy)
+    wx1 = (fx - lx).astype(dt)  # weight of x1 tap
+    wy1 = (fy - ly).astype(dt)
+    wx0 = ((lx + 1) - fx).astype(dt)
+    wy0 = ((ly + 1) - fy).astype(dt)
+    w = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1)
+
+    lyi = ly.astype(jnp.int32)
+    lxi = lx.astype(jnp.int32)
+    y0_ok = (lyi >= 0) & (lyi < H)
+    y1_ok = (lyi + 1 >= 0) & (lyi + 1 < H)
+    x0_ok = (lxi >= 0) & (lxi < W)
+    x1_ok = (lxi + 1 >= 0) & (lxi + 1 < W)
+    inb = jnp.stack(
+        [y0_ok & x0_ok, y0_ok & x1_ok, y1_ok & x0_ok, y1_ok & x1_ok], axis=-1
     )
-    return xs, ys, w
+    # pre-shifted anchors for the +1 pad; clip so the window stays in range
+    base_y = jnp.clip(lyi + 1, 0, H)
+    base_x = jnp.clip(lxi + 1, 0, W)
+    # taps whose true position was clipped away must not contribute
+    inb = inb & (lyi + 1 == base_y)[..., None] & (lxi + 1 == base_x)[..., None]
+    return base_y, base_x, w, inb
 
 
-def generate_temporal_maps(
-    g,
-    frame,
-    state,
-    width: int,
-    height: int,
-    dtype,
-    key,
-):
+def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key):
     """`generate_temporal_map_step1/2` (`rt/rtrt/cuda.hpp:2265-2416`).
-
-    g: current G-buffer dict with (H, W) leading dims.
-    state: FrameState (last_mesh_id, last_l2w, last_w2c, svgf_frame_count).
-    -> (svgf_map, taa_map).
-    """
+    -> (svgf_map, taa_map) dicts (see module docstring for layout)."""
     dt = dtype
     H, W = height, width
     valid = g["valid"]
 
     obj = g["obj"]
-    mesh_p = jnp.take(frame.obj_mesh, obj, mode="clip")  # objectid of pixel
+    mesh_p = jnp.take(frame.obj_mesh, obj, mode="clip")
 
-    # world -> local -> last world -> last clip.  The reference chains three
-    # Mat4<DataT> multiplies per pixel (`rt/rtrt/cuda.hpp:2286-2289`); on TPU
-    # we compose ONE 4x4 per object (O tiny) and apply it per pixel via a
-    # one-hot matmul gather — no per-pixel matrix gathers.
+    # one composite reprojection matrix per object, applied per pixel via a
+    # one-hot matmul gather
     O = frame.obj_w2l.shape[0]
     l2w_last_o = jnp.take(state.last_l2w, frame.obj_mesh, axis=0)  # (O, 4, 4)
     comp = (
         state.last_w2c.astype(dt)[None] @ l2w_last_o.astype(dt) @ frame.obj_w2l.astype(dt)
-    )  # (O, 4, 4)
+    )
     onehot_o = (
         obj.reshape(-1)[:, None] == jnp.arange(O, dtype=jnp.int32)[None, :]
     ).astype(dt)
@@ -107,44 +138,37 @@ def generate_temporal_maps(
     g_fx = (1 + clip[..., 0] / clip[..., 3]) / 2 * W
     g_fy = (1 + clip[..., 1] / clip[..., 3]) / 2 * H
 
-    last_mesh = state.last_mesh_id  # (H, W) i32, -1 = empty
-
-    def gather_last_mesh(xs, ys):
-        inb = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
-        xi = jnp.clip(xs.astype(jnp.int32), 0, W - 1)
-        yi = jnp.clip(ys.astype(jnp.int32), 0, H - 1)
-        lm = jnp.take(last_mesh.reshape(-1), yi * W + xi, mode="clip").reshape(xs.shape)
-        return inb, xi, yi, lm
+    # pack last-frame validation data: (mesh+1) * 512 + frame_count
+    packed = (state.last_mesh_id + 1) * 512 + jnp.clip(state.svgf_frame_count, 0, 255)
 
     # ---- SVGF map (strict same-object validation)
-    xs, ys, w = _bilinear_taps(g_fx - jnp.asarray(0.5, dt), g_fy - jnp.asarray(0.5, dt))
-    inb, xi, yi, lm = gather_last_mesh(xs, ys)
-    tap_ok = inb & (lm == mesh_p[..., None]) & valid[..., None]
+    by, bx, w, inb = _footprint(g_fx - jnp.asarray(0.5, dt), g_fy - jnp.asarray(0.5, dt), H, W, dt)
+    pk = gather2x2(packed, by, bx)  # (H, W, 4) i32
+    tap_mesh = pk // 512 - 1
+    tap_count = pk % 512
+    tap_ok = inb & (tap_mesh == mesh_p[..., None]) & valid[..., None]
     w_s = jnp.where(tap_ok, w, 0).astype(dt)
     total = jnp.sum(w_s, axis=-1)
     any_ok = total > 0
     w_s = jnp.where(any_ok[..., None], w_s / jnp.where(any_ok, total, 1)[..., None], 0)
-    # frame-count propagation: max over accepted taps, +1, capped at 255
-    fc = jnp.take(state.svgf_frame_count.reshape(-1), yi * W + xi, mode="clip").reshape(
-        xs.shape
-    )
-    fc = jnp.max(jnp.where(tap_ok, fc, 0), axis=-1)
+    fc = jnp.max(jnp.where(tap_ok, tap_count, 0), axis=-1)
     new_count = jnp.where(any_ok & valid, jnp.minimum(fc + 1, 255), 0).astype(jnp.int32)
-    svgf_map = dict(frame_count=new_count, weights=w_s, px=xi, py=yi)
+    svgf_map = dict(frame_count=new_count, weights=w_s, base_y=by, base_x=bx)
 
     # ---- TAA map (jittered bilinear, loose validation)
     kx, ky = jax.random.split(key)
     jx = jax.random.uniform(kx, (H, W), jnp.float32).astype(dt)
     jy = jax.random.uniform(ky, (H, W), jnp.float32).astype(dt)
-    xs2, ys2, w2 = _bilinear_taps(g_fx - jx, g_fy - jy)
-    inb2, xi2, yi2, lm2 = gather_last_mesh(xs2, ys2)
+    by2, bx2, w2, inb2 = _footprint(g_fx - jx, g_fy - jy, H, W, dt)
+    pk2 = gather2x2(packed, by2, bx2)
+    tap_mesh2 = pk2 // 512 - 1
     w_t = jnp.where(inb2, w2, 0).astype(dt)
     total2 = jnp.sum(w_t, axis=-1)
     any2 = total2 > 0
     w_t = jnp.where(any2[..., None], w_t / jnp.where(any2, total2, 1)[..., None], 0)
-    same_obj = jnp.any(inb2 & (lm2 == mesh_p[..., None]), axis=-1)
+    same_obj = jnp.any(inb2 & (tap_mesh2 == mesh_p[..., None]), axis=-1)
     taa_count = jnp.where(same_obj & valid & any2, 1, 0).astype(jnp.int32)
-    taa_map = dict(frame_count=taa_count, weights=w_t, px=xi2, py=yi2)
+    taa_map = dict(frame_count=taa_count, weights=w_t, base_y=by2, base_x=bx2)
 
     return svgf_map, taa_map
 
@@ -153,13 +177,9 @@ def backup_temporal_data(g, frame, state, clean_w2c):
     """`copy_last_frame_pixel_id` + `copy_last_frame_transform`
     (`rt/rtrt/cuda.hpp:2230-2263`): store per-pixel mesh id (-1 on empty),
     per-mesh L2W (instances collide last-writer-wins, like the reference's
-    `last_frame_L2W[objectid] = L2W`), and the current W2C.
-
-    Returns the updated fields for FrameState."""
+    `last_frame_L2W[objectid] = L2W`), and the current W2C."""
     mesh_id = jnp.where(
         g["valid"], jnp.take(frame.obj_mesh, g["obj"], mode="clip"), -1
     ).astype(jnp.int32)
-    n_meshes = state.last_l2w.shape[0]
-    # scatter obj L2W by mesh id (duplicates: last writer wins, same as ref)
     new_l2w = state.last_l2w.at[frame.obj_mesh].set(frame.obj_l2w.astype(state.last_l2w.dtype))
     return mesh_id, g["tri"].astype(jnp.int32), new_l2w, clean_w2c

@@ -20,13 +20,15 @@ def _flat_inputs(dt=jnp.float32, depth_val=2.0):
 
 
 def _tmap(count=0):
+    """Identity temporal map: anchor at (y, x) (pre-shifted +1 for padding),
+    full weight on tap 0."""
     return dict(
         frame_count=jnp.full((H, W), count, jnp.int32),
         weights=jnp.concatenate(
             [jnp.ones((H, W, 1), jnp.float32), jnp.zeros((H, W, 3), jnp.float32)], -1
         ),
-        px=jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :, None], (H, W, 4)),
-        py=jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None, None], (H, W, 4)),
+        base_y=jnp.broadcast_to(jnp.arange(1, H + 1, dtype=jnp.int32)[:, None], (H, W)),
+        base_x=jnp.broadcast_to(jnp.arange(1, W + 1, dtype=jnp.int32)[None, :], (H, W)),
     )
 
 
