@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax import lax
+
 
 
 def gather2x2(arr, base_y, base_x):
@@ -37,43 +37,62 @@ def gather2x2(arr, base_y, base_x):
 
     arr: (H, W) or (H, W, C); base_*: (H, W) i32 PRE-SHIFTED for a 1-pixel
     zero pad (i.e. already in [0, H] / [0, W]).
-    -> (H, W, 4[, C]) in tap order [(0,0), (0,1), (1,0), (1,1)]."""
+    -> (H, W, 4[, C]) in tap order [(0,0), (0,1), (1,0), (1,1)].
+
+    Implemented as one flat `jnp.take` with 4 indices per pixel: XLA's
+    windowed gather (slice_sizes=(2,2)) lowers catastrophically on this TPU
+    toolchain (~45x slower), while flat-index gathers are tolerable."""
     H, W = arr.shape[:2]
     chan = arr.ndim == 3
     pad = ((1, 1), (1, 1), (0, 0)) if chan else ((1, 1), (1, 1))
     ap = jnp.pad(arr, pad)
-    idx = jnp.stack([base_y.reshape(-1), base_x.reshape(-1)], axis=-1)  # (N, 2)
+    Wp = W + 2
+    base = base_y * Wp + base_x  # (H, W)
+    idx = jnp.stack(
+        [base, base + 1, base + Wp, base + Wp + 1], axis=-1
+    ).reshape(-1)  # (N*4,)
     if chan:
         C = arr.shape[2]
-        dn = lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
-        )
-        out = lax.gather(
-            ap, idx, dn, slice_sizes=(2, 2, C), mode="clip"
-        )  # (N, 2, 2, C)
+        out = jnp.take(ap.reshape(-1, C), idx, axis=0, mode="clip")
         return out.reshape(H, W, 4, C)
-    dn = lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1)
-    )
-    out = lax.gather(ap, idx, dn, slice_sizes=(2, 2), mode="clip")  # (N, 2, 2)
+    out = jnp.take(ap.reshape(-1), idx, mode="clip")
     return out.reshape(H, W, 4)
+
+
+def gather_taps(tmap, arr):
+    """Raw 2x2 tap fetch for a map: (H, W, 4[, C]).  Pack several history
+    channels into one (H, W, C) array and gather ONCE — gather index count,
+    not byte count, is the cost on TPU."""
+    return gather2x2(arr, tmap["base_y"], tmap["base_x"])
+
+
+def weighted_taps(tmap, vals, default, channel: bool):
+    """Finish a tap fetch: weighted mean over taps with frame_count gating
+    (`sample_linear` semantics, `rt/rtrt/cuda.hpp:1085-1115`)."""
+    wgt = tmap["weights"].astype(jnp.float32)
+    v = vals.astype(jnp.float32)
+    if channel:
+        num = jnp.sum(v * wgt[..., None], axis=2)
+        den = jnp.sum(wgt, axis=2)[..., None]
+    else:
+        num = jnp.sum(v * wgt, axis=2)
+        den = jnp.sum(wgt, axis=2)
+    out = num / den
+    valid = tmap["frame_count"] > 0
+    if channel:
+        out = jnp.where(valid[..., None], out, jnp.asarray(default, jnp.float32))
+    else:
+        out = jnp.where(valid, out, jnp.asarray(default, jnp.float32))
+    return out
 
 
 def sample_linear(tmap, arr, default):
     """Weighted 2x2 history gather (`sample_linear`,
     `rt/rtrt/cuda.hpp:1085-1115`).  arr: (H, W) or (H, W, C)."""
-    vals = gather2x2(arr, tmap["base_y"], tmap["base_x"])  # (H, W, 4[, C])
-    wgt = tmap["weights"].astype(jnp.float32)
-    if arr.ndim == 3:
-        vals = vals.astype(jnp.float32)
-        num = jnp.sum(vals * wgt[..., None], axis=2)
-        den = jnp.sum(wgt, axis=2)[..., None]
-    else:
-        vals = vals.astype(jnp.float32)
-        num = jnp.sum(vals * wgt, axis=2)
-        den = jnp.sum(wgt, axis=2)
-    out = (num / den).astype(arr.dtype)
+    vals = gather_taps(tmap, arr)
+    out = weighted_taps(tmap, vals, 0.0, channel=arr.ndim == 3)
     valid = tmap["frame_count"] > 0
+    out = out.astype(arr.dtype)
     if arr.ndim == 3:
         return jnp.where(valid[..., None], out, default)
     return jnp.where(valid, out, default)

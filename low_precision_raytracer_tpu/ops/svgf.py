@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from low_precision_raytracer_tpu.config import SVGFConfig
 from low_precision_raytracer_tpu.math.vec import luminance, value_or
-from low_precision_raytracer_tpu.ops.reproject import sample_linear
+from low_precision_raytracer_tpu.ops.reproject import gather_taps, sample_linear, weighted_taps
 
 WAVELET_H = (3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
 GAUSS_G = (1.0 / 2.0, 1.0 / 4.0)
@@ -112,7 +112,8 @@ def preprocess_normal_depth(normal, depth):
     return jnp.stack([gx, gy], axis=-1)
 
 
-def temporal_accumulation_color(input_color, history_color, svgf_map, color_taa_w):
+def temporal_accumulation_color(input_color, history_color, svgf_map, color_taa_w,
+                                hist_vals=None):
     """Outlier clamp (9x9 finite mean +-0.5 sigma, GAMES-202 style) + history
     lerp (`temporal_accumulation_color`, `rt/rtrt/cuda.hpp:1187-1243`).
 
@@ -150,7 +151,10 @@ def temporal_accumulation_color(input_color, history_color, svgf_map, color_taa_
     # (`rt/rtrt/cuda.hpp:919-926`: NaN comparisons are false)
     p_color = jnp.where(jnp.isfinite(std), clamped, p_color)
 
-    hist = sample_linear(svgf_map, history_color, p_color)
+    if hist_vals is None:
+        hist_vals = gather_taps(svgf_map, history_color)
+    h = weighted_taps(svgf_map, hist_vals, 0.0, channel=True).astype(dt)
+    hist = jnp.where((svgf_map["frame_count"] > 0)[..., None], h, p_color)
     hist = value_or(hist, p_color)
     w = jnp.asarray(color_taa_w, dt)
     integrated = w * p_color + (1 - w) * hist
@@ -167,6 +171,8 @@ def temporal_accumulation_moments(
     illum,
     moments_taa_w,
     cfg: SVGFConfig,
+    m1_vals=None,
+    m2_vals=None,
 ):
     """Spatial (bilateral 5x5, <4 valid frames) or temporal moments
     (`temporal_accumulation_moments`, `rt/rtrt/cuda.hpp:1245-1337`).
@@ -207,8 +213,14 @@ def temporal_accumulation_moments(
 
     w = jnp.asarray(moments_taa_w, dt)
     illum2 = illum * illum
-    m1_t = (1 - w) * sample_linear(svgf_map, miu1_prev, jnp.zeros_like(illum)) + illum * w
-    m2_t = (1 - w) * sample_linear(svgf_map, miu2_prev, jnp.zeros_like(illum)) + illum2 * w
+    if m1_vals is None:
+        m1_vals = gather_taps(svgf_map, miu1_prev)
+    if m2_vals is None:
+        m2_vals = gather_taps(svgf_map, miu2_prev)
+    m1_fetch = weighted_taps(svgf_map, m1_vals, 0.0, channel=False).astype(dt)
+    m2_fetch = weighted_taps(svgf_map, m2_vals, 0.0, channel=False).astype(dt)
+    m1_t = (1 - w) * m1_fetch + illum * w
+    m2_t = (1 - w) * m2_fetch + illum2 * w
     m1_t = value_or(m1_t, illum)
     m2_t = value_or(m2_t, illum2)
 
@@ -303,16 +315,21 @@ def svgf_denoise(
     cfg: SVGFConfig,
     color_taa_w,
     moments_taa_w,
+    prefetch=None,
 ):
     """Full denoise sequence (`svgf_denoise`, `rt/rtrt/cuda.hpp:1636-1711`).
 
     -> (denoised_color, new_state).  Iteration #1's output doubles as next
     frame's color history (`:1676-1688`)."""
+    hist_vals = m1_vals = m2_vals = None
+    if prefetch is not None:
+        hist_vals, m1_vals, m2_vals = prefetch
     integrated, illum = temporal_accumulation_color(
-        color, state.color_history, svgf_map, color_taa_w
+        color, state.color_history, svgf_map, color_taa_w, hist_vals=hist_vals
     )
     miu1, miu2, var = temporal_accumulation_moments(
-        svgf_map, depth, grad, normal, state.miu1, state.miu2, illum, moments_taa_w, cfg
+        svgf_map, depth, grad, normal, state.miu1, state.miu2, illum, moments_taa_w,
+        cfg, m1_vals=m1_vals, m2_vals=m2_vals,
     )
     c, v = integrated, var
     new_history = state.color_history

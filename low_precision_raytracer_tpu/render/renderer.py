@@ -194,13 +194,34 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
         normal2d = g2d["normal"]
         depth2d = g2d["depth"]
         grad = preprocess_normal_depth(normal2d, depth2d)
+        # both SVGF instances share the temporal map: pack their histories
+        # and fetch all taps in ONE gather (index count dominates gather
+        # cost on TPU)
+        from low_precision_raytracer_tpu.ops.reproject import gather_taps
+
+        packed_hist = jnp.concatenate(
+            [
+                state.svgf_colored.color_history,
+                state.svgf_colored.miu1[..., None],
+                state.svgf_colored.miu2[..., None],
+                state.svgf_white.color_history,
+                state.svgf_white.miu1[..., None],
+                state.svgf_white.miu2[..., None],
+            ],
+            axis=-1,
+        )  # (H, W, 10)
+        taps = gather_taps(svgf_map, packed_hist)  # (H, W, 4, 10)
+        pre_c = (taps[..., 0:3], taps[..., 3], taps[..., 4])
+        pre_w = (taps[..., 5:8], taps[..., 8], taps[..., 9])
         mul_c, new_colored = svgf_denoise(
             mul_c, state.svgf_colored, svgf_map, normal2d, depth2d, grad,
             cfg.svgf, cfg.svgf.color_mix_weight, cfg.svgf.moments_mix_weight,
+            prefetch=pre_c,
         )
         mul_w, new_white = svgf_denoise(
             mul_w, state.svgf_white, svgf_map, normal2d, depth2d, grad,
             cfg.svgf, cfg.svgf.color_mix_weight, cfg.svgf.moments_mix_weight,
+            prefetch=pre_w,
         )
     color = add_denoised_color(
         clean, mul_c, mul_w, out0.albedo.reshape(H, W, 3), cfg.demo
