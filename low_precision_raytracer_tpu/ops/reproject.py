@@ -127,9 +127,15 @@ def _footprint(fx, fy, H, W, dt):
     return base_y, base_x, w, inb
 
 
-def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key):
+def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
+                           svgf_payload=None, taa_payload=None):
     """`generate_temporal_map_step1/2` (`rt/rtrt/cuda.hpp:2265-2416`).
-    -> (svgf_map, taa_map) dicts (see module docstring for layout)."""
+    -> (svgf_map, taa_map, svgf_taps, taa_taps).
+
+    svgf_payload/taa_payload: optional (H, W, C) history channels to fetch
+    WITH the validation data in the same gather (one gather per tap set for
+    the whole temporal pipeline); their taps are returned as (H, W, 4, C)
+    f32 (or None)."""
     dt = dtype
     H, W = height, width
     valid = g["valid"]
@@ -157,12 +163,25 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key)
     g_fx = (1 + clip[..., 0] / clip[..., 3]) / 2 * W
     g_fy = (1 + clip[..., 1] / clip[..., 3]) / 2 * H
 
-    # pack last-frame validation data: (mesh+1) * 512 + frame_count
-    packed = (state.last_mesh_id + 1) * 512 + jnp.clip(state.svgf_frame_count, 0, 255)
+    # pack last-frame validation data: (mesh+1) * 512 + frame_count.
+    # Values stay < 2^24 so an f32 channel holds them exactly, letting the
+    # validation ride in the SAME gather as the float history payloads.
+    packed_val = (
+        (state.last_mesh_id + 1) * 512 + jnp.clip(state.svgf_frame_count, 0, 255)
+    ).astype(jnp.float32)
+
+    def fetch(by, bx, payload):
+        chans = [packed_val[..., None]]
+        if payload is not None:
+            chans.append(payload.astype(jnp.float32))
+        out = gather2x2(jnp.concatenate(chans, axis=-1), by, bx)  # (H,W,4,1+C)
+        pk = jnp.round(out[..., 0]).astype(jnp.int32)
+        taps = out[..., 1:] if payload is not None else None
+        return pk, taps
 
     # ---- SVGF map (strict same-object validation)
     by, bx, w, inb = _footprint(g_fx - jnp.asarray(0.5, dt), g_fy - jnp.asarray(0.5, dt), H, W, dt)
-    pk = gather2x2(packed, by, bx)  # (H, W, 4) i32
+    pk, svgf_taps = fetch(by, bx, svgf_payload)
     tap_mesh = pk // 512 - 1
     tap_count = pk % 512
     tap_ok = inb & (tap_mesh == mesh_p[..., None]) & valid[..., None]
@@ -179,7 +198,7 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key)
     jx = jax.random.uniform(kx, (H, W), jnp.float32).astype(dt)
     jy = jax.random.uniform(ky, (H, W), jnp.float32).astype(dt)
     by2, bx2, w2, inb2 = _footprint(g_fx - jx, g_fy - jy, H, W, dt)
-    pk2 = gather2x2(packed, by2, bx2)
+    pk2, taa_taps = fetch(by2, bx2, taa_payload)
     tap_mesh2 = pk2 // 512 - 1
     w_t = jnp.where(inb2, w2, 0).astype(dt)
     total2 = jnp.sum(w_t, axis=-1)
@@ -189,7 +208,7 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key)
     taa_count = jnp.where(same_obj & valid & any2, 1, 0).astype(jnp.int32)
     taa_map = dict(frame_count=taa_count, weights=w_t, base_y=by2, base_x=bx2)
 
-    return svgf_map, taa_map
+    return svgf_map, taa_map, svgf_taps, taa_taps
 
 
 def backup_temporal_data(g, frame, state, clean_w2c):

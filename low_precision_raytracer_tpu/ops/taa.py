@@ -7,12 +7,16 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from low_precision_raytracer_tpu.math.vec import value_or
-from low_precision_raytracer_tpu.ops.reproject import sample_linear
+from low_precision_raytracer_tpu.ops.reproject import sample_linear, weighted_taps
 
 
-def temporal_anti_aliasing(color, history, taa_map, taa_weight):
+def temporal_anti_aliasing(color, history, taa_map, taa_weight, hist_taps=None):
     dt = color.dtype
-    hist = sample_linear(taa_map, history, color)
+    if hist_taps is not None:
+        h = weighted_taps(taa_map, hist_taps, 0.0, channel=True).astype(dt)
+        hist = jnp.where((taa_map["frame_count"] > 0)[..., None], h, color)
+    else:
+        hist = sample_linear(taa_map, history, color)
     hist = value_or(hist, color)
     w = jnp.asarray(taa_weight, dt)
     return hist * (1 - w) + color * w

@@ -67,7 +67,7 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
         lambda g2d, frame, state, k: generate_temporal_maps(g2d, frame, state, W, H, dt, k)
     )
     for _ in range(2):
-        svgf_map, taa_map = _timed("Generate Temporal Map", stats, tmap_fn, g2d, frame, state, k_taa)
+        svgf_map, taa_map, _, _ = _timed("Generate Temporal Map", stats, tmap_fn, g2d, frame, state, k_taa)
 
     shade_fn = jax.jit(
         lambda sin0, d, k: shade(

@@ -135,8 +135,27 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
     g_flat, _ = fill_gbuffer(scene, frame, o, d, prec, cfg=cfg)
     g2d = {k: v.reshape((H, W) + v.shape[1:]) for k, v in g_flat.items()}
 
-    # ---- "Generate Temporal Map"
-    svgf_map, taa_map = generate_temporal_maps(g2d, frame, state, W, H, dt, k_taa)
+    # ---- "Generate Temporal Map" (+ all temporal history fetched in the
+    # same two gathers — one per tap set)
+    if cfg.demo.svgf:
+        svgf_payload = jnp.concatenate(
+            [
+                state.svgf_colored.color_history,
+                state.svgf_colored.miu1[..., None],
+                state.svgf_colored.miu2[..., None],
+                state.svgf_white.color_history,
+                state.svgf_white.miu1[..., None],
+                state.svgf_white.miu2[..., None],
+            ],
+            axis=-1,
+        )  # (H, W, 10)
+    else:
+        svgf_payload = None
+    taa_payload = state.taa_history if cfg.taa_on else None
+    svgf_map, taa_map, svgf_taps, taa_taps = generate_temporal_maps(
+        g2d, frame, state, W, H, dt, k_taa,
+        svgf_payload=svgf_payload, taa_payload=taa_payload,
+    )
 
     # ---- "Pixel Shade #1"
     sin0 = gbuffer_to_shade_input(g_flat)
@@ -194,25 +213,8 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
         normal2d = g2d["normal"]
         depth2d = g2d["depth"]
         grad = preprocess_normal_depth(normal2d, depth2d)
-        # both SVGF instances share the temporal map: pack their histories
-        # and fetch all taps in ONE gather (index count dominates gather
-        # cost on TPU)
-        from low_precision_raytracer_tpu.ops.reproject import gather_taps
-
-        packed_hist = jnp.concatenate(
-            [
-                state.svgf_colored.color_history,
-                state.svgf_colored.miu1[..., None],
-                state.svgf_colored.miu2[..., None],
-                state.svgf_white.color_history,
-                state.svgf_white.miu1[..., None],
-                state.svgf_white.miu2[..., None],
-            ],
-            axis=-1,
-        )  # (H, W, 10)
-        taps = gather_taps(svgf_map, packed_hist)  # (H, W, 4, 10)
-        pre_c = (taps[..., 0:3], taps[..., 3], taps[..., 4])
-        pre_w = (taps[..., 5:8], taps[..., 8], taps[..., 9])
+        pre_c = (svgf_taps[..., 0:3], svgf_taps[..., 3], svgf_taps[..., 4])
+        pre_w = (svgf_taps[..., 5:8], svgf_taps[..., 8], svgf_taps[..., 9])
         mul_c, new_colored = svgf_denoise(
             mul_c, state.svgf_colored, svgf_map, normal2d, depth2d, grad,
             cfg.svgf, cfg.svgf.color_mix_weight, cfg.svgf.moments_mix_weight,
@@ -230,7 +232,8 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
     # ---- "TAA"
     if cfg.taa_on:
         color = temporal_anti_aliasing(
-            color, state.taa_history, taa_map, cfg.taa_mix_weight
+            color, state.taa_history, taa_map, cfg.taa_mix_weight,
+            hist_taps=taa_taps,
         )
     new_taa_history = color
 
