@@ -77,9 +77,11 @@ def cmd_render(args) -> int:
     t0 = time.perf_counter()
     for f in range(args.frames):
         image, aux = renderer.render(time=f * args.time_step)
-    import jax
+        if args.out_pattern:
+            save_png(args.out_pattern.format(f), image)
+    import numpy as _np
 
-    jax.block_until_ready(image)
+    _ = _np.asarray(image[0, 0])  # host sync (block_until_ready lies on tunnels)
     dt = time.perf_counter() - t0
     print(
         f"rendered {args.frames} frame(s) {args.width}x{args.height} "
@@ -185,6 +187,8 @@ def main(argv=None) -> int:
     pr.add_argument("--frames", type=int, default=1)
     pr.add_argument("--time-step", type=float, default=1 / 30)
     pr.add_argument("--out", default="out.png")
+    pr.add_argument("--out-pattern", default=None,
+                    help="per-frame PNG path pattern, e.g. frames/f{:04d}.png")
     pr.add_argument("--no-gi", action="store_true")
     pr.add_argument("--no-svgf", action="store_true")
     pr.add_argument("--no-taa", action="store_true")
