@@ -163,8 +163,11 @@ class RenderConfig:
     #   'dense_pallas': force the Pallas all-pairs kernel
     #   'pallas'      : Pallas BVH kernel
     traversal_impl: str = "auto"
-    # 'auto' picks dense when instance-triangles <= this and objects <= 64
+    # 'auto' picks the XLA dense path when instance-triangles <= this
     dense_max_tris: int = 8192
+    # the Pallas dense kernel scales further thanks to tile-granular chunk
+    # culling (VMEM-bounded)
+    dense_pallas_max_tris: int = 65536
     # triangles per BVH leaf (reference uses 1, `rt/trace/object_bvh.hpp:75`;
     # >1 trades traversal steps for vectorized leaf tests — better on TPU)
     bvh_leaf_size: int = 4

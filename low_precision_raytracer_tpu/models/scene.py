@@ -253,6 +253,10 @@ class FrameInput:
     dense_tri: jnp.ndarray = None  # (TI,) i32 global triangle id
     dense_obj: jnp.ndarray = None  # (TI,) i32 inscene object id
     dense_center: jnp.ndarray = None  # (3,) f32 scene centre
+    # per-object world AABBs (fp32) — used by the dense backend's
+    # tile-granular chunk culling
+    obj_aabb_lo: jnp.ndarray = None  # (O, 3) f32
+    obj_aabb_hi: jnp.ndarray = None  # (O, 3) f32
     # STATIC instance layout: ((mesh_id, tri_start, tri_end), ...) per object
     # — lets the dense MXU backend size itself without reading traced values
     # (object list is static per scene)
@@ -480,6 +484,8 @@ def frame_input_from_flat(
         obj_w2l_f32=f32(flat.obj_w2l),
         obj_mesh=i32(flat.obj_mesh),
         obj_material=i32(flat.obj_material),
+        obj_aabb_lo=f32(flat.obj_aabb_lo),
+        obj_aabb_hi=f32(flat.obj_aabb_hi),
         tlas_lo=jnp.asarray(np.asarray(tlas_lo, np.float32), dtype=dt),
         tlas_hi=jnp.asarray(np.asarray(tlas_hi, np.float32), dtype=dt),
         tlas_parent=i32(tlas.parent),
@@ -506,8 +512,8 @@ def frame_input_from_flat(
 
 
 # hard cap on the dense backend's instance-triangle precompute
-DENSE_COEFF_MAX_TRIS = 16384
-DENSE_COEFF_MAX_OBJECTS = 64
+DENSE_COEFF_MAX_TRIS = 65536
+DENSE_COEFF_MAX_OBJECTS = 512
 
 
 def _host_m_cache(host: HostScene):

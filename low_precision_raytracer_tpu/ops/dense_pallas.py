@@ -1,23 +1,31 @@
-"""Pallas TPU kernel for the dense all-pairs intersection.
+"""Pallas TPU kernel for the dense all-pairs intersection, with
+tile-granular spatial culling — the TPU-native replacement for per-thread
+BVH traversal.
 
 Same math as ops/dense.py (world-space per-instance-triangle coefficients,
 see `models/scene.py:_dense_coefficients`) but hand-scheduled for the TPU
 memory hierarchy:
 
-- the whole coefficient table (up to ~8k instance-triangles) is VMEM-resident
-  and reused across every ray tile (constant index_map => loaded once);
+- the whole coefficient table (up to ~64k instance-triangles) is
+  VMEM-resident and reused across every ray tile (constant index_map);
 - rays are tiled onto the 128-wide lane dimension, triangle chunks onto the
   sublane dimension, so each (TC, TR) test block is a pure VPU broadcast
-  pattern with zero gathers and zero HBM traffic beyond the ray tile itself;
-- bf16 coefficients are widened to fp32 at the multiply (bf16 storage, fp32
-  accumulate — the MXU-mode equivalent for the VPU), the z-row/t always uses
-  the fp32 shadow coefficients (`rt/rtrt/cuda.hpp:234-240`);
-- the closest hit is tracked tile-locally with a min-reduce + winner-mask
-  trick (no argmin gathers).
+  pattern with zero gathers;
+- **chunk culling**: per (ray tile, triangle chunk) an XLA-precomputed
+  predicate says whether ANY ray in the tile enters the AABB of the chunk's
+  owning object(s); dead chunks are skipped with `@pl.when`.  This is packet
+  traversal restructured for a vector machine — coherence replaces per-lane
+  stackless walks (SURVEY.md §7 hard part #1), and per-tile work scales with
+  the objects a tile actually sees instead of the whole scene;
+- bf16 coefficients widen to fp32 at the multiply (bf16 storage, fp32
+  accumulate); the z-row/t always uses the fp32 shadow coefficients
+  (`rt/rtrt/cuda.hpp:234-240`);
+- closest hit tracked in the output refs (min-reduce + winner-mask, no
+  argmin gathers).
 
 The dtype error-band + fp32 re-test ('both') is evaluated unconditionally:
 on a 128-lane vector unit the band is almost always non-empty somewhere in
-the tile, so predication would rarely pay.
+the tile, so predication there would rarely pay.
 """
 
 from __future__ import annotations
@@ -26,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -36,9 +45,12 @@ F32 = jnp.float32
 
 TR = 512  # rays per tile (lane axis, multiple of 128)
 TC = 128  # triangles per chunk (sublane axis)
+MAXC = 64  # max compacted active chunks per tile (SMEM-bounded); overflow
+# falls back to iterating every chunk for that tile
 
 
 def _kernel(
+    active_ref,  # (G + G*MAXC/2,) i32: [counts | packed i16 chunk ids]
     n_dt_ref,  # (TI, 9) dtype   rows 0,1 used
     n_f32_ref,  # (TI, 9) f32    all rows
     e_ref,  # (TI, 3) f32
@@ -49,7 +61,7 @@ def _kernel(
     skip_ref,  # (1, TR) i32
     mind_ref,  # (1, TR) f32
     maxd_ref,  # (1, TR) f32
-    t_out,  # (1, TR) f32
+    t_out,  # (1, TR) f32 — double as running-best accumulators
     u_out,
     v_out,
     tri_out,  # (1, TR) i32
@@ -74,108 +86,225 @@ def _kernel(
     d12 = jnp.float32(d1 + d2)
     d1f = jnp.float32(d1)
 
-    best_t = jnp.full((1, TR), 1e5, F32)
-    best_u = jnp.zeros((1, TR), F32)
-    best_v = jnp.zeros((1, TR), F32)
-    best_tri = jnp.full((1, TR), -1, jnp.int32)
-    best_obj = jnp.full((1, TR), -1, jnp.int32)
+    t_out[:, :] = jnp.full((1, TR), 1e5, F32)
+    u_out[:, :] = jnp.zeros((1, TR), F32)
+    v_out[:, :] = jnp.zeros((1, TR), F32)
+    tri_out[:, :] = jnp.full((1, TR), -1, jnp.int32)
+    obj_out[:, :] = jnp.full((1, TR), -1, jnp.int32)
 
-    for c in range(n_chunks):
-        sl = pl.ds(c * TC, TC)
-        n_dt = n_dt_ref[sl, :].astype(F32)  # bf16 storage -> f32 math
-        n_f = n_f32_ref[sl, :]
-        e = e_ref[sl, :]
-        tri = tri_ref[sl, :]  # (TC, 1)
-        obj = obj_ref[sl, :]
+    i = pl.program_id(0)
+    g_total = pl.num_programs(0)
+    count = active_ref[i]
+    # count < 0 encodes overflow: run every chunk
+    n_iter = jnp.where(count < 0, n_chunks, count)
+    ids_base = g_total + i * (MAXC // 2)
 
-        def row(nmat, k, e_col):
-            # (TC, 1) coeffs broadcast against (1, TR) ray components
-            o_val = nmat[:, 3 * k : 3 * k + 1] * ox + nmat[:, 3 * k + 1 : 3 * k + 2] * oy + nmat[:, 3 * k + 2 : 3 * k + 3] * oz + e_col
-            d_val = nmat[:, 3 * k : 3 * k + 1] * dx + nmat[:, 3 * k + 1 : 3 * k + 2] * dy + nmat[:, 3 * k + 2 : 3 * k + 3] * dz
-            return o_val, d_val
+    def chunk_body(j, _):
+        word = active_ref[ids_base + j // 2]
+        decoded = (word >> (16 * (j % 2))) & 0xFFFF
+        c = jnp.where(count < 0, j, decoded)
+        if True:
+            sl = pl.ds(c * TC, TC)
+            n_dt = n_dt_ref[sl, :].astype(F32)  # bf16 storage -> f32 math
+            n_f = n_f32_ref[sl, :]
+            e = e_ref[sl, :]
+            tri = tri_ref[sl, :]  # (TC, 1)
+            obj = obj_ref[sl, :]
 
-        Ox, Dx = row(n_dt, 0, e[:, 0:1])
-        Oy, Dy = row(n_dt, 1, e[:, 1:2])
-        Oz, Dz = row(n_f, 2, e[:, 2:3])  # z row always fp32
+            def row(nmat, k, e_col):
+                o_val = (
+                    nmat[:, 3 * k : 3 * k + 1] * ox
+                    + nmat[:, 3 * k + 1 : 3 * k + 2] * oy
+                    + nmat[:, 3 * k + 2 : 3 * k + 3] * oz
+                    + e_col
+                )
+                d_val = (
+                    nmat[:, 3 * k : 3 * k + 1] * dx
+                    + nmat[:, 3 * k + 1 : 3 * k + 2] * dy
+                    + nmat[:, 3 * k + 2 : 3 * k + 3] * dz
+                )
+                return o_val, d_val
 
-        t = -Oz / Dz  # (TC, TR)
-        t_dx = t * Dx
-        t_dy = t * Dy
-        u = Ox + t_dx
-        v = Oy + t_dy
+            Ox, Dx = row(n_dt, 0, e[:, 0:1])
+            Oy, Dy = row(n_dt, 1, e[:, 1:2])
+            Oz, Dz = row(n_f, 2, e[:, 2:3])  # z row always fp32
 
-        def arow(nmat, k, e_col):
-            a = jnp.abs(nmat[:, 3 * k : 3 * k + 1]) * jnp.abs(ox) \
-                + jnp.abs(nmat[:, 3 * k + 1 : 3 * k + 2]) * jnp.abs(oy) \
-                + jnp.abs(nmat[:, 3 * k + 2 : 3 * k + 3]) * jnp.abs(oz) + jnp.abs(e_col)
-            b = jnp.abs(nmat[:, 3 * k : 3 * k + 1]) * jnp.abs(dx) \
-                + jnp.abs(nmat[:, 3 * k + 1 : 3 * k + 2]) * jnp.abs(dy) \
-                + jnp.abs(nmat[:, 3 * k + 2 : 3 * k + 3]) * jnp.abs(dz)
-            return a, b
+            t = -Oz / Dz  # (TC, TR)
+            t_dx = t * Dx
+            t_dy = t * Dy
+            u = Ox + t_dx
+            v = Oy + t_dy
 
-        s_ox, s_dx = arow(n_dt, 0, e[:, 0:1])
-        s_oy, s_dy = arow(n_dt, 1, e[:, 1:2])
-        error_u = (d12 * s_ox + t * d12 * s_dx + d1f * (jnp.abs(Ox) + 3 * jnp.abs(t_dx))) * 0.2
-        error_v = (d12 * s_oy + t * d12 * s_dy + d1f * (jnp.abs(Oy) + 3 * jnp.abs(t_dy))) * 0.2
+            def arow(nmat, k, e_col):
+                a = (
+                    jnp.abs(nmat[:, 3 * k : 3 * k + 1]) * jnp.abs(ox)
+                    + jnp.abs(nmat[:, 3 * k + 1 : 3 * k + 2]) * jnp.abs(oy)
+                    + jnp.abs(nmat[:, 3 * k + 2 : 3 * k + 3]) * jnp.abs(oz)
+                    + jnp.abs(e_col)
+                )
+                b = (
+                    jnp.abs(nmat[:, 3 * k : 3 * k + 1]) * jnp.abs(dx)
+                    + jnp.abs(nmat[:, 3 * k + 1 : 3 * k + 2]) * jnp.abs(dy)
+                    + jnp.abs(nmat[:, 3 * k + 2 : 3 * k + 3]) * jnp.abs(dz)
+                )
+                return a, b
 
-        w = 1.0 - u - v
-        in_band = lambda x, err: (x >= -err) & (x <= 0)
-        ambiguous = in_band(u, error_u) | in_band(v, error_v) | in_band(w, error_u + error_v)
-        dtype_accept = (u > -error_u) & (v > -error_v) & (u + v < 1 + error_u + error_v)
+            s_ox, s_dx = arow(n_dt, 0, e[:, 0:1])
+            s_oy, s_dy = arow(n_dt, 1, e[:, 1:2])
+            error_u = (d12 * s_ox + t * d12 * s_dx + d1f * (jnp.abs(Ox) + 3 * jnp.abs(t_dx))) * 0.2
+            error_v = (d12 * s_oy + t * d12 * s_dy + d1f * (jnp.abs(Oy) + 3 * jnp.abs(t_dy))) * 0.2
 
-        if fallback == "both" and not is_f32:
-            Ox32, Dx32 = row(n_f, 0, e[:, 0:1])
-            Oy32, Dy32 = row(n_f, 1, e[:, 1:2])
-            u32 = Ox32 + t * Dx32
-            v32 = Oy32 + t * Dy32
-            ok32 = (u32 > 0) & (v32 > 0) & (u32 + v32 < 1)
-            u_sel = jnp.where(ambiguous, u32, u)
-            v_sel = jnp.where(ambiguous, v32, v)
-            accept_geom = (ambiguous & ok32) | (~ambiguous & dtype_accept)
-        elif fallback == "both":
-            strict = (u > 0) & (v > 0) & (u + v < 1)
-            u_sel, v_sel = u, v
-            accept_geom = (ambiguous & strict) | (~ambiguous & dtype_accept)
-        else:
-            u_sel, v_sel = u, v
-            accept_geom = dtype_accept
+            w = 1.0 - u - v
+            in_band = lambda x, err: (x >= -err) & (x <= 0)
+            ambiguous = in_band(u, error_u) | in_band(v, error_v) | in_band(w, error_u + error_v)
+            dtype_accept = (u > -error_u) & (v > -error_v) & (u + v < 1 + error_u + error_v)
 
-        accept = (
-            accept_geom
-            & (t > mind)
-            & (t < maxd)
-            & (tri != skip)
-            & jnp.isfinite(t)
-        )
+            if fallback == "both" and not is_f32:
+                Ox32, Dx32 = row(n_f, 0, e[:, 0:1])
+                Oy32, Dy32 = row(n_f, 1, e[:, 1:2])
+                u32 = Ox32 + t * Dx32
+                v32 = Oy32 + t * Dy32
+                ok32 = (u32 > 0) & (v32 > 0) & (u32 + v32 < 1)
+                u_sel = jnp.where(ambiguous, u32, u)
+                v_sel = jnp.where(ambiguous, v32, v)
+                accept_geom = (ambiguous & ok32) | (~ambiguous & dtype_accept)
+            elif fallback == "both":
+                strict = (u > 0) & (v > 0) & (u + v < 1)
+                u_sel, v_sel = u, v
+                accept_geom = (ambiguous & strict) | (~ambiguous & dtype_accept)
+            else:
+                u_sel, v_sel = u, v
+                accept_geom = dtype_accept
 
-        t_masked = jnp.where(accept, t, jnp.inf)
-        t_min = jnp.min(t_masked, axis=0, keepdims=True)  # (1, TR)
-        # winner = smallest tri id among entries achieving t_min
-        at_min = t_masked == t_min
-        big = jnp.int32(2**30)
-        tri_win = jnp.min(jnp.where(at_min, tri, big), axis=0, keepdims=True)
-        win = at_min & (tri == tri_win)
-        neg = jnp.float32(-3e38)
-        u_win = jnp.max(jnp.where(win, u_sel, neg), axis=0, keepdims=True)
-        v_win = jnp.max(jnp.where(win, v_sel, neg), axis=0, keepdims=True)
-        obj_win = jnp.max(jnp.where(win, obj, -1), axis=0, keepdims=True)
+            accept = (
+                accept_geom
+                & (t > mind)
+                & (t < maxd)
+                & (tri != skip)
+                & jnp.isfinite(t)
+            )
 
-        better = jnp.isfinite(t_min) & (t_min < best_t)
-        best_t = jnp.where(better, t_min, best_t)
-        best_u = jnp.where(better, u_win, best_u)
-        best_v = jnp.where(better, v_win, best_v)
-        best_tri = jnp.where(better, tri_win, best_tri)
-        best_obj = jnp.where(better, obj_win, best_obj)
+            t_masked = jnp.where(accept, t, jnp.inf)
+            t_min = jnp.min(t_masked, axis=0, keepdims=True)  # (1, TR)
+            at_min = t_masked == t_min
+            big = jnp.int32(2**30)
+            tri_win = jnp.min(jnp.where(at_min, tri, big), axis=0, keepdims=True)
+            win = at_min & (tri == tri_win)
+            neg = jnp.float32(-3e38)
+            u_win = jnp.max(jnp.where(win, u_sel, neg), axis=0, keepdims=True)
+            v_win = jnp.max(jnp.where(win, v_sel, neg), axis=0, keepdims=True)
+            obj_win = jnp.max(jnp.where(win, obj, -1), axis=0, keepdims=True)
 
-    t_out[:, :] = best_t
-    u_out[:, :] = best_u
-    v_out[:, :] = best_v
-    tri_out[:, :] = best_tri
-    obj_out[:, :] = best_obj
+            better = jnp.isfinite(t_min) & (t_min < t_out[:, :])
+            t_out[:, :] = jnp.where(better, t_min, t_out[:, :])
+            u_out[:, :] = jnp.where(better, u_win, u_out[:, :])
+            v_out[:, :] = jnp.where(better, v_win, v_out[:, :])
+            tri_out[:, :] = jnp.where(better, tri_win, tri_out[:, :])
+            obj_out[:, :] = jnp.where(better, obj_win, obj_out[:, :])
+        return 0
+
+    # branchless sparse iteration: exactly n_iter chunk bodies run, indices
+    # from the compacted per-tile active-chunk list (fine-grained scf.if
+    # branching costs ~1us/branch on this TPU; a dynamic fori does not)
+    jax.lax.fori_loop(0, n_iter, chunk_body, 0)
+
+
+BLOCK_H, BLOCK_W = 8, 64  # screen-space ray tile (= TR rays), keeps tiles
+# spatially compact so the chunk culling sees few objects per tile
+
+
+def to_blocks(x, H: int, W: int):
+    """Reorder scan-order pixel rays into (BLOCK_H x BLOCK_W) screen-block
+    order (pure reshapes/transposes, no gathers).  x: (k*H*W, ...) ->
+    same shape, block-major."""
+    lead = x.shape[0] // (H * W)
+    tail = x.shape[1:]
+    y = x.reshape(lead, H // BLOCK_H, BLOCK_H, W // BLOCK_W, BLOCK_W, *tail)
+    y = jnp.swapaxes(y, 2, 3)
+    return y.reshape(x.shape)
+
+
+def from_blocks(x, H: int, W: int):
+    """Inverse of to_blocks."""
+    lead = x.shape[0] // (H * W)
+    tail = x.shape[1:]
+    y = x.reshape(lead, H // BLOCK_H, W // BLOCK_W, BLOCK_H, BLOCK_W, *tail)
+    y = jnp.swapaxes(y, 2, 3)
+    return y.reshape(x.shape)
+
+
+def blockable(R: int, tile_hw) -> bool:
+    if tile_hw is None:
+        return False
+    H, W = tile_hw
+    return (
+        R % (H * W) == 0
+        and H % BLOCK_H == 0
+        and W % BLOCK_W == 0
+        and (BLOCK_H * BLOCK_W) == TR
+    )
+
+
+def _chunk_object_matrix(obj_layout, ti_padded: int):
+    """Static (NC, O) 0/1 matrix: chunk c covers object o.  Chunks are
+    contiguous instance-triangle ranges of TC; instances are laid out
+    object-by-object in `_dense_coefficients`."""
+    nc = ti_padded // TC
+    n_obj = len(obj_layout)
+    m = np.zeros((nc, n_obj), np.float32)
+    pos = 0
+    for o, (_mesh, t0, t1) in enumerate(obj_layout):
+        n = t1 - t0
+        if n == 0:
+            continue
+        first = pos // TC
+        last = (pos + n - 1) // TC
+        m[first : last + 1, o] = 1.0
+        pos += n
+    return m
+
+
+def _chunk_predicates(frame, origins_f32, dirs_f32, min_dist, max_dist, grid, r_pad):
+    """XLA-side tile-granular chunk predicates: (grid, NCp) i32.
+
+    A chunk is active for a ray tile iff ANY ray in the tile enters the
+    world AABB of any object the chunk covers (slab test with the scene
+    slop, like the reference's TLAS leaf test)."""
+    o = origins_f32  # (Rp, 3)
+    d = dirs_f32
+    inv = 1.0 / d
+    big = jnp.float32(3e38)
+
+    def obj_hit(args):
+        lo, hi = args  # (3,)
+        t1 = (lo[None, :] - o) * inv
+        t2 = (hi[None, :] - o) * inv
+        a = jnp.minimum(t1, t2)
+        b = jnp.maximum(t1, t2)
+        fin = jnp.isfinite(a) & jnp.isfinite(b)
+        tmin = jnp.max(jnp.where(fin, a, -big), axis=-1)
+        tmax = jnp.min(jnp.where(fin, b, big), axis=-1)
+        hit = (
+            jnp.any(fin, axis=-1)
+            & (tmin <= tmax + 0.02)
+            & (0 <= tmax + 0.02)
+            & (tmin < max_dist)
+            & (tmax > min_dist)
+        )  # (Rp,)
+        return jnp.any(hit.reshape(grid, TR), axis=1)  # (G,)
+
+    tile_obj = jax.lax.map(
+        obj_hit, (frame.obj_aabb_lo, frame.obj_aabb_hi)
+    ).T.astype(jnp.float32)  # (G, O)
+
+    m = _chunk_object_matrix(frame.obj_layout, r_pad)
+    chunk_obj = jnp.asarray(m)  # (NC, O) static constant
+    active = jnp.dot(tile_obj, chunk_obj.T, preferred_element_type=F32) > 0
+    return active.astype(jnp.int32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("prec", "fallback", "find_any", "interpret")
+    jax.jit, static_argnames=("prec", "fallback", "find_any", "cull", "tile_hw", "interpret")
 )
 def trace_rays_dense_pallas(
     scene,
@@ -189,6 +318,8 @@ def trace_rays_dense_pallas(
     min_dist=0.0,
     max_dist=1e5,
     find_any: bool = False,  # dense computes all pairs anyway
+    cull: bool = True,
+    tile_hw=None,  # static (H, W): enables screen-block ray tiling
     interpret: bool = False,
 ) -> Hit:
     assert frame.dense_n is not None, "dense coefficients missing"
@@ -199,10 +330,21 @@ def trace_rays_dense_pallas(
     min_dist = jnp.broadcast_to(jnp.asarray(min_dist, F32), (R,))
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, F32), (R,))
 
+    use_blocks = cull and blockable(R, tile_hw)
+    if use_blocks:
+        H_t, W_t = tile_hw
+        origins = to_blocks(origins, H_t, W_t)
+        directions = to_blocks(directions, H_t, W_t)
+        skip_tri = to_blocks(skip_tri, H_t, W_t)
+        min_dist = to_blocks(min_dist, H_t, W_t)
+        max_dist = to_blocks(max_dist, H_t, W_t)
+
     # recentered fp32 ray components, (3, R) layout (rays on lanes)
     c = frame.dense_center
-    o = (origins.astype(F32) - c).T
-    d = directions.astype(F32).T
+    o_f32 = origins.astype(F32)
+    d_f32 = directions.astype(F32)
+    o = (o_f32 - c).T
+    d = d_f32.T
 
     TI = frame.dense_n.shape[0]
     ti_pad = (-TI) % TC
@@ -216,31 +358,55 @@ def trace_rays_dense_pallas(
         e = jnp.pad(e, ((0, ti_pad), (0, 0)), constant_values=1.0)
     tri_ids = jnp.pad(frame.dense_tri, (0, ti_pad), constant_values=-2)[:, None]
     obj_ids = jnp.pad(frame.dense_obj, (0, ti_pad), constant_values=-1)[:, None]
+    n_chunks = (TI + ti_pad) // TC
 
     r_pad = (-R) % TR
     if r_pad:
         o = jnp.pad(o, ((0, 0), (0, r_pad)))
         d = jnp.pad(d, ((0, 0), (0, r_pad)), constant_values=1.0)
+        o_f32 = jnp.pad(o_f32, ((0, r_pad), (0, 0)))
+        d_f32 = jnp.pad(d_f32, ((0, r_pad), (0, 0)), constant_values=1.0)
         skip_tri = jnp.pad(skip_tri, (0, r_pad), constant_values=-1)
         min_dist = jnp.pad(min_dist, (0, r_pad))
         max_dist = jnp.pad(max_dist, (0, r_pad))
     Rp = R + r_pad
     grid = Rp // TR
 
+    if cull and frame.obj_aabb_lo is not None and len(frame.obj_layout) > 1:
+        active = _chunk_predicates(
+            frame, o_f32, d_f32, min_dist, max_dist, grid, TI + ti_pad
+        )
+    else:
+        active = jnp.ones((grid, n_chunks), jnp.int32)
+    # compact the active-chunk ids per tile: [counts (G,) | ids packed two
+    # i16 per i32 word (G, MAXC/2)].  SMEM prefetch capacity is ~1MB.
+    col = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
+    order = jnp.argsort(jnp.where(active > 0, col, col + n_chunks), axis=1)
+    take = min(MAXC, n_chunks)
+    ids = order[:, :take].astype(jnp.int32)
+    if take < MAXC:
+        ids = jnp.pad(ids, ((0, 0), (0, MAXC - take)))
+    count = jnp.sum(active, axis=1, dtype=jnp.int32)
+    count = jnp.where(count > MAXC, -1, count)  # overflow -> run all chunks
+    pairs = ids.reshape(grid, MAXC // 2, 2)
+    packed = (pairs[..., 0] & 0xFFFF) | (pairs[..., 1] << 16)
+    active = jnp.concatenate([count, packed.reshape(-1)])
+
     kernel = functools.partial(
         _kernel,
-        n_chunks=(TI + ti_pad) // TC,
+        n_chunks=n_chunks,
         d1=prec.delta1,
         d2=prec.delta2,
         fallback=fallback,
         is_f32=prec.is_f32,
     )
 
-    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    ray_block = lambda rows: pl.BlockSpec((rows, TR), lambda i: (0, i), memory_space=pltpu.VMEM)
+    # index maps take (grid index, scalar-prefetch ref)
+    const = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+    ray_block = lambda rows: pl.BlockSpec((rows, TR), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
 
-    t, u, v, tri, obj = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(grid,),
         in_specs=[
             const(n_dt.shape),
@@ -255,6 +421,10 @@ def trace_rays_dense_pallas(
             ray_block(1),
         ],
         out_specs=[ray_block(1)] * 5,
+    )
+    t, u, v, tri, obj = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, Rp), F32),
             jax.ShapeDtypeStruct((1, Rp), F32),
@@ -264,6 +434,7 @@ def trace_rays_dense_pallas(
         ],
         interpret=interpret,
     )(
+        active,
         n_dt,
         n_f32,
         e,
@@ -275,5 +446,8 @@ def trace_rays_dense_pallas(
         min_dist[None, :],
         max_dist[None, :],
     )
-    cut = lambda x: x[0, :R]
+    def cut(x):
+        x = x[0, :R]
+        return from_blocks(x, H_t, W_t) if use_blocks else x
+
     return Hit(t=cut(t), u=cut(u), v=cut(v), tri=cut(tri), obj=cut(obj))

@@ -29,8 +29,12 @@ def resolve_impl(scene, frame, cfg: RenderConfig) -> str:
     impl = cfg.traversal_impl
     if impl == "auto":
         n_obj = len(frame.obj_layout)
-        if 0 < n_obj <= 64 and _instance_tris(frame) <= cfg.dense_max_tris:
-            return "dense_pallas" if jax.default_backend() == "tpu" else "dense"
+        ti = _instance_tris(frame)
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and 0 < n_obj <= 512 and ti <= cfg.dense_pallas_max_tris:
+            return "dense_pallas"
+        if 0 < n_obj <= 64 and ti <= cfg.dense_max_tris:
+            return "dense"
         return "jax"
     return impl
 
@@ -73,6 +77,7 @@ def trace(
             min_dist=min_dist,
             max_dist=max_dist,
             find_any=find_any,
+            tile_hw=(cfg.height, cfg.width),
             interpret=jax.default_backend() == "cpu",
         )
     if impl == "dense":

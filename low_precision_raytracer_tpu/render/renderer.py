@@ -59,10 +59,12 @@ def _trace_di(scene, frame, source, lights, skip_tri, prec, cfg):
     dt = prec.dtype
     if L == 0:
         return jnp.zeros((R, 0, 3), dt)
-    o = jnp.broadcast_to(source[:, None, :], (R, L, 3)).reshape(R * L, 3)
-    d = lights.direction.reshape(R * L, 3)
-    maxt = jnp.where(lights.valid, lights.max_t.astype(jnp.float32), 0.0).reshape(R * L)
-    skips = jnp.broadcast_to(skip_tri[:, None], (R, L)).reshape(R * L)
+    # (L, R) layout keeps each light's rays in pixel order, so the dense
+    # backend's screen-block tiling applies to shadow rays too
+    o = jnp.broadcast_to(source[None, :, :], (L, R, 3)).reshape(L * R, 3)
+    d = lights.direction.transpose(1, 0, 2).reshape(L * R, 3)
+    maxt = jnp.where(lights.valid, lights.max_t.astype(jnp.float32), 0.0).T.reshape(L * R)
+    skips = jnp.broadcast_to(skip_tri[None, :], (L, R)).reshape(L * R)
     hit = trace(
         scene,
         frame,
@@ -75,7 +77,7 @@ def _trace_di(scene, frame, source, lights, skip_tri, prec, cfg):
         min_dist=prec.ray_moveforward_t,
         max_dist=maxt,
     )
-    visible = (hit.tri < 0).reshape(R, L)
+    visible = (hit.tri < 0).reshape(L, R).T
     vis = (visible & lights.valid).astype(dt)[..., None]
     return vis * lights.multiplier
 
