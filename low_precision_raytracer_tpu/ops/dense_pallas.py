@@ -50,7 +50,7 @@ MAXC = 64  # max compacted active chunks per tile (SMEM-bounded); overflow
 
 
 def _kernel(
-    active_ref,  # (G + G*MAXC/2,) i32: [counts | packed i16 chunk ids]
+    active_ref,  # (G + G*maxc/2,) i32: [counts | packed i16 chunk ids]
     n_dt_ref,  # (TI, 9) dtype   rows 0,1 used
     n_f32_ref,  # (TI, 9) f32    all rows
     e_ref,  # (TI, 3) f32
@@ -68,10 +68,12 @@ def _kernel(
     obj_out,
     *,
     n_chunks: int,
+    maxc: int,
     d1: float,
     d2: float,
     fallback: str,
     is_f32: bool,
+    find_any: bool,
 ):
     ox = o_ref[0:1, :]
     oy = o_ref[1:2, :]
@@ -97,7 +99,7 @@ def _kernel(
     count = active_ref[i]
     # count < 0 encodes overflow: run every chunk
     n_iter = jnp.where(count < 0, n_chunks, count)
-    ids_base = g_total + i * (MAXC // 2)
+    ids_base = g_total + i * (maxc // 2)
 
     def chunk_body(j, _):
         word = active_ref[ids_base + j // 2]
@@ -206,7 +208,21 @@ def _kernel(
     # branchless sparse iteration: exactly n_iter chunk bodies run, indices
     # from the compacted per-tile active-chunk list (fine-grained scf.if
     # branching costs ~1us/branch on this TPU; a dynamic fori does not)
-    jax.lax.fori_loop(0, n_iter, chunk_body, 0)
+    if find_any:
+        # any-hit rays (shadows): stop as soon as every live lane has a hit
+        # (dead lanes — maxd <= mind, e.g. invalid command slots — count as
+        # done); incoherent shadow tiles saturate after a few chunks
+        def w_cond(j):
+            live = (tri_out[:, :] < 0) & (maxd > mind)
+            return (j < n_iter) & jnp.any(live)
+
+        def w_body(j):
+            chunk_body(j, 0)
+            return j + 1
+
+        jax.lax.while_loop(w_cond, w_body, jnp.int32(0))
+    else:
+        jax.lax.fori_loop(0, n_iter, chunk_body, 0)
 
 
 BLOCK_H, BLOCK_W = 8, 64  # screen-space ray tile (= TR rays), keeps tiles
@@ -379,26 +395,32 @@ def trace_rays_dense_pallas(
     else:
         active = jnp.ones((grid, n_chunks), jnp.int32)
     # compact the active-chunk ids per tile: [counts (G,) | ids packed two
-    # i16 per i32 word (G, MAXC/2)].  SMEM prefetch capacity is ~1MB.
+    # i16 per i32 word (G, maxc/2)].  SMEM prefetch capacity is ~1MB, so the
+    # per-tile list length adapts to the tile count; tiles whose active set
+    # exceeds it fall back to iterating every chunk (count = -1).
+    budget_words = (900 * 1024) // 4
+    maxc = min(MAXC, max(8, (budget_words // max(grid, 1) - 1) // 2 * 2))
     col = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
     order = jnp.argsort(jnp.where(active > 0, col, col + n_chunks), axis=1)
-    take = min(MAXC, n_chunks)
+    take = min(maxc, n_chunks)
     ids = order[:, :take].astype(jnp.int32)
-    if take < MAXC:
-        ids = jnp.pad(ids, ((0, 0), (0, MAXC - take)))
+    if take < maxc:
+        ids = jnp.pad(ids, ((0, 0), (0, maxc - take)))
     count = jnp.sum(active, axis=1, dtype=jnp.int32)
-    count = jnp.where(count > MAXC, -1, count)  # overflow -> run all chunks
-    pairs = ids.reshape(grid, MAXC // 2, 2)
+    count = jnp.where(count > maxc, -1, count)  # overflow -> run all chunks
+    pairs = ids.reshape(grid, maxc // 2, 2)
     packed = (pairs[..., 0] & 0xFFFF) | (pairs[..., 1] << 16)
     active = jnp.concatenate([count, packed.reshape(-1)])
 
     kernel = functools.partial(
         _kernel,
         n_chunks=n_chunks,
+        maxc=maxc,
         d1=prec.delta1,
         d2=prec.delta2,
         fallback=fallback,
         is_f32=prec.is_f32,
+        find_any=find_any,
     )
 
     # index maps take (grid index, scalar-prefetch ref)
@@ -432,6 +454,9 @@ def trace_rays_dense_pallas(
             jax.ShapeDtypeStruct((1, Rp), jnp.int32),
             jax.ShapeDtypeStruct((1, Rp), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         active,
