@@ -39,24 +39,31 @@ def gather2x2(arr, base_y, base_x):
     zero pad (i.e. already in [0, H] / [0, W]).
     -> (H, W, 4[, C]) in tap order [(0,0), (0,1), (1,0), (1,1)].
 
-    Implemented as one flat `jnp.take` with 4 indices per pixel: XLA's
-    windowed gather (slice_sizes=(2,2)) lowers catastrophically on this TPU
-    toolchain (~45x slower), while flat-index gathers are tolerable."""
+    Quad-packed gather: the 4 bilinear taps of every anchor are first packed
+    into ONE row of a shifted-slice tensor (cheap fused shifts, ~3.5 ms at
+    1080p), so a single `jnp.take` per channel group fetches the whole 2x2
+    footprint — 4x fewer gather indices.  Channel groups are sized so a
+    gathered row stays <= 32 bytes: measured on this TPU toolchain, flat
+    gathers run ~5x slower once rows exceed that (1080p f32: 4 takes of a
+    6ch payload 196 ms -> quad-packed group-2 takes 46 ms).  XLA's windowed
+    gather (slice_sizes=(2,2)) is ~45x slower still — never use it here."""
     H, W = arr.shape[:2]
     chan = arr.ndim == 3
-    pad = ((1, 1), (1, 1), (0, 0)) if chan else ((1, 1), (1, 1))
-    ap = jnp.pad(arr, pad)
-    Wp = W + 2
-    base = base_y * Wp + base_x  # (H, W)
-    idx = jnp.stack(
-        [base, base + 1, base + Wp, base + Wp + 1], axis=-1
-    ).reshape(-1)  # (N*4,)
-    if chan:
-        C = arr.shape[2]
-        out = jnp.take(ap.reshape(-1, C), idx, axis=0, mode="clip")
-        return out.reshape(H, W, 4, C)
-    out = jnp.take(ap.reshape(-1), idx, mode="clip")
-    return out.reshape(H, W, 4)
+    a = arr if chan else arr[..., None]
+    C = a.shape[2]
+    ap = jnp.pad(a, ((1, 1), (1, 1), (0, 0)))
+    # (H+1, W+1, 4, C): row (y, x) holds taps [(y,x), (y,x+1), (y+1,x),
+    # (y+1,x+1)] of the padded array — exactly one 2x2 footprint
+    quad = jnp.stack([ap[:-1, :-1], ap[:-1, 1:], ap[1:, :-1], ap[1:, 1:]], axis=2)
+    idx = (base_y * (W + 1) + base_x).reshape(-1)
+    gsz = max(1, 32 // (4 * a.dtype.itemsize))
+    outs = []
+    for c0 in range(0, C, gsz):
+        c1 = min(c0 + gsz, C)
+        g = quad[..., c0:c1].reshape((H + 1) * (W + 1), 4 * (c1 - c0))
+        outs.append(jnp.take(g, idx, axis=0, mode="clip").reshape(H, W, 4, c1 - c0))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    return out if chan else out[..., 0]
 
 
 def gather_taps(tmap, arr):
