@@ -178,12 +178,14 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
     ).astype(jnp.float32)
 
     def fetch(by, bx, payload):
-        chans = [packed_val[..., None]]
+        # validation gathers at f32 (the packed int must survive exactly);
+        # the payload gathers in its NATIVE dtype — bf16 rows pack twice as
+        # many channels under gather2x2's 32-byte row groups, and the
+        # bf16 -> f32 cast after the gather is exact
+        pk = jnp.round(gather2x2(packed_val, by, bx)).astype(jnp.int32)
+        taps = None
         if payload is not None:
-            chans.append(payload.astype(jnp.float32))
-        out = gather2x2(jnp.concatenate(chans, axis=-1), by, bx)  # (H,W,4,1+C)
-        pk = jnp.round(out[..., 0]).astype(jnp.int32)
-        taps = out[..., 1:] if payload is not None else None
+            taps = gather2x2(payload, by, bx).astype(jnp.float32)
         return pk, taps
 
     # ---- SVGF map (strict same-object validation)
