@@ -217,16 +217,25 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
         grad = preprocess_normal_depth(normal2d, depth2d)
         pre_c = (svgf_taps[..., 0:3], svgf_taps[..., 3], svgf_taps[..., 4])
         pre_w = (svgf_taps[..., 5:8], svgf_taps[..., 8], svgf_taps[..., 9])
-        mul_c, new_colored = svgf_denoise(
-            mul_c, state.svgf_colored, svgf_map, normal2d, depth2d, grad,
-            cfg.svgf, cfg.svgf.color_mix_weight, cfg.svgf.moments_mix_weight,
-            prefetch=pre_c,
+        # batch the two independent denoiser instances (GI-colored and
+        # GI-white, `rt/gui/imgui_window.cu:231-239`) through ONE vmapped
+        # pass: every stencil/filter runs once on (2, H, W) instead of
+        # twice on (H, W), halving kernel dispatches
+        mul2 = jnp.stack([mul_c, mul_w])
+        st2 = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b]), state.svgf_colored, state.svgf_white
         )
-        mul_w, new_white = svgf_denoise(
-            mul_w, state.svgf_white, svgf_map, normal2d, depth2d, grad,
-            cfg.svgf, cfg.svgf.color_mix_weight, cfg.svgf.moments_mix_weight,
-            prefetch=pre_w,
-        )
+        pre2 = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), pre_c, pre_w)
+        mul2, new_st2 = jax.vmap(
+            lambda m, s, p: svgf_denoise(
+                m, s, svgf_map, normal2d, depth2d, grad, cfg.svgf,
+                cfg.svgf.color_mix_weight, cfg.svgf.moments_mix_weight,
+                prefetch=p,
+            )
+        )(mul2, st2, pre2)
+        mul_c, mul_w = mul2[0], mul2[1]
+        new_colored = jax.tree_util.tree_map(lambda x: x[0], new_st2)
+        new_white = jax.tree_util.tree_map(lambda x: x[1], new_st2)
     color = add_denoised_color(
         clean, mul_c, mul_w, out0.albedo.reshape(H, W, 3), cfg.demo
     )
