@@ -57,15 +57,41 @@ def trace(
     skip_tri=None,
     min_dist=0.0,
     max_dist=1e5,
+    coherent: bool = True,
 ) -> Hit:
+    """`coherent=False` marks launches whose rays are NOT in screen order
+    (GI bounces, secondary shadow rays).  On multi-chunk scenes the dense
+    Pallas backend then recovers tile coherence with a morton sort
+    (`trace_rays_dense_pallas_sorted`) — incoherent tiles otherwise defeat
+    its packet culling."""
     impl = cfg.traversal_impl
     if impl == "auto":  # resolve_cfg not applied — fall back inside trace
         impl = resolve_impl(scene, frame, cfg)
     if impl == "dense_pallas":
         import jax
 
-        from low_precision_raytracer_tpu.ops.dense_pallas import trace_rays_dense_pallas
+        from low_precision_raytracer_tpu.ops.dense_pallas import (
+            TC,
+            trace_rays_dense_pallas,
+            trace_rays_dense_pallas_sorted,
+        )
 
+        interpret = jax.default_backend() == "cpu"
+        # sorting pays only when there are chunks to cull
+        if not coherent and len(frame.obj_layout) > 1 and _instance_tris(frame) > 4 * TC:
+            return trace_rays_dense_pallas_sorted(
+                scene,
+                frame,
+                origins,
+                directions,
+                prec=prec,
+                fallback=cfg.triangle_fallback,
+                skip_tri=skip_tri,
+                min_dist=min_dist,
+                max_dist=max_dist,
+                find_any=find_any,
+                interpret=interpret,
+            )
         return trace_rays_dense_pallas(
             scene,
             frame,
@@ -78,7 +104,7 @@ def trace(
             max_dist=max_dist,
             find_any=find_any,
             tile_hw=(cfg.height, cfg.width),
-            interpret=jax.default_backend() == "cpu",
+            interpret=interpret,
         )
     if impl == "dense":
         return trace_rays_dense(

@@ -48,7 +48,7 @@ from low_precision_raytracer_tpu.ops.trace import trace
 from low_precision_raytracer_tpu.render.framestate import FrameState, init_frame_state
 
 
-def _trace_di(scene, frame, source, lights, skip_tri, prec, cfg):
+def _trace_di(scene, frame, source, lights, skip_tri, prec, cfg, coherent=True):
     """`trace_di_light` (`rt/rtrt/cuda.hpp:2058-2081`): any-hit shadow ray per
     (pixel, light) command; invalid slots get max_dist 0 so their lanes
     terminate immediately (dense queues, no compaction — like the reference).
@@ -76,6 +76,7 @@ def _trace_di(scene, frame, source, lights, skip_tri, prec, cfg):
         skip_tri=skips,
         min_dist=prec.ray_moveforward_t,
         max_dist=maxt,
+        coherent=coherent,
     )
     visible = (hit.tri < 0).reshape(L, R).T
     vis = (visible & lights.valid).astype(dt)[..., None]
@@ -99,6 +100,7 @@ def _trace_gi(scene, frame, shade_out, prec, cfg):
         skip_tri=shade_out.skip_tri,
         min_dist=prec.ray_moveforward_t,
         max_dist=maxt,
+        coherent=False,  # hemisphere-sampled bounce directions
     )
     attrs = interpolate_hit_attributes(scene, frame, hit, dt)
     got = hit.tri >= 0
@@ -193,7 +195,10 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
             no_gi=True,  # the reference shades the bounce with NO_GI=true
             key=k_shade1,
         )
-        di1 = _trace_di(scene, frame, out1.source, out1.lights, out1.skip_tri, prec, cfg)
+        di1 = _trace_di(
+            scene, frame, out1.source, out1.lights, out1.skip_tri, prec, cfg,
+            coherent=False,  # shadow rays from scattered bounce hit points
+        )
         intensity1 = out1.intensity + jnp.sum(di1, axis=1) + out1.di_sky
         n_rays = (
             n_rays

@@ -66,3 +66,36 @@ def test_pallas_interpret_culled_sponza():
     np.testing.assert_array_equal(
         np.asarray(hx.tri) >= 0, np.asarray(hp.tri) >= 0
     )
+
+
+def test_pallas_sorted_matches_plain_sponza():
+    """Morton-sorted incoherent launch must return the same hits as the
+    plain launch (up to exact-t tie ordering across chunks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from low_precision_raytracer_tpu.ops.dense_pallas import (
+        trace_rays_dense_pallas_sorted,
+    )
+
+    host = sponza_like_scene(pillar_grid=2, sphere_subdiv=1, with_skybox=False)
+    prec, scene, frame, o, d, hw = _setup(host)
+    # scramble ray order to simulate an incoherent bounce launch
+    perm = jax.random.permutation(jax.random.PRNGKey(11), o.shape[0])
+    o, d = o[perm], d[perm]
+    hp = trace_rays_dense_pallas(
+        scene, frame, o, d, prec=prec, cull=True, tile_hw=None, interpret=True
+    )
+    hs = trace_rays_dense_pallas_sorted(
+        scene, frame, o, d, prec=prec, interpret=True
+    )
+    same = np.asarray(hp.tri) == np.asarray(hs.tri)
+    assert same.mean() > 0.999, f"tri agreement {same.mean()}"
+    # sorting must not create or destroy hits
+    np.testing.assert_array_equal(
+        np.asarray(hp.tri) >= 0, np.asarray(hs.tri) >= 0
+    )
+    both = same & (np.asarray(hp.tri) >= 0)
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[both], np.asarray(hs.t)[both], rtol=1e-4, atol=1e-4
+    )
