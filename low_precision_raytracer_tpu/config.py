@@ -166,8 +166,10 @@ class RenderConfig:
     # 'auto' picks the XLA dense path when instance-triangles <= this
     dense_max_tris: int = 8192
     # the Pallas dense kernel scales further thanks to tile-granular chunk
-    # culling (VMEM-bounded)
+    # culling; beyond this (VMEM-resident) cap the coefficient table is
+    # HBM-streamed per chunk, up to dense_stream_max_tris
     dense_pallas_max_tris: int = 65536
+    dense_stream_max_tris: int = 1 << 20
     # triangles per BVH leaf (reference uses 1, `rt/trace/object_bvh.hpp:75`;
     # >1 trades traversal steps for vectorized leaf tests — better on TPU)
     bvh_leaf_size: int = 4

@@ -511,8 +511,10 @@ def frame_input_from_flat(
     )
 
 
-# hard cap on the dense backend's instance-triangle precompute
-DENSE_COEFF_MAX_TRIS = 65536
+# hard cap on the dense backend's instance-triangle precompute (the Pallas
+# kernel streams the table from HBM past its VMEM-resident cap, so this is
+# bounded by host precompute time + HBM, not VMEM)
+DENSE_COEFF_MAX_TRIS = 1 << 20
 DENSE_COEFF_MAX_OBJECTS = 512
 
 

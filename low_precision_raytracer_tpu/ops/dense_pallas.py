@@ -51,22 +51,7 @@ MAXC = 64  # max compacted active chunks per tile (SMEM-bounded); overflow
 
 def _kernel(
     active_ref,  # (G + G*maxc/2,) i32: [counts | packed i16 chunk ids]
-    n_dt_ref,  # (TI, 9) dtype   rows 0,1 used
-    n_f32_ref,  # (TI, 9) f32    all rows
-    e_ref,  # (TI, 3) f32
-    tri_ref,  # (TI, 1) i32
-    obj_ref,  # (TI, 1) i32
-    o_ref,  # (3, TR) f32 (recentered)
-    d_ref,  # (3, TR) f32
-    skip_ref,  # (1, TR) i32
-    mind_ref,  # (1, TR) f32
-    maxd_ref,  # (1, TR) f32
-    t_out,  # (1, TR) f32 — double as running-best accumulators
-    u_out,
-    v_out,
-    tri_out,  # (1, TR) i32
-    obj_out,
-    *,
+    *refs,
     n_chunks: int,
     maxc: int,
     d1: float,
@@ -74,7 +59,33 @@ def _kernel(
     fallback: str,
     is_f32: bool,
     find_any: bool,
+    stream: bool = False,
 ):
+    """Resident mode (stream=False): the five coefficient tables are whole
+    VMEM refs.  Streaming mode (stream=True): ONE lane-padded f32 table
+    (TIp, 128) stays in HBM and each active chunk's (TC, 128) slab is
+    DMA'd into a VMEM scratch on demand — lifts the VMEM cap on scene
+    size (column layout: n_dt 0:9 | n_f32 9:18 | e 18:21 | tri 21 |
+    obj 22; tri/obj ride as exact f32 integers)."""
+    if stream:
+        (tbl_hbm, o_ref, d_ref, skip_ref, mind_ref, maxd_ref,
+         t_out, u_out, v_out, tri_out, obj_out, scratch, sem) = refs
+    else:
+        (n_dt_ref,  # (TI, 9) dtype   rows 0,1 used
+         n_f32_ref,  # (TI, 9) f32    all rows
+         e_ref,  # (TI, 3) f32
+         tri_ref,  # (TI, 1) i32
+         obj_ref,  # (TI, 1) i32
+         o_ref,  # (3, TR) f32 (recentered)
+         d_ref,  # (3, TR) f32
+         skip_ref,  # (1, TR) i32
+         mind_ref,  # (1, TR) f32
+         maxd_ref,  # (1, TR) f32
+         t_out,  # (1, TR) f32 — double as running-best accumulators
+         u_out,
+         v_out,
+         tri_out,  # (1, TR) i32
+         obj_out) = refs
     ox = o_ref[0:1, :]
     oy = o_ref[1:2, :]
     oz = o_ref[2:3, :]
@@ -107,11 +118,21 @@ def _kernel(
         c = jnp.where(count < 0, j, decoded)
         if True:
             sl = pl.ds(c * TC, TC)
-            n_dt = n_dt_ref[sl, :].astype(F32)  # bf16 storage -> f32 math
-            n_f = n_f32_ref[sl, :]
-            e = e_ref[sl, :]
-            tri = tri_ref[sl, :]  # (TC, 1)
-            obj = obj_ref[sl, :]
+            if stream:
+                cp = pltpu.make_async_copy(tbl_hbm.at[sl, :], scratch, sem)
+                cp.start()
+                cp.wait()
+                n_dt = scratch[:, 0:9]  # pre-rounded to the render dtype
+                n_f = scratch[:, 9:18]
+                e = scratch[:, 18:21]
+                tri = scratch[:, 21:22].astype(jnp.int32)  # (TC, 1)
+                obj = scratch[:, 22:23].astype(jnp.int32)
+            else:
+                n_dt = n_dt_ref[sl, :].astype(F32)  # bf16 storage -> f32 math
+                n_f = n_f32_ref[sl, :]
+                e = e_ref[sl, :]
+                tri = tri_ref[sl, :]  # (TC, 1)
+                obj = obj_ref[sl, :]
 
             def row(nmat, k, e_col):
                 o_val = (
@@ -320,7 +341,8 @@ def _chunk_predicates(frame, origins_f32, dirs_f32, min_dist, max_dist, grid, r_
 
 
 @functools.partial(
-    jax.jit, static_argnames=("prec", "fallback", "find_any", "cull", "tile_hw", "interpret")
+    jax.jit,
+    static_argnames=("prec", "fallback", "find_any", "cull", "tile_hw", "interpret", "stream"),
 )
 def trace_rays_dense_pallas(
     scene,
@@ -337,6 +359,7 @@ def trace_rays_dense_pallas(
     cull: bool = True,
     tile_hw=None,  # static (H, W): enables screen-block ray tiling
     interpret: bool = False,
+    stream: bool = False,  # HBM-streamed coefficient table (large scenes)
 ) -> Hit:
     assert frame.dense_n is not None, "dense coefficients missing"
     dt = prec.dtype
@@ -421,21 +444,43 @@ def trace_rays_dense_pallas(
         fallback=fallback,
         is_f32=prec.is_f32,
         find_any=find_any,
+        stream=stream,
     )
 
     # index maps take (grid index, scalar-prefetch ref)
     const = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
     ray_block = lambda rows: pl.BlockSpec((rows, TR), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(grid,),
-        in_specs=[
+    if stream:
+        # ONE lane-padded f32 table, DMA'd chunk-by-chunk (DMA slices must
+        # be 128-lane aligned, hence the padded column layout)
+        tbl = jnp.concatenate(
+            [n_dt.astype(F32), n_f32, e,
+             tri_ids.astype(F32), obj_ids.astype(F32)],
+            axis=1,
+        )
+        tbl = jnp.pad(tbl, ((0, 0), (0, 128 - tbl.shape[1])))
+        table_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        table_args = (tbl,)
+        scratch_shapes = [
+            pltpu.VMEM((TC, 128), F32),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        table_specs = [
             const(n_dt.shape),
             const(n_f32.shape),
             const(e.shape),
             const(tri_ids.shape),
             const(obj_ids.shape),
+        ]
+        table_args = (n_dt, n_f32, e, tri_ids, obj_ids)
+        scratch_shapes = []
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=table_specs + [
             ray_block(3),
             ray_block(3),
             ray_block(1),
@@ -443,6 +488,7 @@ def trace_rays_dense_pallas(
             ray_block(1),
         ],
         out_specs=[ray_block(1)] * 5,
+        scratch_shapes=scratch_shapes,
     )
     t, u, v, tri, obj = pl.pallas_call(
         kernel,
@@ -460,11 +506,7 @@ def trace_rays_dense_pallas(
         interpret=interpret,
     )(
         active,
-        n_dt,
-        n_f32,
-        e,
-        tri_ids,
-        obj_ids,
+        *table_args,
         o,
         d,
         skip_tri[None, :],
@@ -505,7 +547,7 @@ def _morton_key(origins, directions):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("prec", "fallback", "find_any", "interpret")
+    jax.jit, static_argnames=("prec", "fallback", "find_any", "interpret", "stream")
 )
 def trace_rays_dense_pallas_sorted(
     scene,
@@ -520,6 +562,7 @@ def trace_rays_dense_pallas_sorted(
     max_dist=1e5,
     find_any: bool = False,
     interpret: bool = False,
+    stream: bool = False,
 ) -> Hit:
     """Coherence-recovering launch for INCOHERENT rays (GI bounces,
     secondary shadow rays): a key-value `lax.sort` groups rays by
@@ -560,6 +603,7 @@ def trace_rays_dense_pallas_sorted(
         cull=True,
         tile_hw=None,  # tiles = consecutive 512 sorted rays
         interpret=interpret,
+        stream=stream,
     )
     back = jax.lax.sort([srt[10], hit.t, hit.u, hit.v, hit.tri, hit.obj], num_keys=1)
     return Hit(t=back[1], u=back[2], v=back[3], tri=back[4], obj=back[5])

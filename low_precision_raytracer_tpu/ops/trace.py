@@ -31,7 +31,9 @@ def resolve_impl(scene, frame, cfg: RenderConfig) -> str:
         n_obj = len(frame.obj_layout)
         ti = _instance_tris(frame)
         on_tpu = jax.default_backend() == "tpu"
-        if on_tpu and 0 < n_obj <= 512 and ti <= cfg.dense_pallas_max_tris:
+        if on_tpu and 0 < n_obj <= 512 and ti <= cfg.dense_stream_max_tris:
+            # <= dense_pallas_max_tris: coefficient table VMEM-resident;
+            # beyond: HBM-streamed per chunk (stream=True in trace())
             return "dense_pallas"
         if 0 < n_obj <= 64 and ti <= cfg.dense_max_tris:
             return "dense"
@@ -77,8 +79,10 @@ def trace(
         )
 
         interpret = jax.default_backend() == "cpu"
+        ti = _instance_tris(frame)
+        stream = ti > cfg.dense_pallas_max_tris  # table too big for VMEM
         # sorting pays only when there are chunks to cull
-        if not coherent and len(frame.obj_layout) > 1 and _instance_tris(frame) > 4 * TC:
+        if not coherent and len(frame.obj_layout) > 1 and ti > 4 * TC:
             return trace_rays_dense_pallas_sorted(
                 scene,
                 frame,
@@ -91,6 +95,7 @@ def trace(
                 max_dist=max_dist,
                 find_any=find_any,
                 interpret=interpret,
+                stream=stream,
             )
         return trace_rays_dense_pallas(
             scene,
@@ -105,6 +110,7 @@ def trace(
             find_any=find_any,
             tile_hw=(cfg.height, cfg.width),
             interpret=interpret,
+            stream=stream,
         )
     if impl == "dense":
         return trace_rays_dense(

@@ -99,3 +99,21 @@ def test_pallas_sorted_matches_plain_sponza():
     np.testing.assert_allclose(
         np.asarray(hp.t)[both], np.asarray(hs.t)[both], rtol=1e-4, atol=1e-4
     )
+
+
+def test_pallas_streamed_matches_resident():
+    """HBM-streamed coefficient table (large-scene mode) must match the
+    VMEM-resident kernel exactly."""
+    host = sponza_like_scene(pillar_grid=2, sphere_subdiv=1, with_skybox=False)
+    prec, scene, frame, o, d, hw = _setup(host)
+    hr = trace_rays_dense_pallas(
+        scene, frame, o, d, prec=prec, cull=True, tile_hw=hw, interpret=True
+    )
+    hs = trace_rays_dense_pallas(
+        scene, frame, o, d, prec=prec, cull=True, tile_hw=hw, interpret=True,
+        stream=True,
+    )
+    np.testing.assert_array_equal(np.asarray(hr.tri), np.asarray(hs.tri))
+    np.testing.assert_allclose(
+        np.asarray(hr.t), np.asarray(hs.t), rtol=1e-5, atol=1e-5
+    )
