@@ -257,6 +257,10 @@ class FrameInput:
     # tile-granular chunk culling
     obj_aabb_lo: jnp.ndarray = None  # (O, 3) f32
     obj_aabb_hi: jnp.ndarray = None  # (O, 3) f32
+    # per-chunk world AABBs (fp32, one per DENSE_CHUNK_TRIS instance tris)
+    # — finer tile-frustum culling inside big objects
+    dense_chunk_lo: jnp.ndarray = None  # (NC, 3) f32
+    dense_chunk_hi: jnp.ndarray = None  # (NC, 3) f32
     # STATIC instance layout: ((mesh_id, tri_start, tri_end), ...) per object
     # — lets the dense MXU backend size itself without reading traced values
     # (object list is static per scene)
@@ -516,14 +520,18 @@ def frame_input_from_flat(
 # bounded by host precompute time + HBM, not VMEM)
 DENSE_COEFF_MAX_TRIS = 1 << 20
 DENSE_COEFF_MAX_OBJECTS = 512
+# triangles per culling chunk — MUST match the Pallas kernel's sublane
+# chunk size (ops/dense_pallas.py imports this as TC)
+DENSE_CHUNK_TRIS = 128
 
 
 def _host_m_cache(host: HostScene):
-    """Per-HostScene cache of the fp32 M matrices / v2 (frame-independent)."""
+    """Per-HostScene cache of the fp32 M matrices / v2 / local triangle
+    vertices (frame-independent)."""
     cache = getattr(host, "_m_cache", None)
     n_tris = sum(m.n_triangles for m in host.meshes)
-    if cache is not None and cache[0] == n_tris:
-        return cache[1], cache[2]
+    if cache is not None and len(cache) == 4 and cache[0] == n_tris:
+        return cache[1], cache[2], cache[3]
     v_off = np.cumsum([0] + [m.positions.shape[0] for m in host.meshes])
     pos = np.concatenate([m.positions for m in host.meshes]).astype(np.float32)
     tri_idx = np.concatenate(
@@ -531,8 +539,9 @@ def _host_m_cache(host: HostScene):
     ).astype(np.int32)
     m_f32 = compute_m_matrices(pos, tri_idx)
     v2_f32 = pos[tri_idx[:, 2]]
-    host._m_cache = (n_tris, m_f32, v2_f32)
-    return m_f32, v2_f32
+    verts_f32 = pos[tri_idx]  # (T, 3, 3) local triangle vertices
+    host._m_cache = (n_tris, m_f32, v2_f32, verts_f32)
+    return m_f32, v2_f32, verts_f32
 
 
 def _dense_coefficients(host: HostScene, flat: FlatScene, t_off, prec: Precision):
@@ -547,16 +556,17 @@ def _dense_coefficients(host: HostScene, flat: FlatScene, t_off, prec: Precision
     none = dict(
         dense_n=None, dense_n_f32=None, dense_e=None, dense_e_dt=None,
         dense_tri=None, dense_obj=None, dense_center=None,
+        dense_chunk_lo=None, dense_chunk_hi=None,
     )
     if ti == 0 or ti > DENSE_COEFF_MAX_TRIS or n_obj > DENSE_COEFF_MAX_OBJECTS:
         return none
 
-    m_f32, v2_f32 = _host_m_cache(host)
+    m_f32, v2_f32, verts_f32 = _host_m_cache(host)
     center = (
         (flat.obj_aabb_lo.min(axis=0) + flat.obj_aabb_hi.max(axis=0)) / 2
     ).astype(np.float64)
 
-    ns, es, tris, objs = [], [], [], []
+    ns, es, tris, objs, vws = [], [], [], [], []
     for o in range(n_obj):
         mesh = int(flat.obj_mesh[o])
         t0, t1 = int(t_off[mesh]), int(t_off[mesh + 1])
@@ -573,9 +583,33 @@ def _dense_coefficients(host: HostScene, flat: FlatScene, t_off, prec: Precision
         es.append(e)
         tris.append(np.arange(t0, t1, dtype=np.int32))
         objs.append(np.full(t1 - t0, o, np.int32))
+        l2w = flat.obj_l2w[o].astype(np.float64)
+        vws.append(
+            (verts_f32[t0:t1].astype(np.float64) @ l2w[:3, :3].T + l2w[:3, 3]).astype(np.float32)
+        )
 
     n_all = np.concatenate(ns).astype(np.float32)
     e_all = np.concatenate(es).astype(np.float32)
+
+    # per-chunk world AABBs (kernel chunk = DENSE_CHUNK_TRIS consecutive
+    # instance triangles): finer culling granularity than whole objects.
+    # Padded slots sit in a degenerate far-away box; boxes are widened by a
+    # relative epsilon to stay conservative vs fp rounding.
+    vw_all = np.concatenate(vws)  # (TI, 3, 3) world verts
+    pad = (-ti) % DENSE_CHUNK_TRIS
+    big = np.float32(1e30)
+    lo_t = np.pad(vw_all.min(axis=1), ((0, pad), (0, 0)), constant_values=big)
+    hi_t = np.pad(vw_all.max(axis=1), ((0, pad), (0, 0)), constant_values=-big)
+    nc = (ti + pad) // DENSE_CHUNK_TRIS
+    chunk_lo = lo_t.reshape(nc, DENSE_CHUNK_TRIS, 3).min(axis=1)
+    chunk_hi = hi_t.reshape(nc, DENSE_CHUNK_TRIS, 3).max(axis=1)
+    ext = np.maximum(chunk_hi - chunk_lo, 0.0)
+    chunk_lo = chunk_lo - ext * 1e-3 - 1e-4
+    chunk_hi = chunk_hi + ext * 1e-3 + 1e-4
+    empty = chunk_hi[:, 0] < chunk_lo[:, 0]  # pure-padding chunks
+    chunk_lo[empty] = big
+    chunk_hi[empty] = big
+
     dt = prec.dtype
     return dict(
         dense_n=jnp.asarray(n_all, dtype=dt),
@@ -585,4 +619,6 @@ def _dense_coefficients(host: HostScene, flat: FlatScene, t_off, prec: Precision
         dense_tri=jnp.asarray(np.concatenate(tris)),
         dense_obj=jnp.asarray(np.concatenate(objs)),
         dense_center=jnp.asarray(center.astype(np.float32)),
+        dense_chunk_lo=jnp.asarray(chunk_lo),
+        dense_chunk_hi=jnp.asarray(chunk_hi),
     )

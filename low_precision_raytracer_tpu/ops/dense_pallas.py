@@ -44,9 +44,13 @@ from low_precision_raytracer_tpu.ops.traversal import Hit
 F32 = jnp.float32
 
 TR = 512  # rays per tile (lane axis, multiple of 128)
-TC = 128  # triangles per chunk (sublane axis)
-MAXC = 64  # max compacted active chunks per tile (SMEM-bounded); overflow
-# falls back to iterating every chunk for that tile
+# triangles per chunk (sublane axis) — single source of truth lives next to
+# the host-side chunk-AABB precompute
+from low_precision_raytracer_tpu.models.scene import DENSE_CHUNK_TRIS as TC  # noqa: E402
+MAXC = 512  # max compacted active chunks per tile; the adaptive per-tile
+# budget (SMEM ~1MB / n_tiles) is usually the binding cap at high ray
+# counts — e.g. 54 ids/tile at 1080p — but small grids on chunk-heavy
+# scenes need the headroom (overflow falls back to iterating every chunk)
 
 
 def _kernel(
@@ -337,7 +341,64 @@ def _chunk_predicates(frame, origins_f32, dirs_f32, min_dist, max_dist, grid, r_
     m = _chunk_object_matrix(frame.obj_layout, r_pad)
     chunk_obj = jnp.asarray(m)  # (NC, O) static constant
     active = jnp.dot(tile_obj, chunk_obj.T, preferred_element_type=F32) > 0
+
+    if frame.dense_chunk_lo is not None:
+        active = active & _tile_chunk_predicates(
+            frame, o, d, min_dist, max_dist, grid
+        )
     return active.astype(jnp.int32)
+
+
+def _tile_chunk_predicates(frame, o, d, min_dist, max_dist, grid):
+    """Conservative (G, NC) tile-frustum vs chunk-AABB test via interval
+    arithmetic: per tile, bound live-ray origins/directions componentwise,
+    then slab-test every chunk AABB against the whole interval bundle.
+    Strictly conservative — an axis whose direction interval straddles zero
+    contributes no constraint; dead lanes (max_dist <= min_dist) don't
+    widen the bounds.  Chunk AABBs subdivide big objects, so this culls far
+    tighter than the per-object test for multi-chunk meshes."""
+    big = jnp.float32(3e38)
+    live = (max_dist > min_dist).reshape(grid, TR, 1)
+
+    def bound(x, up):
+        x = x.reshape(grid, TR, 3)
+        if up:
+            return jnp.max(jnp.where(live, x, -big), axis=1)  # (G, 3)
+        return jnp.min(jnp.where(live, x, big), axis=1)
+
+    olo, ohi = bound(o, False), bound(o, True)
+    dlo, dhi = bound(d, False), bound(d, True)
+    any_live = jnp.any(live[:, :, 0], axis=1)  # (G,)
+    t_hi = jnp.max(jnp.where(live[:, :, 0], max_dist.reshape(grid, TR), 0.0), axis=1)
+
+    straddle = (dlo <= 0) & (dhi >= 0)  # (G, 3)
+    inv_a = 1.0 / jnp.where(straddle, 1.0, dlo)
+    inv_b = 1.0 / jnp.where(straddle, 1.0, dhi)
+
+    lo = frame.dense_chunk_lo  # (NC, 3)
+    hi = frame.dense_chunk_hi
+
+    # numerator intervals per axis: (box_plane - origin) over both planes
+    # and the origin interval -> [n_lo, n_hi]
+    n_lo = lo[None] - ohi[:, None]  # (G, NC, 3)
+    n_hi = hi[None] - olo[:, None]
+    # interval product [n_lo, n_hi] x [inv_a, inv_b]: 4 corner products
+    p1 = n_lo * inv_a[:, None]
+    p2 = n_lo * inv_b[:, None]
+    p3 = n_hi * inv_a[:, None]
+    p4 = n_hi * inv_b[:, None]
+    t_lo = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))
+    t_hi_ax = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
+    # straddling axes constrain nothing UNLESS the origin interval is
+    # entirely outside the slab on that axis (then rays may still enter —
+    # keep it unconstrained; conservative)
+    t_lo = jnp.where(straddle[:, None], -big, t_lo)
+    t_hi_ax = jnp.where(straddle[:, None], big, t_hi_ax)
+    tmin = jnp.max(t_lo, axis=-1)  # (G, NC)
+    tmax = jnp.min(t_hi_ax, axis=-1)
+    slop = jnp.float32(0.02)  # scene-level slab slop, like the object test
+    hit = (tmin <= tmax + slop) & (tmax + slop >= 0) & (tmin < t_hi[:, None])
+    return hit & any_live[:, None]
 
 
 @functools.partial(
