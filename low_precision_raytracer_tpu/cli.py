@@ -24,8 +24,10 @@ def _build_scene(name_or_path: str):
 
     builders = {
         "cornell": procedural.cornell_box_scene,
+        "cornell-anim": procedural.animated_cornell_scene,
         "sphere": procedural.single_mesh_scene,
         "triangle": procedural.single_triangle_scene,
+        "sponza": procedural.sponza_like_scene,
     }
     if name_or_path in builders:
         return builders[name_or_path]()
@@ -64,6 +66,8 @@ def cmd_render(args) -> int:
         taa_mix_weight=args.taa_weight,
         demo=DemoSettings(svgf=not args.no_svgf, demodulate=args.demodulate),
         triangle_fallback=args.fallback,
+        traversal_impl=args.impl,
+        max_bounces=args.bounces,
     )
     scene = _build_scene(args.scene)
     if args.skybox:
@@ -195,6 +199,12 @@ def main(argv=None) -> int:
     pr.add_argument("--taa-weight", type=float, default=1.0)
     pr.add_argument("--demodulate", action="store_true")
     pr.add_argument("--fallback", choices=["both", "dtype"], default="both")
+    pr.add_argument("--impl", default="auto",
+                    choices=["auto", "jax", "dense", "dense_pallas", "pallas"],
+                    help="trace backend (auto: dense kernel small scenes, "
+                         "packet BVH traversal large)")
+    pr.add_argument("--bounces", type=int, default=2,
+                    help="max_bounces incl. the primary shade round")
     pr.add_argument("--skybox", default=None, help="equirectangular HDR path")
     pr.add_argument("--skybox-exposure", type=float, default=1.0)
     pr.add_argument("--profile", action="store_true")

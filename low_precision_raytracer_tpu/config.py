@@ -170,6 +170,9 @@ class RenderConfig:
     # HBM-streamed per chunk, up to dense_stream_max_tris
     dense_pallas_max_tris: int = 65536
     dense_stream_max_tris: int = 1 << 20
+    # 'auto' switches from the all-pairs dense kernel to the packet BVH
+    # traversal (ops/traversal_pallas.py) above this instance-triangle count
+    packet_bvh_min_tris: int = 8192
     # triangles per BVH leaf (reference uses 1, `rt/trace/object_bvh.hpp:75`;
     # >1 trades traversal steps for vectorized leaf tests — better on TPU)
     bvh_leaf_size: int = 4
@@ -178,6 +181,7 @@ class RenderConfig:
         assert self.precision in _PRECISIONS
         assert self.triangle_fallback in ("both", "dtype")
         assert self.traversal_impl in ("auto", "jax", "dense", "dense_pallas", "pallas")
+        assert self.max_bounces >= 1, "max_bounces counts the primary shade round"
 
     @property
     def prec(self) -> Precision:

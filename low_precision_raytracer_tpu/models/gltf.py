@@ -75,42 +75,73 @@ class _Model:
         self.buffers = buffers
         self.base_dir = base_dir
 
-    def accessor(self, index: int) -> np.ndarray:
-        """Endian-safe accessor reader (`load_data`, `rt/rtrt/loader.cu:52-190`).
-        -> (count, n_components) f32 (normalized when flagged) or integer array."""
-        acc = self.gltf["accessors"][index]
-        n = _TYPE_COUNTS[acc["type"]]
-        count = acc["count"]
-        comp = _COMPONENT_DTYPES[acc["componentType"]]
+    def _view_data(self, view_index: int, byte_offset: int, count: int,
+                   n: int, comp, stride_override: int | None = None) -> np.ndarray:
+        """Strided, endian-safe read of `count` x `n` `comp` elements from a
+        bufferView (the core of `load_data`, `rt/rtrt/loader.cu:90-190`)."""
         itemsize = np.dtype(comp).itemsize
-
-        if "sparse" in acc:
-            warn("sparse accessors are not supported; using base data")
-
-        if "bufferView" not in acc:
-            return np.zeros((count, n), comp)
-
-        bv = self.gltf["bufferViews"][acc["bufferView"]]
+        bv = self.gltf["bufferViews"][view_index]
         buf = self.buffers[bv["buffer"]]
-        offset = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
-        stride = bv.get("byteStride", 0) or (n * itemsize)
-
+        offset = bv.get("byteOffset", 0) + byte_offset
+        stride = stride_override or bv.get("byteStride", 0) or (n * itemsize)
         raw = np.frombuffer(
             buf, dtype=np.uint8, count=stride * (count - 1) + n * itemsize, offset=offset
         )
         if stride == n * itemsize:
-            out = raw.view(np.dtype(comp).newbyteorder("<")).reshape(count, n)
+            return raw.view(np.dtype(comp).newbyteorder("<")).reshape(count, n)
+        idx = (
+            np.arange(count)[:, None] * stride
+            + np.arange(n * itemsize)[None, :]
+        )
+        return (
+            raw[idx]
+            .copy()
+            .view(np.dtype(comp).newbyteorder("<"))
+            .reshape(count, n)
+        )
+
+    def accessor(self, index: int) -> np.ndarray:
+        """Endian-safe accessor reader (`load_data`, `rt/rtrt/loader.cu:52-190`).
+        -> (count, n_components) f32 (normalized when flagged) or integer array.
+
+        Sparse accessors are applied per spec: base data (or zeros when the
+        accessor has no bufferView) with `sparse.count` rows substituted from
+        the values view at positions from the indices view — the behaviour
+        tinygltf gives the reference for free by pre-decoding buffers."""
+        acc = self.gltf["accessors"][index]
+        n = _TYPE_COUNTS[acc["type"]]
+        count = acc["count"]
+        comp = _COMPONENT_DTYPES[acc["componentType"]]
+
+        if "bufferView" in acc:
+            out = self._view_data(
+                acc["bufferView"], acc.get("byteOffset", 0), count, n, comp
+            )
         else:
-            idx = (
-                np.arange(count)[:, None] * stride
-                + np.arange(n * itemsize)[None, :]
+            out = np.zeros((count, n), comp)
+
+        sparse = acc.get("sparse")
+        if sparse:
+            sc = sparse["count"]
+            si = sparse["indices"]
+            sv = sparse["values"]
+            icomp = _COMPONENT_DTYPES[si["componentType"]]
+            # sparse sub-views are tightly packed (spec forbids byteStride)
+            isz = np.dtype(icomp).itemsize
+            indices = self._view_data(
+                si["bufferView"], si.get("byteOffset", 0), sc, 1, icomp,
+                stride_override=isz,
+            ).reshape(-1).astype(np.int64)
+            vsz = np.dtype(comp).itemsize
+            values = self._view_data(
+                sv["bufferView"], sv.get("byteOffset", 0), sc, n, comp,
+                stride_override=n * vsz,
             )
-            out = (
-                raw[idx]
-                .copy()
-                .view(np.dtype(comp).newbyteorder("<"))
-                .reshape(count, n)
-            )
+            if indices.size and indices.max() >= count:
+                raise GLTFError("sparse accessor index out of range")
+            out = out.copy()
+            out[indices] = values
+
         if acc.get("normalized", False) and comp in _NORM_SCALE:
             out = np.maximum(out.astype(np.float32) / _NORM_SCALE[comp], -1.0)
         return out

@@ -261,6 +261,11 @@ class FrameInput:
     # — finer tile-frustum culling inside big objects
     dense_chunk_lo: jnp.ndarray = None  # (NC, 3) f32
     dense_chunk_hi: jnp.ndarray = None  # (NC, 3) f32
+    # per-LEAF world AABBs at the packet-BVH granularity (BVH_LEAF_TRIS
+    # consecutive instance triangles) — the leaf level of the packet
+    # traversal backend (ops/traversal_pallas.py)
+    dense_leaf_lo: jnp.ndarray = None  # (NL, 3) f32
+    dense_leaf_hi: jnp.ndarray = None  # (NL, 3) f32
     # STATIC instance layout: ((mesh_id, tri_start, tri_end), ...) per object
     # — lets the dense MXU backend size itself without reading traced values
     # (object list is static per scene)
@@ -523,6 +528,11 @@ DENSE_COEFF_MAX_OBJECTS = 512
 # triangles per culling chunk — MUST match the Pallas kernel's sublane
 # chunk size (ops/dense_pallas.py imports this as TC)
 DENSE_CHUNK_TRIS = 128
+# triangles per packet-BVH leaf — MUST match ops/traversal_pallas.py's LC.
+# Finer than the dense chunk: the packet traversal kernel culls and
+# early-terminates at this granularity (DENSE_CHUNK_TRIS % BVH_LEAF_TRIS == 0
+# so both share the same padded coefficient table)
+BVH_LEAF_TRIS = 32
 
 
 def _host_m_cache(host: HostScene):
@@ -557,6 +567,7 @@ def _dense_coefficients(host: HostScene, flat: FlatScene, t_off, prec: Precision
         dense_n=None, dense_n_f32=None, dense_e=None, dense_e_dt=None,
         dense_tri=None, dense_obj=None, dense_center=None,
         dense_chunk_lo=None, dense_chunk_hi=None,
+        dense_leaf_lo=None, dense_leaf_hi=None,
     )
     if ti == 0 or ti > DENSE_COEFF_MAX_TRIS or n_obj > DENSE_COEFF_MAX_OBJECTS:
         return none
@@ -596,19 +607,27 @@ def _dense_coefficients(host: HostScene, flat: FlatScene, t_off, prec: Precision
     # Padded slots sit in a degenerate far-away box; boxes are widened by a
     # relative epsilon to stay conservative vs fp rounding.
     vw_all = np.concatenate(vws)  # (TI, 3, 3) world verts
-    pad = (-ti) % DENSE_CHUNK_TRIS
+    pad = (-ti) % DENSE_CHUNK_TRIS  # DENSE_CHUNK_TRIS % BVH_LEAF_TRIS == 0
     big = np.float32(1e30)
     lo_t = np.pad(vw_all.min(axis=1), ((0, pad), (0, 0)), constant_values=big)
     hi_t = np.pad(vw_all.max(axis=1), ((0, pad), (0, 0)), constant_values=-big)
-    nc = (ti + pad) // DENSE_CHUNK_TRIS
-    chunk_lo = lo_t.reshape(nc, DENSE_CHUNK_TRIS, 3).min(axis=1)
-    chunk_hi = hi_t.reshape(nc, DENSE_CHUNK_TRIS, 3).max(axis=1)
-    ext = np.maximum(chunk_hi - chunk_lo, 0.0)
-    chunk_lo = chunk_lo - ext * 1e-3 - 1e-4
-    chunk_hi = chunk_hi + ext * 1e-3 + 1e-4
-    empty = chunk_hi[:, 0] < chunk_lo[:, 0]  # pure-padding chunks
-    chunk_lo[empty] = big
-    chunk_hi[empty] = big
+
+    def group_aabbs(n_per_group: int):
+        """Conservatively-widened world AABBs of consecutive n_per_group
+        instance triangles; pure-padding groups park at a far-away point."""
+        ng = (ti + pad) // n_per_group
+        g_lo = lo_t.reshape(ng, n_per_group, 3).min(axis=1)
+        g_hi = hi_t.reshape(ng, n_per_group, 3).max(axis=1)
+        ext = np.maximum(g_hi - g_lo, 0.0)
+        g_lo = g_lo - ext * 1e-3 - 1e-4
+        g_hi = g_hi + ext * 1e-3 + 1e-4
+        empty = g_hi[:, 0] < g_lo[:, 0]
+        g_lo[empty] = big
+        g_hi[empty] = big
+        return g_lo, g_hi
+
+    chunk_lo, chunk_hi = group_aabbs(DENSE_CHUNK_TRIS)
+    leaf_lo, leaf_hi = group_aabbs(BVH_LEAF_TRIS)
 
     dt = prec.dtype
     return dict(
@@ -621,4 +640,6 @@ def _dense_coefficients(host: HostScene, flat: FlatScene, t_off, prec: Precision
         dense_center=jnp.asarray(center.astype(np.float32)),
         dense_chunk_lo=jnp.asarray(chunk_lo),
         dense_chunk_hi=jnp.asarray(chunk_hi),
+        dense_leaf_lo=jnp.asarray(leaf_lo),
+        dense_leaf_hi=jnp.asarray(leaf_hi),
     )

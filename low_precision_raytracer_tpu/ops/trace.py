@@ -32,8 +32,11 @@ def resolve_impl(scene, frame, cfg: RenderConfig) -> str:
         ti = _instance_tris(frame)
         on_tpu = jax.default_backend() == "tpu"
         if on_tpu and 0 < n_obj <= 512 and ti <= cfg.dense_stream_max_tris:
-            # <= dense_pallas_max_tris: coefficient table VMEM-resident;
-            # beyond: HBM-streamed per chunk (stream=True in trace())
+            # small scenes: the all-pairs kernel has no per-leaf scheduling
+            # overhead; past packet_bvh_min_tris the packet BVH traversal
+            # (ordered early-terminating walk) wins
+            if ti > cfg.packet_bvh_min_tris:
+                return "pallas"
             return "dense_pallas"
         if 0 < n_obj <= 64 and ti <= cfg.dense_max_tris:
             return "dense"
@@ -126,6 +129,8 @@ def trace(
             find_any=find_any,
         )
     if impl == "pallas":
+        import jax
+
         from low_precision_raytracer_tpu.ops.traversal_pallas import trace_rays_pallas
 
         return trace_rays_pallas(
@@ -136,10 +141,12 @@ def trace(
             prec=prec,
             find_any=find_any,
             fallback=cfg.triangle_fallback,
-            leaf_size=cfg.bvh_leaf_size,
             skip_tri=skip_tri,
             min_dist=min_dist,
             max_dist=max_dist,
+            tile_hw=(cfg.height, cfg.width),
+            coherent=coherent or len(frame.obj_layout) <= 1,
+            interpret=jax.default_backend() == "cpu",
         )
     return trace_rays(
         scene,

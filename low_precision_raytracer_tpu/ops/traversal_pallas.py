@@ -1,0 +1,741 @@
+"""Packet BVH traversal — the Pallas TPU counterpart of the reference's
+stackless two-level BVH walk (`rt/rtrt/cuda.hpp:415-631`), re-designed for a
+vector machine.
+
+A CUDA GPU walks the BVH per thread; a TPU has no per-lane divergence model,
+so the walk is restructured around 512-ray *packets* (SURVEY.md §7 hard part
+#1, "sorted ray-packet x subtree scheduling"):
+
+1. **Hierarchy phase (XLA)**: every ray packet is tested against the
+   world-space AABBs of BVH *leaves* (LC = 32 consecutive instance
+   triangles) with conservative interval arithmetic — the packet analogue
+   of `ray_aabb_intersection_scene`.  Active leaves are compacted into a
+   per-packet list ordered **front-to-back** (by distance from the launch
+   origin centroid), the vectorized equivalent of the reference's ordered
+   descent.
+2. **Traversal phase (Pallas)**: each packet walks its leaf list with a
+   `while_loop` that **early-terminates** like a real closest-hit BVH
+   traversal: a monotone suffix-minimum of leaf entry distances is
+   prefetched to SMEM, and the walk stops as soon as every live lane's
+   current best hit (or any-hit success / max_t) is closer than anything
+   that remains.  Shadow rays stop on first accepted hit
+   (`find_any`, `rt/rtrt/cuda.hpp:452-456`).
+3. **Leaf test**: the M-shift low-precision triangle test with error-band
+   fp32 fallback, identical math to ops/dense_pallas.py / the reference's
+   `ray_triangle_intersection` (`rt/rtrt/cuda.hpp:193-413`).
+
+Compared to the dense kernel this trades the coarse 128-triangle chunks for
+32-triangle leaves + ordered early termination, which is what makes it win
+on large scenes: per-packet work tracks the geometry the packet actually
+marches through, not everything its frustum overlaps.
+
+The coefficient table streams from HBM per leaf (double-buffered DMA), so
+scene size is bounded by HBM, not VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from low_precision_raytracer_tpu.config import Precision
+from low_precision_raytracer_tpu.models.scene import BVH_LEAF_TRIS as LC
+from low_precision_raytracer_tpu.ops.traversal import Hit
+
+F32 = jnp.float32
+
+TR = 512  # rays per packet (lane axis)
+MAXL = 1024  # hard cap on compacted leaf ids per packet
+
+
+def _kernel(
+    lists_ref,  # (G + G*maxc,) i32: [counts | packed (qtmin | leaf id) keys]
+    rank2orig_ref,  # (NL,) i32: global front-to-back order -> leaf id
+    tscale_ref,  # (1,) f32: dequantization step for the per-item t bounds
+    *refs,
+    n_leaves: int,
+    maxc: int,
+    d1: float,
+    d2: float,
+    fallback: str,
+    is_f32: bool,
+    find_any: bool,
+    ordered: bool,
+    stream: bool,
+    mxu: bool,
+    dt,
+):
+    if stream:
+        (tbl_hbm, o_ref, d_ref, skip_ref, mind_ref, maxd_ref,
+         t_out, u_out, v_out, tri_out, obj_out, *extra) = refs
+        if mxu:
+            scratch, sem, w_dt_ref, w_f32_ref = extra
+        else:
+            scratch, sem = extra
+    else:
+        (n_dt_ref, n_f32_ref, e_ref, tri_ref, obj_ref,
+         o_ref, d_ref, skip_ref, mind_ref, maxd_ref,
+         t_out, u_out, v_out, tri_out, obj_out, *extra) = refs
+        if mxu:
+            w_dt_ref, w_f32_ref = extra
+    ox = o_ref[0:1, :]
+    oy = o_ref[1:2, :]
+    oz = o_ref[2:3, :]
+    dx = d_ref[0:1, :]
+    dy = d_ref[1:2, :]
+    dz = d_ref[2:3, :]
+    skip = skip_ref[0:1, :]
+    mind = mind_ref[0:1, :]
+    maxd = maxd_ref[0:1, :]
+
+    d12 = jnp.float32(d1 + d2)
+    d1f = jnp.float32(d1)
+
+    t_out[:, :] = jnp.full((1, TR), 1e5, F32)
+    u_out[:, :] = jnp.zeros((1, TR), F32)
+    v_out[:, :] = jnp.zeros((1, TR), F32)
+    tri_out[:, :] = jnp.full((1, TR), -1, jnp.int32)
+    obj_out[:, :] = jnp.full((1, TR), -1, jnp.int32)
+
+    i = pl.program_id(0)
+    g_total = pl.num_programs(0)
+    count = lists_ref[i]
+    # per-packet exit cap (quantized up): no hit can lie beyond it;
+    # a saturated quantization means "unbounded"
+    qcap = lists_ref[g_total + i]
+    t_cap = jnp.where(qcap >= 32767, 3e38, qcap.astype(F32) * tscale_ref[0])
+    # count < 0 encodes list overflow: walk every leaf (global order)
+    n_iter = jnp.where(count < 0, n_leaves, count)
+    ids_base = 2 * g_total + i * maxc
+
+    def item(j):
+        """-> (leaf id, conservative entry-t lower bound).  Bounds are
+        non-decreasing in j (the list is per-tile front-to-back)."""
+        j = jnp.clip(j, 0, n_iter - 1)
+        word = lists_ref[ids_base + jnp.minimum(j, maxc - 1)]
+        c = jnp.where(count < 0, rank2orig_ref[j], word & 0xFFFF)
+        qt = 0x7FFF - ((word >> 16) & 0x7FFF)
+        bound = qt.astype(F32) * tscale_ref[0]
+        bound = jnp.where(count < 0, 0.0, bound)  # overflow: never break
+        return c, bound
+
+    def interest():
+        """Farthest distance any lane still cares about: its best hit so
+        far clipped to max_t; 0 once an any-hit lane has a hit; -1 for dead
+        lanes.  The ordered walk stops when nothing left can beat this."""
+        live = maxd > mind
+        if find_any:
+            live = live & (tri_out[:, :] < 0)
+        vals = jnp.minimum(jnp.minimum(t_out[:, :], maxd), t_cap)
+        vals = jnp.where(live, vals, -1.0)
+        return jnp.max(vals)
+
+    def cond(j):
+        go = j < n_iter
+        if ordered:
+            # stop as soon as nothing that remains can beat any live lane
+            # (covers closest-hit early termination, any-hit first-success,
+            # and shadow-ray max_t saturation in one bound)
+            _, bound = item(j)
+            return go & (bound <= interest())
+        if find_any:
+            return go & (interest() >= 0)
+        return go
+
+    def slot_dma(slot, c):
+        return pltpu.make_async_copy(
+            tbl_hbm.at[pl.ds(c * LC, LC), :], scratch.at[slot], sem.at[slot]
+        )
+
+    if mxu:
+        # the 14 per-triangle linear forms (O/D transforms, |.| error rows,
+        # fp32 shadow rows) are 3-term dot products — stage them on the MXU
+        # as two (rows, 13) x (13, TR) matmuls against a shared ray matrix
+        # B = [o; d; |o|; |d|; 1].  dt rows take the MXU-native low-precision
+        # path (dt inputs, fp32 accumulate — the kernel's dtype semantics);
+        # the z/fp32 shadow rows keep full fp32 (`rt/rtrt/cuda.hpp:234-240`).
+        ones = jnp.ones((1, TR), F32)
+        B = jnp.concatenate(
+            [o_ref[:, :], d_ref[:, :], jnp.abs(o_ref[:, :]),
+             jnp.abs(d_ref[:, :]), ones],
+            axis=0,
+        )  # (13, TR) f32
+        B_dt = B.astype(dt)
+        w_dt_ref[:, :] = jnp.zeros(w_dt_ref.shape, w_dt_ref.dtype)
+        w_f32_ref[:, :] = jnp.zeros(w_f32_ref.shape, F32)
+
+    def body(j):
+        c, _ = item(j)
+        if stream:
+            cp = slot_dma(0, c)
+            cp.start()
+            cp.wait()
+            # column layout (lane-padded f32): n_dt 0:9 (pre-rounded to the
+            # render dtype) | n_f32 9:18 | e 18:21 | tri 21 | obj 22
+            n_dt = scratch[0, :, 0:9]
+            n_f = scratch[0, :, 9:18]
+            e = scratch[0, :, 18:21]
+            tri = scratch[0, :, 21:22].astype(jnp.int32)  # (LC, 1)
+            obj = scratch[0, :, 22:23].astype(jnp.int32)
+        else:
+            sl = pl.ds(c * LC, LC)
+            n_dt = n_dt_ref[sl, :].astype(F32)  # bf16 storage -> f32 math
+            n_f = n_f32_ref[sl, :]
+            e = e_ref[sl, :]
+            tri = tri_ref[sl, :]  # (LC, 1)
+            obj = obj_ref[sl, :]
+
+        if mxu:
+            n0, n1 = n_dt[:, 0:3], n_dt[:, 3:6]
+            a0, a1 = jnp.abs(n0), jnp.abs(n1)
+            wd = w_dt_ref
+            wd[0 * LC : 1 * LC, 0:3] = n0.astype(dt)  # Ox
+            wd[1 * LC : 2 * LC, 0:3] = n1.astype(dt)  # Oy
+            wd[2 * LC : 3 * LC, 3:6] = n0.astype(dt)  # Dx
+            wd[3 * LC : 4 * LC, 3:6] = n1.astype(dt)  # Dy
+            wd[4 * LC : 5 * LC, 6:9] = a0.astype(dt)  # s_ox
+            wd[5 * LC : 6 * LC, 6:9] = a1.astype(dt)  # s_oy
+            wd[6 * LC : 7 * LC, 9:12] = a0.astype(dt)  # s_dx
+            wd[7 * LC : 8 * LC, 9:12] = a1.astype(dt)  # s_dy
+            wd[0 * LC : 1 * LC, 12:13] = e[:, 0:1].astype(dt)
+            wd[1 * LC : 2 * LC, 12:13] = e[:, 1:2].astype(dt)
+            wd[4 * LC : 5 * LC, 12:13] = jnp.abs(e[:, 0:1]).astype(dt)
+            wd[5 * LC : 6 * LC, 12:13] = jnp.abs(e[:, 1:2]).astype(dt)
+            wf = w_f32_ref
+            f0, f1, f2 = n_f[:, 0:3], n_f[:, 3:6], n_f[:, 6:9]
+            wf[0 * LC : 1 * LC, 0:3] = f2  # Oz
+            wf[0 * LC : 1 * LC, 12:13] = e[:, 2:3]
+            wf[1 * LC : 2 * LC, 3:6] = f2  # Dz
+            wf[2 * LC : 3 * LC, 0:3] = f0  # Ox32
+            wf[2 * LC : 3 * LC, 12:13] = e[:, 0:1]
+            wf[3 * LC : 4 * LC, 0:3] = f1  # Oy32
+            wf[3 * LC : 4 * LC, 12:13] = e[:, 1:2]
+            wf[4 * LC : 5 * LC, 3:6] = f0  # Dx32
+            wf[5 * LC : 6 * LC, 3:6] = f1  # Dy32
+            out_dt = jnp.dot(
+                w_dt_ref[:, :], B_dt, preferred_element_type=F32,
+                # true fp32 when the render dtype IS fp32; narrow dtypes use
+                # the native single-pass MXU mode (Mosaic rejects HIGHEST on
+                # bf16 operands)
+                precision=(jax.lax.Precision.HIGHEST if dt == F32 else None),
+            )  # (8*LC, TR)
+            out_f = jnp.dot(
+                w_f32_ref[:, :], B, preferred_element_type=F32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (6*LC, TR)
+            Ox = out_dt[0 * LC : 1 * LC]
+            Oy = out_dt[1 * LC : 2 * LC]
+            Dx = out_dt[2 * LC : 3 * LC]
+            Dy = out_dt[3 * LC : 4 * LC]
+            s_ox = out_dt[4 * LC : 5 * LC]
+            s_oy = out_dt[5 * LC : 6 * LC]
+            s_dx = out_dt[6 * LC : 7 * LC]
+            s_dy = out_dt[7 * LC : 8 * LC]
+            Oz = out_f[0 * LC : 1 * LC]
+            Dz = out_f[1 * LC : 2 * LC]
+        else:
+            def row(nmat, k, e_col):
+                o_val = (
+                    nmat[:, 3 * k : 3 * k + 1] * ox
+                    + nmat[:, 3 * k + 1 : 3 * k + 2] * oy
+                    + nmat[:, 3 * k + 2 : 3 * k + 3] * oz
+                    + e_col
+                )
+                d_val = (
+                    nmat[:, 3 * k : 3 * k + 1] * dx
+                    + nmat[:, 3 * k + 1 : 3 * k + 2] * dy
+                    + nmat[:, 3 * k + 2 : 3 * k + 3] * dz
+                )
+                return o_val, d_val
+
+            def arow(nmat, k, e_col):
+                a = (
+                    jnp.abs(nmat[:, 3 * k : 3 * k + 1]) * jnp.abs(ox)
+                    + jnp.abs(nmat[:, 3 * k + 1 : 3 * k + 2]) * jnp.abs(oy)
+                    + jnp.abs(nmat[:, 3 * k + 2 : 3 * k + 3]) * jnp.abs(oz)
+                    + jnp.abs(e_col)
+                )
+                b = (
+                    jnp.abs(nmat[:, 3 * k : 3 * k + 1]) * jnp.abs(dx)
+                    + jnp.abs(nmat[:, 3 * k + 1 : 3 * k + 2]) * jnp.abs(dy)
+                    + jnp.abs(nmat[:, 3 * k + 2 : 3 * k + 3]) * jnp.abs(dz)
+                )
+                return a, b
+
+            Ox, Dx = row(n_dt, 0, e[:, 0:1])
+            Oy, Dy = row(n_dt, 1, e[:, 1:2])
+            Oz, Dz = row(n_f, 2, e[:, 2:3])  # z row always fp32
+            s_ox, s_dx = arow(n_dt, 0, e[:, 0:1])
+            s_oy, s_dy = arow(n_dt, 1, e[:, 1:2])
+
+        t = -Oz / Dz  # (LC, TR)
+        t_dx = t * Dx
+        t_dy = t * Dy
+        u = Ox + t_dx
+        v = Oy + t_dy
+
+        error_u = (d12 * s_ox + t * d12 * s_dx + d1f * (jnp.abs(Ox) + 3 * jnp.abs(t_dx))) * 0.2
+        error_v = (d12 * s_oy + t * d12 * s_dy + d1f * (jnp.abs(Oy) + 3 * jnp.abs(t_dy))) * 0.2
+
+        w = 1.0 - u - v
+        in_band = lambda x, err: (x >= -err) & (x <= 0)
+        ambiguous = in_band(u, error_u) | in_band(v, error_v) | in_band(w, error_u + error_v)
+        dtype_accept = (u > -error_u) & (v > -error_v) & (u + v < 1 + error_u + error_v)
+
+        if fallback == "both" and not is_f32:
+            if mxu:
+                Ox32 = out_f[2 * LC : 3 * LC]
+                Oy32 = out_f[3 * LC : 4 * LC]
+                Dx32 = out_f[4 * LC : 5 * LC]
+                Dy32 = out_f[5 * LC : 6 * LC]
+            else:
+                Ox32, Dx32 = row(n_f, 0, e[:, 0:1])
+                Oy32, Dy32 = row(n_f, 1, e[:, 1:2])
+            u32 = Ox32 + t * Dx32
+            v32 = Oy32 + t * Dy32
+            ok32 = (u32 > 0) & (v32 > 0) & (u32 + v32 < 1)
+            u_sel = jnp.where(ambiguous, u32, u)
+            v_sel = jnp.where(ambiguous, v32, v)
+            accept_geom = (ambiguous & ok32) | (~ambiguous & dtype_accept)
+        elif fallback == "both":
+            strict = (u > 0) & (v > 0) & (u + v < 1)
+            u_sel, v_sel = u, v
+            accept_geom = (ambiguous & strict) | (~ambiguous & dtype_accept)
+        else:
+            u_sel, v_sel = u, v
+            accept_geom = dtype_accept
+
+        accept = (
+            accept_geom
+            & (t > mind)
+            & (t < maxd)
+            & (tri != skip)
+            & jnp.isfinite(t)
+        )
+
+        t_masked = jnp.where(accept, t, jnp.inf)
+        t_min = jnp.min(t_masked, axis=0, keepdims=True)  # (1, TR)
+        at_min = t_masked == t_min
+        big = jnp.int32(2**30)
+        tri_win = jnp.min(jnp.where(at_min, tri, big), axis=0, keepdims=True)
+        win = at_min & (tri == tri_win)
+        neg = jnp.float32(-3e38)
+        u_win = jnp.max(jnp.where(win, u_sel, neg), axis=0, keepdims=True)
+        v_win = jnp.max(jnp.where(win, v_sel, neg), axis=0, keepdims=True)
+        obj_win = jnp.max(jnp.where(win, obj, -1), axis=0, keepdims=True)
+
+        better = jnp.isfinite(t_min) & (t_min < t_out[:, :])
+        t_out[:, :] = jnp.where(better, t_min, t_out[:, :])
+        u_out[:, :] = jnp.where(better, u_win, u_out[:, :])
+        v_out[:, :] = jnp.where(better, v_win, v_out[:, :])
+        tri_out[:, :] = jnp.where(better, tri_win, tri_out[:, :])
+        obj_out[:, :] = jnp.where(better, obj_win, obj_out[:, :])
+        return j + 1
+
+    jax.lax.while_loop(cond, body, jnp.int32(0))
+
+
+def _leaf_schedule(lo, hi, o_f32, d_f32, min_dist, max_dist, grid, maxc):
+    """XLA hierarchy phase: per-packet compacted leaf lists in EXACT per-tile
+    front-to-back order, each item carrying a conservative (quantized-down)
+    lower bound of the packet's entry t into the leaf.  All in world space
+    (the kernel's recentered ray frame only affects the coefficient math).
+
+    One `top_k` does compaction + ordering + bound transport at once: the
+    sort key packs (15-bit negated quantized tmin | 16-bit leaf id) into a
+    positive i32, so the k largest keys are the k nearest active leaves and
+    the kernel can decode both fields from the prefetched word.
+
+    -> (lists (G + G*maxc,) i32: [counts | keys], rank2orig (NL,) i32 global
+       front-to-back order for list overflow, tscale (1,) f32 dequant step)
+    """
+    nl = lo.shape[0]
+    assert nl <= 0xFFFF, "leaf id must fit 16 bits"
+
+    active, tmin, tmax = _packet_leaf_predicates(
+        lo, hi, o_f32, d_f32, min_dist, max_dist, grid
+    )
+    tmin = jnp.maximum(tmin, 0.0)
+
+    # quantize entry-t lower bounds to 15 bits, rounding DOWN (conservative)
+    finite = jnp.isfinite(tmin) & (active > 0)
+    t_top = jnp.max(jnp.where(finite, tmin, 0.0))
+    tscale = jnp.maximum(t_top, 1e-6) / 0x7FF0
+    qt = jnp.clip((tmin / tscale).astype(jnp.int32), 0, 0x7FFE)
+
+    take = min(maxc, nl)
+    col = jax.lax.broadcasted_iota(jnp.int32, (grid, nl), 1)
+    key = jnp.where(active > 0, ((0x7FFF - qt) << 16) | col, 0)
+    keys, _ = jax.lax.top_k(key, take)  # (G, take) nearest-first
+    if take < maxc:
+        keys = jnp.pad(keys, ((0, 0), (0, maxc - take)))
+    count = jnp.sum(active, axis=1, dtype=jnp.int32)
+    count = jnp.where(count > take, -1, count)  # overflow -> walk everything
+
+    # per-packet EXIT CAP: no hit can lie beyond the farthest active-leaf
+    # exit, so miss lanes (sky) stop gating the early break once every hit
+    # lane has converged.  Quantized UP to stay conservative.
+    big = jnp.float32(3e38)
+    t_cap = jnp.max(
+        jnp.where(active > 0, jnp.minimum(tmax, big), 0.0), axis=1
+    )  # (G,)
+    # clip in float BEFORE the int cast (t_cap can be huge)
+    qcap = jnp.clip(t_cap / tscale + 1.0, 0.0, 32767.0).astype(jnp.int32)
+    lists = jnp.concatenate([count, qcap, keys.reshape(-1)])
+
+    # global front-to-back order (launch origin centroid) for overflow walks
+    live = (max_dist > min_dist)[:, None]
+    n_live = jnp.maximum(jnp.sum(live.astype(F32)), 1.0)
+    o_ref = jnp.sum(jnp.where(live, o_f32, 0.0), axis=0) / n_live  # (3,)
+    center = (lo + hi) * 0.5
+    radius = 0.5 * jnp.linalg.norm(hi - lo, axis=1)
+    dist = jnp.linalg.norm(center - o_ref, axis=1) - radius  # (NL,)
+    rank2orig = jnp.argsort(dist).astype(jnp.int32)
+    return lists, rank2orig, tscale.reshape(1).astype(F32)
+
+
+def _packet_leaf_predicates(lo, hi, o, d, min_dist, max_dist, grid):
+    """Conservative (G, NL) packet-frustum vs leaf-AABB predicates AND entry
+    tmin lower bounds via interval arithmetic (same scheme as the dense
+    kernel's chunk culling: bound live-ray origins/directions componentwise
+    per packet, slab-test every leaf AABB against the interval bundle)."""
+    big = jnp.float32(3e38)
+    live = (max_dist > min_dist).reshape(grid, TR, 1)
+
+    def bound(x, up):
+        x = x.reshape(grid, TR, 3)
+        if up:
+            return jnp.max(jnp.where(live, x, -big), axis=1)  # (G, 3)
+        return jnp.min(jnp.where(live, x, big), axis=1)
+
+    olo, ohi = bound(o, False), bound(o, True)
+    dlo, dhi = bound(d, False), bound(d, True)
+    any_live = jnp.any(live[:, :, 0], axis=1)  # (G,)
+    t_hi = jnp.max(jnp.where(live[:, :, 0], max_dist.reshape(grid, TR), 0.0), axis=1)
+
+    straddle = (dlo <= 0) & (dhi >= 0)  # (G, 3)
+    inv_a = 1.0 / jnp.where(straddle, 1.0, dlo)
+    inv_b = 1.0 / jnp.where(straddle, 1.0, dhi)
+
+    n_lo = lo[None] - ohi[:, None]  # (G, NL, 3)
+    n_hi = hi[None] - olo[:, None]
+    p1 = n_lo * inv_a[:, None]
+    p2 = n_lo * inv_b[:, None]
+    p3 = n_hi * inv_a[:, None]
+    p4 = n_hi * inv_b[:, None]
+    t_lo = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))
+    t_hi_ax = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
+    t_lo = jnp.where(straddle[:, None], -big, t_lo)
+    t_hi_ax = jnp.where(straddle[:, None], big, t_hi_ax)
+    tmin = jnp.max(t_lo, axis=-1)  # (G, NL)
+    tmax = jnp.min(t_hi_ax, axis=-1)
+    slop = jnp.float32(0.02)  # scene-level slab slop (`rt/rtrt/cuda.hpp:98`)
+    hit = (tmin <= tmax + slop) & (tmax + slop >= 0) & (tmin < t_hi[:, None])
+    return (hit & any_live[:, None]).astype(jnp.int32), tmin, tmax + slop
+
+
+def build_stream_table(frame, dt):
+    """ONE lane-padded f32 coefficient table for HBM->VMEM leaf DMA.
+
+    Columns: n_dt 0:9 (pre-rounded to the render dtype) | n_f32 9:18 |
+    e 18:21 | tri 21 | obj 22; tri/obj ride as exact f32 integers.  Rows
+    padded to a DENSE_CHUNK_TRIS multiple with degenerate entries
+    (Dz = 0, Oz = 1 -> t = -inf, rejected by isfinite)."""
+    TI = frame.dense_n.shape[0]
+    from low_precision_raytracer_tpu.models.scene import DENSE_CHUNK_TRIS
+
+    ti_pad = (-TI) % DENSE_CHUNK_TRIS
+    n_dt = frame.dense_n.reshape(TI, 9).astype(dt).astype(F32)
+    n_f32 = frame.dense_n_f32.reshape(TI, 9)
+    e = frame.dense_e
+    if ti_pad:
+        n_dt = jnp.pad(n_dt, ((0, ti_pad), (0, 0)))
+        n_f32 = jnp.pad(n_f32, ((0, ti_pad), (0, 0)))
+        e = jnp.pad(e, ((0, ti_pad), (0, 0)), constant_values=1.0)
+    tri_ids = jnp.pad(frame.dense_tri, (0, ti_pad), constant_values=-2)[:, None]
+    obj_ids = jnp.pad(frame.dense_obj, (0, ti_pad), constant_values=-1)[:, None]
+    tbl = jnp.concatenate(
+        [n_dt, n_f32, e, tri_ids.astype(F32), obj_ids.astype(F32)], axis=1
+    )
+    return jnp.pad(tbl, ((0, 0), (0, 128 - tbl.shape[1])))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "prec", "fallback", "find_any", "tile_hw", "interpret", "stream", "mxu",
+    ),
+)
+def trace_rays_packet(
+    scene,
+    frame,
+    origins,
+    directions,
+    *,
+    prec: Precision,
+    fallback: str = "both",
+    skip_tri=None,
+    min_dist=0.0,
+    max_dist=1e5,
+    find_any: bool = False,
+    tile_hw=None,  # static (H, W): enables screen-block packet tiling
+    interpret: bool = False,
+    stream: bool = False,  # HBM-streamed coefficient table (large scenes)
+    mxu: bool = True,  # MXU-staged triangle transforms
+) -> Hit:
+    """Closest-hit / any-hit trace via packet BVH traversal."""
+    assert frame.dense_n is not None, "coefficient table missing"
+    assert frame.dense_leaf_lo is not None, "leaf AABBs missing"
+    dt = prec.dtype
+    R = origins.shape[0]
+    if skip_tri is None:
+        skip_tri = jnp.full((R,), -1, jnp.int32)
+    min_dist = jnp.broadcast_to(jnp.asarray(min_dist, F32), (R,))
+    max_dist = jnp.broadcast_to(jnp.asarray(max_dist, F32), (R,))
+
+    from low_precision_raytracer_tpu.ops.dense_pallas import (
+        blockable,
+        from_blocks,
+        to_blocks,
+    )
+
+    use_blocks = blockable(R, tile_hw)
+    if use_blocks:
+        H_t, W_t = tile_hw
+        origins = to_blocks(origins, H_t, W_t)
+        directions = to_blocks(directions, H_t, W_t)
+        skip_tri = to_blocks(skip_tri, H_t, W_t)
+        min_dist = to_blocks(min_dist, H_t, W_t)
+        max_dist = to_blocks(max_dist, H_t, W_t)
+
+    c = frame.dense_center
+    o_f32 = origins.astype(F32)
+    d_f32 = directions.astype(F32)
+    o = (o_f32 - c).T  # recentered fp32, (3, R) — rays on lanes
+    d = d_f32.T
+
+    r_pad = (-R) % TR
+    if r_pad:
+        o = jnp.pad(o, ((0, 0), (0, r_pad)))
+        d = jnp.pad(d, ((0, 0), (0, r_pad)), constant_values=1.0)
+        o_f32 = jnp.pad(o_f32, ((0, r_pad), (0, 0)))
+        d_f32 = jnp.pad(d_f32, ((0, r_pad), (0, 0)), constant_values=1.0)
+        skip_tri = jnp.pad(skip_tri, (0, r_pad), constant_values=-1)
+        min_dist = jnp.pad(min_dist, (0, r_pad))
+        max_dist = jnp.pad(max_dist, (0, r_pad))
+    Rp = R + r_pad
+    grid = Rp // TR
+
+    TI = frame.dense_n.shape[0]
+    from low_precision_raytracer_tpu.models.scene import DENSE_CHUNK_TRIS
+
+    ti_pad = (-TI) % DENSE_CHUNK_TRIS
+    n_leaves = (TI + ti_pad) // LC
+
+    # adaptive per-packet list length under the ~1MB SMEM prefetch budget
+    # (shared with rank2orig; one i32 key per item)
+    budget_words = (850 * 1024) // 4 - n_leaves
+    maxc = min(MAXL, max(8, budget_words // max(grid, 1) - 2))
+    lists, rank2orig, tscale = _leaf_schedule(
+        frame.dense_leaf_lo, frame.dense_leaf_hi,
+        o_f32, d_f32, min_dist, max_dist, grid, maxc,
+    )
+
+    kernel = functools.partial(
+        _kernel,
+        n_leaves=n_leaves,
+        maxc=maxc,
+        d1=prec.delta1,
+        d2=prec.delta2,
+        fallback=fallback,
+        is_f32=prec.is_f32,
+        find_any=find_any,
+        ordered=True,
+        stream=stream,
+        mxu=mxu,
+        dt=dt,
+    )
+
+    ray_block = lambda rows: pl.BlockSpec(
+        (rows, TR), lambda i, *_: (0, i), memory_space=pltpu.VMEM
+    )
+
+    mxu_scratch = (
+        [pltpu.VMEM((8 * LC, 13), dt), pltpu.VMEM((6 * LC, 13), F32)]
+        if mxu
+        else []
+    )
+    if stream:
+        table_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # HBM, DMA'd per leaf
+        table_args = (build_stream_table(frame, dt),)
+        scratch_shapes = [
+            pltpu.VMEM((2, LC, 128), F32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ] + mxu_scratch
+    else:
+        # VMEM-resident coefficient tables, reused across every packet
+        n_dt = frame.dense_n.reshape(TI, 9).astype(dt)
+        n_f32 = frame.dense_n_f32.reshape(TI, 9)
+        e = frame.dense_e
+        if ti_pad:
+            # degenerate padding: Dz = 0, Oz = 1 -> t = -inf, isfinite-rejected
+            n_dt = jnp.pad(n_dt, ((0, ti_pad), (0, 0)))
+            n_f32 = jnp.pad(n_f32, ((0, ti_pad), (0, 0)))
+            e = jnp.pad(e, ((0, ti_pad), (0, 0)), constant_values=1.0)
+        tri_ids = jnp.pad(frame.dense_tri, (0, ti_pad), constant_values=-2)[:, None]
+        obj_ids = jnp.pad(frame.dense_obj, (0, ti_pad), constant_values=-1)[:, None]
+        const = lambda shape: pl.BlockSpec(
+            shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+        )
+        table_specs = [
+            const(n_dt.shape),
+            const(n_f32.shape),
+            const(e.shape),
+            const(tri_ids.shape),
+            const(obj_ids.shape),
+        ]
+        table_args = (n_dt, n_f32, e, tri_ids, obj_ids)
+        scratch_shapes = mxu_scratch
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(grid,),
+        in_specs=table_specs + [
+            ray_block(3),
+            ray_block(3),
+            ray_block(1),
+            ray_block(1),
+            ray_block(1),
+        ],
+        out_specs=[ray_block(1)] * 5,
+        scratch_shapes=scratch_shapes,
+    )
+    t, u, v, tri, obj = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Rp), F32),
+            jax.ShapeDtypeStruct((1, Rp), F32),
+            jax.ShapeDtypeStruct((1, Rp), F32),
+            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        lists,
+        rank2orig,
+        tscale,
+        *table_args,
+        o,
+        d,
+        skip_tri[None, :],
+        min_dist[None, :],
+        max_dist[None, :],
+    )
+
+    def cut(x):
+        x = x[0, :R]
+        return from_blocks(x, H_t, W_t) if use_blocks else x
+
+    return Hit(t=cut(t), u=cut(u), v=cut(v), tri=cut(tri), obj=cut(obj))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("prec", "fallback", "find_any", "interpret", "stream")
+)
+def trace_rays_packet_sorted(
+    scene,
+    frame,
+    origins,
+    directions,
+    *,
+    prec: Precision,
+    fallback: str = "both",
+    skip_tri=None,
+    min_dist=0.0,
+    max_dist=1e5,
+    find_any: bool = False,
+    interpret: bool = False,
+    stream: bool = False,
+) -> Hit:
+    """Coherence-recovering launch for incoherent rays (GI bounces,
+    secondary shadows): morton-sort rays so each packet is spatially
+    compact, trace, unsort (same scheme as
+    dense_pallas.trace_rays_dense_pallas_sorted)."""
+    from low_precision_raytracer_tpu.ops.dense_pallas import _morton_key
+
+    R = origins.shape[0]
+    if skip_tri is None:
+        skip_tri = jnp.full((R,), -1, jnp.int32)
+    min_dist = jnp.broadcast_to(jnp.asarray(min_dist, F32), (R,))
+    max_dist = jnp.broadcast_to(jnp.asarray(max_dist, F32), (R,))
+    key = _morton_key(origins, directions)
+    of = origins.astype(F32)
+    df = directions.astype(F32)
+    idx = jnp.arange(R, dtype=jnp.int32)
+    srt = jax.lax.sort(
+        [key, of[:, 0], of[:, 1], of[:, 2], df[:, 0], df[:, 1], df[:, 2],
+         skip_tri, min_dist, max_dist, idx],
+        num_keys=1,
+    )
+    o_s = jnp.stack(srt[1:4], axis=1).astype(origins.dtype)
+    d_s = jnp.stack(srt[4:7], axis=1).astype(directions.dtype)
+    hit = trace_rays_packet(
+        scene,
+        frame,
+        o_s,
+        d_s,
+        prec=prec,
+        fallback=fallback,
+        skip_tri=srt[7],
+        min_dist=srt[8],
+        max_dist=srt[9],
+        find_any=find_any,
+        tile_hw=None,
+        interpret=interpret,
+        stream=stream,
+    )
+    back = jax.lax.sort([srt[10], hit.t, hit.u, hit.v, hit.tri, hit.obj], num_keys=1)
+    return Hit(t=back[1], u=back[2], v=back[3], tri=back[4], obj=back[5])
+
+
+# public alias expected by the trace dispatcher (`ops/trace.py`)
+def trace_rays_pallas(
+    scene,
+    frame,
+    origins,
+    directions,
+    *,
+    prec: Precision,
+    find_any: bool = False,
+    fallback: str = "both",
+    leaf_size: int = LC,  # fixed-LC packet leaves; kept for API parity
+    skip_tri=None,
+    min_dist=0.0,
+    max_dist=1e5,
+    tile_hw=None,
+    coherent: bool = True,
+    interpret: bool = False,
+    stream: bool | None = None,
+) -> Hit:
+    if stream is None:
+        stream = frame.dense_n.shape[0] > 65536  # table too big for VMEM
+    if not coherent:
+        return trace_rays_packet_sorted(
+            scene, frame, origins, directions, prec=prec, fallback=fallback,
+            skip_tri=skip_tri, min_dist=min_dist, max_dist=max_dist,
+            find_any=find_any, interpret=interpret, stream=stream,
+        )
+    return trace_rays_packet(
+        scene, frame, origins, directions, prec=prec, fallback=fallback,
+        skip_tri=skip_tri, min_dist=min_dist, max_dist=max_dist,
+        find_any=find_any, tile_hw=tile_hw, interpret=interpret, stream=stream,
+    )

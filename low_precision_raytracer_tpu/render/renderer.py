@@ -130,7 +130,11 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
     dt = prec.dtype
     H, W = cfg.height, cfg.width
     R = H * W
-    k_taa, k_shade0, k_shade1 = jax.random.split(key, 3)
+    # GI needs at least one bounce round beyond the primary shade
+    # (reference hardcodes max_bounces=2, `rt/gui/imgui_window.cu:356`;
+    # here the round count is the config knob)
+    gi_rounds = cfg.max_bounces - 1 if cfg.gi_on else 0
+    k_taa, k_shade0, *k_rounds = jax.random.split(key, 2 + max(gi_rounds, 1))
 
     # ---- primary rays + traced G-buffer ("Primary Ray" stage)
     o, d = primary_ray_grid(frame.cam_l2w, frame.cam_fov_y, W, H, dt)
@@ -171,7 +175,7 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
         prec=prec,
         cfg=cfg,
         first_round=True,
-        no_gi=not cfg.gi_on,
+        no_gi=gi_rounds == 0,
         key=k_shade0,
     )
 
@@ -181,32 +185,45 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
 
     n_rays = jnp.asarray(R, jnp.int32) + jnp.sum(out0.lights.valid.astype(jnp.int32))
 
-    # ---- GI round ("Trace GI #1", "Shade #2", "Trace DI #2", "Accumulate #2")
-    if cfg.gi_on:
-        sin1 = _trace_gi(scene, frame, out0, prec, cfg)
-        out1 = shade(
+    # ---- GI rounds ("Trace GI #k", "Shade #k+1", "Trace DI #k+1",
+    # "Accumulate #k+1"), `cfg.max_bounces - 1` of them.  Round-1 radiance
+    # feeds the SVGF colored/white demodulation channels directly (the
+    # reference's two-bounce schedule); deeper rounds fold in multiplied by
+    # the BRDF path throughput of the intermediate bounces.
+    intensity1 = jnp.zeros((R, 3), dt)
+    out_prev = out0
+    path_mult = jnp.ones((R, 3), dt)
+    for r in range(1, gi_rounds + 1):
+        sin_r = _trace_gi(scene, frame, out_prev, prec, cfg)
+        last = r == gi_rounds
+        out_r = shade(
             scene,
             frame,
-            sin1,
-            view_dir=out0.view_dir_out,
+            sin_r,
+            view_dir=out_prev.view_dir_out,
             prec=prec,
             cfg=cfg,
             first_round=False,
-            no_gi=True,  # the reference shades the bounce with NO_GI=true
-            key=k_shade1,
+            # the reference shades its final bounce with NO_GI=true
+            no_gi=last,
+            key=k_rounds[r - 1],
         )
-        di1 = _trace_di(
-            scene, frame, out1.source, out1.lights, out1.skip_tri, prec, cfg,
+        di_r = _trace_di(
+            scene, frame, out_r.source, out_r.lights, out_r.skip_tri, prec, cfg,
             coherent=False,  # shadow rays from scattered bounce hit points
         )
-        intensity1 = out1.intensity + jnp.sum(di1, axis=1) + out1.di_sky
+        contrib = out_r.intensity + jnp.sum(di_r, axis=1) + out_r.di_sky
+        intensity1 = intensity1 + path_mult * contrib
         n_rays = (
             n_rays
-            + jnp.sum(out0.gi_valid.astype(jnp.int32))
-            + jnp.sum(out1.lights.valid.astype(jnp.int32))
+            + jnp.sum(out_prev.gi_valid.astype(jnp.int32))
+            + jnp.sum(out_r.lights.valid.astype(jnp.int32))
         )
-    else:
-        intensity1 = jnp.zeros((R, 3), dt)
+        if not last:
+            # gi_multiplier is full-RGB BRDF weight on bounce rounds
+            # (no demodulation tag past round 0) and zero on invalid lanes
+            path_mult = path_mult * out_r.gi_multiplier
+            out_prev = out_r
 
     # ---- "SVGF" block: clean colour split + two denoiser instances
     clean, mul_c, mul_w = write_clean_color(

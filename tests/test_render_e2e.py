@@ -75,6 +75,23 @@ def test_config3_bf16_parity():
     assert p > 20.0, f"bf16 vs fp32 PSNR {p:.2f} dB"
 
 
+def test_max_bounces_wired():
+    """max_bounces controls the GI round count: 1 disables GI ray
+    generation, 3 adds a second bounce of transported energy on top of 2."""
+    host = cornell_box_scene()
+    base = RenderConfig(width=32, height=32, precision="fp32", gi_on=True,
+                        taa_on=False, demo=DemoSettings(svgf=False))
+    seen = {}
+    for b in (1, 2, 3):
+        _, aux = Renderer(host, base.replace(max_bounces=b)).render()
+        seen[b] = (int(aux["n_rays"]), np.asarray(aux["gi_colored"]))
+    # each extra round traces more rays
+    assert seen[1][0] < seen[2][0] < seen[3][0]
+    # bounce 1 adds GI energy; bounce 2 changes the GI channel again
+    assert seen[2][1].max() > 0
+    assert not np.allclose(seen[2][1], seen[3][1])
+
+
 def test_demo_toggles():
     """DemoSettings term toggles change the output the way they should."""
     host = cornell_box_scene()
