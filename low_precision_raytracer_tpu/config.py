@@ -176,6 +176,12 @@ class RenderConfig:
     # triangles per BVH leaf (reference uses 1, `rt/trace/object_bvh.hpp:75`;
     # >1 trades traversal steps for vectorized leaf tests — better on TPU)
     bvh_leaf_size: int = 4
+    # device mesh for multi-chip rendering (parallel/tiling.py sets this):
+    # when present, the Pallas trace kernels run under shard_map with rays
+    # partitioned over the mesh's pixel axis — per-shard by construction,
+    # never GSPMD-replicated.  jax.sharding.Mesh is hashable, so the config
+    # stays a valid jit-static argument.
+    mesh: object = None
 
     def __post_init__(self):
         assert self.precision in _PRECISIONS

@@ -68,7 +68,46 @@ def trace(
     (GI bounces, secondary shadow rays).  On multi-chunk scenes the dense
     Pallas backend then recovers tile coherence with a morton sort
     (`trace_rays_dense_pallas_sorted`) — incoherent tiles otherwise defeat
-    its packet culling."""
+    its packet culling.
+
+    With `cfg.mesh` set (multi-chip, parallel/tiling.py), the whole launch
+    runs under `shard_map`: rays partition over the mesh's pixel axis and
+    the scene/frame stay replicated, so every Pallas kernel executes
+    per-shard by construction (never GSPMD-replicated).  Any contiguous ray
+    partition is valid — the trace is ray-wise independent."""
+    if cfg.mesh is not None:
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        mesh = cfg.mesh
+        axis = mesh.axis_names[0]
+        n_dev = int(mesh.devices.size)
+        R = origins.shape[0]
+        assert R % n_dev == 0, f"{R} rays not divisible by {n_dev} devices"
+        if skip_tri is None:
+            skip_tri = jnp.full((R,), -1, jnp.int32)
+        min_dist = jnp.broadcast_to(jnp.asarray(min_dist, jnp.float32), (R,))
+        max_dist = jnp.broadcast_to(jnp.asarray(max_dist, jnp.float32), (R,))
+        cfg_local = cfg.replace(mesh=None)
+
+        def local_trace(scene, frame, o, d, s, mn, mx):
+            return trace(
+                scene, frame, o, d, prec=prec, cfg=cfg_local,
+                find_any=find_any, skip_tri=s, min_dist=mn, max_dist=mx,
+                coherent=coherent,
+            )
+
+        rep = lambda tree: jax.tree.map(lambda _: P(), tree)
+        ray = P(axis)
+        return jax.shard_map(
+            local_trace,
+            mesh=mesh,
+            in_specs=(rep(scene), rep(frame), ray, ray, ray, ray, ray),
+            out_specs=Hit(t=ray, u=ray, v=ray, tri=ray, obj=ray),
+            check_vma=False,
+        )(scene, frame, origins, directions, skip_tri, min_dist, max_dist)
+
     impl = cfg.traversal_impl
     if impl == "auto":  # resolve_cfg not applied — fall back inside trace
         impl = resolve_impl(scene, frame, cfg)

@@ -219,10 +219,15 @@ def _kernel(
             wf[5 * LC : 6 * LC, 3:6] = f1  # Dy32
             out_dt = jnp.dot(
                 w_dt_ref[:, :], B_dt, preferred_element_type=F32,
-                # true fp32 when the render dtype IS fp32; narrow dtypes use
-                # the native single-pass MXU mode (Mosaic rejects HIGHEST on
-                # bf16 operands)
-                precision=(jax.lax.Precision.HIGHEST if dt == F32 else None),
+                # true fp32 when the render dtype IS fp32; narrow dtypes MUST
+                # name DEFAULT explicitly — the framework sets the global
+                # jax_default_matmul_precision to 'highest' (config.py), and
+                # Mosaic rejects HIGHEST on bf16 operands
+                precision=(
+                    jax.lax.Precision.HIGHEST
+                    if dt == F32
+                    else jax.lax.Precision.DEFAULT
+                ),
             )  # (8*LC, TR)
             out_f = jnp.dot(
                 w_f32_ref[:, :], B, preferred_element_type=F32,

@@ -59,10 +59,19 @@ def shard_specs(scene, frame, state):
 def render_frame_sharded(mesh: Mesh, scene, frame, state, cfg: RenderConfig, key):
     """Jit the full render step with pixel rows sharded over the mesh.
 
+    The trace stages run under `shard_map` (rays partitioned over the pixel
+    axis, scene replicated — see ops/trace.py) so the Pallas kernels execute
+    per-shard by construction; the elementwise/stencil stages stay under
+    GSPMD propagation, where the cross-tile reads (reprojection history
+    taps, SVGF wavelet halos) lower to XLA-inserted collectives
+    (collective-permute halo exchanges / all-gathers on the row axis).
+
     cfg.height must be divisible by the mesh size."""
     assert cfg.height % mesh.devices.size == 0, (
         f"height {cfg.height} not divisible by {mesh.devices.size} devices"
     )
+    if cfg.mesh is None:
+        cfg = cfg.replace(mesh=mesh)
     scene_spec, frame_spec, state_spec = shard_specs(scene, frame, state)
     ns = lambda spec: jax.tree.map(lambda s: NamedSharding(mesh, s), spec)
 

@@ -26,9 +26,11 @@ from low_precision_raytracer_tpu.render.renderer import _trace_di, _trace_gi
 
 
 def _timed(name, stats, fn, *args):
+    from low_precision_raytracer_tpu.utils.timing import sync
+
     t0 = time.perf_counter()
     out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)  # host transfer — block_until_ready returns early on tunnels
     stats[name] = time.perf_counter() - t0
     return out
 

@@ -47,6 +47,23 @@ def test_sharded_matches_single_device():
 
 
 @needs_devices
+@pytest.mark.parametrize("impl", ["dense_pallas", "pallas"])
+def test_sharded_pallas_kernels_per_shard(impl):
+    """The production Pallas backends (all-pairs + packet BVH traversal)
+    under the sharded step: ops/trace.py routes them through shard_map, so
+    each device runs the kernel on its own ray partition (interpret mode on
+    the virtual CPU mesh).  Must match the single-device render."""
+    cfg, scene, frame, state, key = _setup(h=128, w=128)
+    cfg = cfg.replace(traversal_impl=impl)
+    img1, _, _ = render_frame(scene, frame, state, cfg, key)
+    mesh = make_pixel_mesh(8)
+    img8, _, _ = render_frame_sharded(mesh, scene, frame, state, cfg, key)
+    np.testing.assert_allclose(
+        np.asarray(img1), np.asarray(img8), rtol=2e-4, atol=2e-4
+    )
+
+
+@needs_devices
 def test_sharded_two_frames_temporal():
     """Two sharded frames in sequence: temporal state stays sharded and
     consistent with the single-device run."""
