@@ -18,6 +18,25 @@ import jax
 import numpy as np
 
 
+def parity_at_spec(width=1920, height=1080, precision="bf16", frames=8):
+    """North-star parity half (BASELINE.md): bf16+SVGF vs the fp32 pipeline
+    at 1080p, PSNR/SSIM after `frames` temporally-accumulated frames."""
+    from low_precision_raytracer_tpu.config import RenderConfig
+    from low_precision_raytracer_tpu.models.procedural import cornell_box_scene
+    from low_precision_raytracer_tpu.render.renderer import Renderer
+    from low_precision_raytracer_tpu.utils.image import psnr, ssim
+
+    imgs = {}
+    for prec in ("fp32", precision):
+        cfg = RenderConfig(width=width, height=height, precision=prec, gi_on=True)
+        r = Renderer(cornell_box_scene(), cfg)
+        img = None
+        for _ in range(frames):
+            img, _ = r.render()
+        imgs[prec] = np.asarray(img)
+    return psnr(imgs["fp32"], imgs[precision]), ssim(imgs["fp32"], imgs[precision])
+
+
 def bench(width=1920, height=1080, precision="bf16", frames=20, warmup=3):
     from low_precision_raytracer_tpu.config import RenderConfig
     from low_precision_raytracer_tpu.models.procedural import cornell_box_scene
@@ -64,6 +83,22 @@ def bench(width=1920, height=1080, precision="bf16", frames=20, warmup=3):
 
 def main():
     try:
+        # parity line first; the headline metric stays the LAST line
+        try:
+            p, s = parity_at_spec()
+            print(
+                json.dumps(
+                    {
+                        "metric": "PSNR bf16+SVGF vs fp32, Cornell 1080p 8 frames",
+                        "value": round(float(p), 2),
+                        "unit": "dB",
+                        "ssim": round(float(s), 4),
+                        "target": ">= reference fp32 - 1 dB (north star)",
+                    }
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] parity failed: {e}", file=sys.stderr)
         mrays, dt, n_rays = bench()
         print(
             json.dumps(

@@ -169,6 +169,30 @@ def cmd_parity(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    """Interactive explorer: renders frames into a browser canvas over HTTP
+    (the reference's GLFW/ImGui explorer, `rt/gui/imgui_window.cu:369-846`,
+    rebuilt on the same controller scheme)."""
+    from low_precision_raytracer_tpu.config import DemoSettings, RenderConfig
+    from low_precision_raytracer_tpu.gui.viewer import SceneExplorer, serve
+
+    cfg = RenderConfig(
+        width=args.width,
+        height=args.height,
+        precision=args.precision,
+        gi_on=not args.no_gi,
+        demo=DemoSettings(svgf=not args.no_svgf),
+        taa_mix_weight=0.3,  # interactive: keep history but converge fast
+    )
+    explorer = SceneExplorer(_build_scene(args.scene), cfg)
+    srv = serve(explorer, host=args.host, port=args.port)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench as bench_mod  # repo-root bench.py
 
@@ -230,6 +254,17 @@ def main(argv=None) -> int:
     pb.add_argument("--precision", default="bf16")
     pb.add_argument("--frames", type=int, default=20)
     pb.set_defaults(fn=cmd_bench)
+
+    pv = sub.add_parser("view", help="interactive browser explorer")
+    pv.add_argument("scene", nargs="?", default="cornell")
+    pv.add_argument("--width", type=int, default=512)
+    pv.add_argument("--height", type=int, default=512)
+    pv.add_argument("--precision", choices=["fp32", "bf16", "fp16"], default="bf16")
+    pv.add_argument("--no-gi", action="store_true")
+    pv.add_argument("--no-svgf", action="store_true")
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--port", type=int, default=8008)
+    pv.set_defaults(fn=cmd_view)
 
     args = p.parse_args(argv)
     return args.fn(args)

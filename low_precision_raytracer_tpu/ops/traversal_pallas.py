@@ -654,7 +654,8 @@ def trace_rays_packet(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("prec", "fallback", "find_any", "interpret", "stream")
+    jax.jit,
+    static_argnames=("prec", "fallback", "find_any", "interpret", "stream", "mxu"),
 )
 def trace_rays_packet_sorted(
     scene,
@@ -670,6 +671,7 @@ def trace_rays_packet_sorted(
     find_any: bool = False,
     interpret: bool = False,
     stream: bool = False,
+    mxu: bool = True,
 ) -> Hit:
     """Coherence-recovering launch for incoherent rays (GI bounces,
     secondary shadows): morton-sort rays so each packet is spatially
@@ -707,6 +709,7 @@ def trace_rays_packet_sorted(
         tile_hw=None,
         interpret=interpret,
         stream=stream,
+        mxu=mxu,
     )
     back = jax.lax.sort([srt[10], hit.t, hit.u, hit.v, hit.tri, hit.obj], num_keys=1)
     return Hit(t=back[1], u=back[2], v=back[3], tri=back[4], obj=back[5])

@@ -1,0 +1,61 @@
+"""Interactive explorer (gui/viewer.py): event handling, camera rig, and
+the HTTP frame loop (reference 2.21/2.22)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from low_precision_raytracer_tpu.config import DemoSettings, RenderConfig
+from low_precision_raytracer_tpu.gui.viewer import SceneExplorer, serve
+from low_precision_raytracer_tpu.models.procedural import cornell_box_scene
+
+
+def _small_cfg():
+    return RenderConfig(width=32, height=32, precision="fp32", gi_on=False,
+                        taa_on=False, demo=DemoSettings(svgf=False))
+
+
+def test_explorer_camera_motion():
+    ex = SceneExplorer(cornell_box_scene(), _small_cfg())
+    pos0 = ex.rig.translation.copy()
+    img0 = ex.render_frame()
+    assert img0.shape == (32, 32, 3) and img0.dtype == np.uint8
+    # hold W for a second of frames: rig moves forward (-z of yaw frame)
+    for _ in range(10):
+        ex.handle_events(0.1, {"w"})
+    assert ex.rig.translation[2] < pos0[2]
+    # right-drag look: camera rotation changes
+    rot0 = ex.camera.rotation.copy()
+    ex.handle_events(0.016, set(), mouse=(10, 10), right_down=True)
+    ex.handle_events(0.016, set(), mouse=(60, 30), right_down=True)
+    assert not np.allclose(ex.camera.rotation, rot0)
+    # wheel changes FOV
+    fov0 = ex.camera.fov_y
+    ex.handle_events(0.016, set(), wheel=3.0)
+    assert ex.camera.fov_y != fov0
+    img1 = ex.render_frame()
+    assert not np.array_equal(img0, img1)  # the view actually changed
+
+
+def test_explorer_http_loop():
+    ex = SceneExplorer(cornell_box_scene(), _small_cfg())
+    srv = serve(ex, port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        page = urllib.request.urlopen(base + "/", timeout=30).read()
+        assert b"lprt explorer" in page
+        body = json.dumps({"keys": ["w"], "mouse": [5, 5], "right": False,
+                           "wheel": 0}).encode()
+        req = urllib.request.Request(base + "/frame", data=body, method="POST")
+        resp = urllib.request.urlopen(req, timeout=120)
+        data = resp.read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        stats = json.loads(resp.headers["x-stats"])
+        assert stats["frame"] == 1 and stats["ms"] > 0
+    finally:
+        srv.shutdown()
