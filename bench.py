@@ -53,7 +53,7 @@ def bench(width=1920, height=1080, precision="bf16", frames=20, warmup=3):
     from low_precision_raytracer_tpu.ops.trace import resolve_cfg
 
     cfg = resolve_cfg(scene, frame, cfg)
-    state = init_frame_state(cfg, scene.n_meshes)
+    state = init_frame_state(cfg, len(frame.obj_layout))
     key = jax.random.PRNGKey(0)
 
     image = None

@@ -135,64 +135,83 @@ def _footprint(fx, fy, H, W, dt):
 
 
 def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
-                           svgf_payload=None, taa_payload=None):
+                           svgf_payload=None, taa_payload=None,
+                           n_meshes: int | None = None):
     """`generate_temporal_map_step1/2` (`rt/rtrt/cuda.hpp:2265-2416`).
     -> (svgf_map, taa_map, svgf_taps, taa_taps).
 
     svgf_payload/taa_payload: optional (H, W, C) history channels to fetch
     WITH the validation data in the same gather (one gather per tap set for
     the whole temporal pipeline); their taps are returned as (H, W, 4, C)
-    f32 (or None)."""
+    f32 (or None).
+
+    With `n_meshes` <= 254 (static), the per-tap validation data — mesh id
+    and SVGF frame count, both small integers that bf16 represents exactly —
+    rides as extra payload channels instead of a separate f32 gather,
+    saving one take per tap set (gather index count is the dominant cost of
+    this stage)."""
     dt = dtype
     H, W = height, width
     valid = g["valid"]
+    fold = n_meshes is not None and n_meshes <= 254
 
     obj = g["obj"]
     mesh_p = jnp.take(frame.obj_mesh, obj, mode="clip")
 
     # one composite reprojection matrix per object, applied per pixel via a
-    # one-hot matmul gather
+    # one-hot matmul gather.  The whole matrix chain runs in fp32: a bf16
+    # composite wobbles the reprojected footprint by several pixels at
+    # 1080p, silently degrading history validation (the per-pixel cost is
+    # one small O x 16 matmul — negligible).
+    f32 = jnp.float32
     O = frame.obj_w2l.shape[0]
-    l2w_last_o = jnp.take(state.last_l2w, frame.obj_mesh, axis=0)  # (O, 4, 4)
-    comp = (
-        state.last_w2c.astype(dt)[None] @ l2w_last_o.astype(dt) @ frame.obj_w2l.astype(dt)
-    )
+    comp = state.last_w2c[None] @ state.last_l2w @ frame.obj_w2l_f32
     onehot_o = (
         obj.reshape(-1)[:, None] == jnp.arange(O, dtype=jnp.int32)[None, :]
-    ).astype(dt)
+    ).astype(f32)
     comp_px = jnp.dot(
-        onehot_o, comp.reshape(O, 16), preferred_element_type=jnp.float32
-    ).astype(dt).reshape(H, W, 4, 4)
+        onehot_o, comp.reshape(O, 16), preferred_element_type=f32
+    ).reshape(H, W, 4, 4)
 
-    pos = g["position"].astype(dt)
-    p4 = jnp.concatenate([pos, jnp.ones((H, W, 1), dt)], axis=-1)
+    pos = g["position"].astype(f32)
+    p4 = jnp.concatenate([pos, jnp.ones((H, W, 1), f32)], axis=-1)
     clip = (comp_px @ p4[..., None])[..., 0]
     g_fx = (1 + clip[..., 0] / clip[..., 3]) / 2 * W
     g_fy = (1 + clip[..., 1] / clip[..., 3]) / 2 * H
 
-    # pack last-frame validation data: (mesh+1) * 512 + frame_count.
-    # Values stay < 2^24 so an f32 channel holds them exactly, letting the
-    # validation ride in the SAME gather as the float history payloads.
-    packed_val = (
-        (state.last_mesh_id + 1) * 512 + jnp.clip(state.svgf_frame_count, 0, 255)
-    ).astype(jnp.float32)
+    # last-frame validation data: (mesh+1) and the SVGF frame count.  When
+    # folding, each rides as a payload channel (exact small integers in any
+    # float dtype); otherwise both pack into one f32 channel gathered
+    # separately: (mesh+1) * 512 + count stays < 2^24, exact in f32.
+    mesh_ch = (state.last_mesh_id + 1).astype(jnp.float32)
+    count_ch = jnp.clip(state.svgf_frame_count, 0, 255).astype(jnp.float32)
+    packed_val = mesh_ch * 512 + count_ch
 
-    def fetch(by, bx, payload):
-        # validation gathers at f32 (the packed int must survive exactly);
-        # the payload gathers in its NATIVE dtype — bf16 rows pack twice as
-        # many channels under gather2x2's 32-byte row groups, and the
-        # bf16 -> f32 cast after the gather is exact
+    def fetch(by, bx, payload, want_count):
+        """-> (tap_mesh (H,W,4) i32, tap_count i32 | None, payload taps)."""
+        if payload is not None and fold:
+            extra = [mesh_ch.astype(payload.dtype)[..., None]]
+            if want_count:
+                extra.append(count_ch.astype(payload.dtype)[..., None])
+            taps = gather2x2(
+                jnp.concatenate([payload] + extra, axis=-1), by, bx
+            ).astype(jnp.float32)
+            n_extra = len(extra)
+            tap_mesh = jnp.round(taps[..., -n_extra]).astype(jnp.int32) - 1
+            tap_count = (
+                jnp.round(taps[..., -1]).astype(jnp.int32) if want_count else None
+            )
+            return tap_mesh, tap_count, taps[..., :-n_extra]
+        # separate packed-f32 validation gather (no payload, or many meshes)
         pk = jnp.round(gather2x2(packed_val, by, bx)).astype(jnp.int32)
         taps = None
         if payload is not None:
             taps = gather2x2(payload, by, bx).astype(jnp.float32)
-        return pk, taps
+        return pk // 512 - 1, pk % 512, taps
 
     # ---- SVGF map (strict same-object validation)
     by, bx, w, inb = _footprint(g_fx - jnp.asarray(0.5, dt), g_fy - jnp.asarray(0.5, dt), H, W, dt)
-    pk, svgf_taps = fetch(by, bx, svgf_payload)
-    tap_mesh = pk // 512 - 1
-    tap_count = pk % 512
+    tap_mesh, tap_count, svgf_taps = fetch(by, bx, svgf_payload, True)
     tap_ok = inb & (tap_mesh == mesh_p[..., None]) & valid[..., None]
     w_s = jnp.where(tap_ok, w, 0).astype(dt)
     total = jnp.sum(w_s, axis=-1)
@@ -207,8 +226,7 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
     jx = jax.random.uniform(kx, (H, W), jnp.float32).astype(dt)
     jy = jax.random.uniform(ky, (H, W), jnp.float32).astype(dt)
     by2, bx2, w2, inb2 = _footprint(g_fx - jx, g_fy - jy, H, W, dt)
-    pk2, taa_taps = fetch(by2, bx2, taa_payload)
-    tap_mesh2 = pk2 // 512 - 1
+    tap_mesh2, _, taa_taps = fetch(by2, bx2, taa_payload, False)
     w_t = jnp.where(inb2, w2, 0).astype(dt)
     total2 = jnp.sum(w_t, axis=-1)
     any2 = total2 > 0
@@ -223,10 +241,8 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
 def backup_temporal_data(g, frame, state, clean_w2c):
     """`copy_last_frame_pixel_id` + `copy_last_frame_transform`
     (`rt/rtrt/cuda.hpp:2230-2263`): store per-pixel mesh id (-1 on empty),
-    per-mesh L2W (instances collide last-writer-wins, like the reference's
-    `last_frame_L2W[objectid] = L2W`), and the current W2C."""
+    per-OBJECT L2W, and the current W2C."""
     mesh_id = jnp.where(
         g["valid"], jnp.take(frame.obj_mesh, g["obj"], mode="clip"), -1
     ).astype(jnp.int32)
-    new_l2w = state.last_l2w.at[frame.obj_mesh].set(frame.obj_l2w.astype(state.last_l2w.dtype))
-    return mesh_id, g["tri"].astype(jnp.int32), new_l2w, clean_w2c
+    return mesh_id, g["tri"].astype(jnp.int32), frame.obj_l2w_f32, clean_w2c

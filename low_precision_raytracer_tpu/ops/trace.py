@@ -172,6 +172,9 @@ def trace(
 
         from low_precision_raytracer_tpu.ops.traversal_pallas import trace_rays_pallas
 
+        # the morton sort only pays once the leaf set is large enough that
+        # incoherent packets would otherwise touch many leaves each
+        ti = _instance_tris(frame)
         return trace_rays_pallas(
             scene,
             frame,
@@ -184,7 +187,7 @@ def trace(
             min_dist=min_dist,
             max_dist=max_dist,
             tile_hw=(cfg.height, cfg.width),
-            coherent=coherent or len(frame.obj_layout) <= 1,
+            coherent=coherent or len(frame.obj_layout) <= 1 or ti <= 4096,
             interpret=jax.default_backend() == "cpu",
         )
     return trace_rays(

@@ -23,16 +23,22 @@ class FrameState:
     # last frame's per-pixel mesh id / primitive (`LastFramePixelID`)
     last_mesh_id: jnp.ndarray  # (H, W) i32, -1 = empty
     last_prim: jnp.ndarray  # (H, W) i32
-    # last frame's per-mesh L2W (`buffer.last_frame_L2W`, keyed by objectid)
-    last_l2w: jnp.ndarray  # (n_meshes, 4, 4) dtype
+    # last frame's per-OBJECT L2W.  The reference keys its backup by the
+    # G-buffer objectid (`buffer.last_frame_L2W[objectid]`,
+    # `rt/rtrt/cuda.hpp:2253-2263`) — the per-drawn-instance id, NOT the
+    # shared mesh/VAO: keying by mesh makes every instance of a shared mesh
+    # reproject through the LAST instance's transform, which breaks temporal
+    # accumulation for any instanced scene (all history rejected).  fp32:
+    # the reprojection matrix chain is precision-critical.
+    last_l2w: jnp.ndarray  # (n_objects, 4, 4) f32
     # last frame's world-to-clip (`buffer.last_frame_transform_W2C`)
     last_w2c: jnp.ndarray  # (4, 4) f32
 
 
-def init_frame_state(cfg: RenderConfig, n_meshes: int) -> FrameState:
+def init_frame_state(cfg: RenderConfig, n_objects: int) -> FrameState:
     dt = cfg.dtype
     H, W = cfg.height, cfg.width
-    eye = jnp.broadcast_to(jnp.eye(4, dtype=dt), (n_meshes, 4, 4))
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (n_objects, 4, 4))
     return FrameState(
         svgf_colored=init_svgf_state(H, W, dt),
         svgf_white=init_svgf_state(H, W, dt),

@@ -163,6 +163,7 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
     svgf_map, taa_map, svgf_taps, taa_taps = generate_temporal_maps(
         g2d, frame, state, W, H, dt, k_taa,
         svgf_payload=svgf_payload, taa_payload=taa_payload,
+        n_meshes=scene.n_meshes,
     )
 
     # ---- "Pixel Shade #1"
@@ -276,7 +277,6 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
     mesh_id = jnp.where(
         g2d["valid"], jnp.take(frame.obj_mesh, g2d["obj"], mode="clip"), -1
     ).astype(jnp.int32)
-    new_l2w = state.last_l2w.at[frame.obj_mesh].set(frame.obj_l2w.astype(dt))
 
     new_state = FrameState(
         svgf_colored=new_colored,
@@ -285,7 +285,9 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
         svgf_frame_count=svgf_map["frame_count"],
         last_mesh_id=mesh_id,
         last_prim=g2d["tri"].astype(jnp.int32),
-        last_l2w=new_l2w,
+        # per-OBJECT backup: keying by shared mesh would reproject every
+        # instance through the last writer's transform (see FrameState)
+        last_l2w=frame.obj_l2w_f32,
         last_w2c=frame.cam_w2c,
     )
     aux = dict(
@@ -316,7 +318,7 @@ class Renderer:
             width=cfg.width, height=cfg.height,
         )
         self.cfg = resolve_cfg(self.scene, frame0, cfg)  # bake 'auto' backend
-        self.state = init_frame_state(self.cfg, self.scene.n_meshes)
+        self.state = init_frame_state(self.cfg, len(frame0.obj_layout))
         self.frame_index = 0
         self.key = jax.random.PRNGKey(0)
 

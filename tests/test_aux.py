@@ -45,7 +45,7 @@ def test_rotate_controller_drag_and_clamp():
 
 def test_checkpoint_roundtrip(tmp_path):
     cfg = RenderConfig(width=16, height=16, precision="bf16")
-    state = init_frame_state(cfg, n_meshes=3)
+    state = init_frame_state(cfg, n_objects=3)
     state = state._replace if hasattr(state, "_replace") else state
     import dataclasses
 

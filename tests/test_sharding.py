@@ -24,7 +24,7 @@ def _setup(h=32, w=32):
     scene = build_scene_arrays(host, cfg.prec, leaf_size=cfg.bvh_leaf_size)
     frame = flatten_frame(host, cfg.prec, max_direct_lights=4, width=w, height=h)
     cfg = resolve_cfg(scene, frame, cfg)
-    state = init_frame_state(cfg, scene.n_meshes)
+    state = init_frame_state(cfg, len(frame.obj_layout))
     key = jax.random.PRNGKey(3)
     return cfg, scene, frame, state, key
 

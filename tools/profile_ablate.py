@@ -30,7 +30,7 @@ def run(cfg_kw, scene_name, frames=8, warmup=2):
     frame = flatten_frame(host, cfg.prec, max_direct_lights=cfg.max_direct_lights,
                           width=cfg.width, height=cfg.height)
     cfg = resolve_cfg(scene, frame, cfg)
-    state = init_frame_state(cfg, scene.n_meshes)
+    state = init_frame_state(cfg, len(frame.obj_layout))
     key = jax.random.PRNGKey(0)
     for _ in range(warmup):
         key, sub = jax.random.split(key)
