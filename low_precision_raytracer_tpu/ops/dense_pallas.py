@@ -581,11 +581,14 @@ def trace_rays_dense_pallas(
     return Hit(t=cut(t), u=cut(u), v=cut(v), tri=cut(tri), obj=cut(obj))
 
 
-def _morton_key(origins, directions):
-    """Sort key for ray coherence recovery: direction octant (3 high bits)
-    then a 21-bit morton code of the origin quantized to the launch's own
-    bounding box.  Rays sharing a key prefix start near each other and head
-    the same way — their 512-ray kernel tile sees few object AABBs."""
+def _morton_key(origins, directions, live=None):
+    """Sort key for ray coherence recovery: liveness (top bit — dead lanes
+    cluster into packets that terminate immediately, the stream-compaction
+    effect of the reference's wavefront queues), then direction octant
+    (3 bits), then a 21-bit morton code of the origin quantized to the
+    launch's own bounding box.  Rays sharing a key prefix start near each
+    other and head the same way — their 512-ray kernel tile sees few
+    object AABBs."""
     of = origins.astype(F32)
     df = directions.astype(F32)
     lo = jnp.min(of, axis=0)
@@ -604,7 +607,10 @@ def _morton_key(origins, directions):
         | ((df[:, 1] > 0).astype(jnp.int32) << 1)
         | ((df[:, 2] > 0).astype(jnp.int32) << 2)
     )
-    return (octant << 21) | m
+    key = (octant << 21) | m
+    if live is not None:
+        key = key | jnp.where(live, 0, jnp.int32(1 << 24))
+    return key
 
 
 @functools.partial(
@@ -639,7 +645,7 @@ def trace_rays_dense_pallas_sorted(
         skip_tri = jnp.full((R,), -1, jnp.int32)
     min_dist = jnp.broadcast_to(jnp.asarray(min_dist, F32), (R,))
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, F32), (R,))
-    key = _morton_key(origins, directions)
+    key = _morton_key(origins, directions, live=max_dist > min_dist)
     of = origins.astype(F32)
     df = directions.astype(F32)
     idx = jnp.arange(R, dtype=jnp.int32)

@@ -684,7 +684,7 @@ def trace_rays_packet_sorted(
         skip_tri = jnp.full((R,), -1, jnp.int32)
     min_dist = jnp.broadcast_to(jnp.asarray(min_dist, F32), (R,))
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, F32), (R,))
-    key = _morton_key(origins, directions)
+    key = _morton_key(origins, directions, live=max_dist > min_dist)
     of = origins.astype(F32)
     df = directions.astype(F32)
     idx = jnp.arange(R, dtype=jnp.int32)
