@@ -43,7 +43,10 @@ from low_precision_raytracer_tpu.ops.traversal import Hit
 
 F32 = jnp.float32
 
-TR = 512  # rays per tile (lane axis, multiple of 128)
+TR = 512  # rays per tile (lane axis, multiple of 128).  Measured: bigger
+# tiles do NOT pay — 4096-ray tiles run 1.3x SLOWER on a 1-chunk scene
+# (24.6 vs 18.7 ms / 2.07M coherent rays) and compile 10x slower; the
+# per-tile fixed cost is small against the VPU body even at 1 chunk.
 # triangles per chunk (sublane axis) — single source of truth lives next to
 # the host-side chunk-AABB precompute
 from low_precision_raytracer_tpu.models.scene import DENSE_CHUNK_TRIS as TC  # noqa: E402
@@ -64,6 +67,7 @@ def _kernel(
     is_f32: bool,
     find_any: bool,
     stream: bool = False,
+    tc: int = TC,
 ):
     """Resident mode (stream=False): the five coefficient tables are whole
     VMEM refs.  Streaming mode (stream=True): ONE lane-padded f32 table
@@ -90,6 +94,7 @@ def _kernel(
          v_out,
          tri_out,  # (1, TR) i32
          obj_out) = refs
+    tr = o_ref.shape[1]  # rays per tile (static block shape: TR or BIG_TR)
     ox = o_ref[0:1, :]
     oy = o_ref[1:2, :]
     oz = o_ref[2:3, :]
@@ -103,11 +108,11 @@ def _kernel(
     d12 = jnp.float32(d1 + d2)
     d1f = jnp.float32(d1)
 
-    t_out[:, :] = jnp.full((1, TR), 1e5, F32)
-    u_out[:, :] = jnp.zeros((1, TR), F32)
-    v_out[:, :] = jnp.zeros((1, TR), F32)
-    tri_out[:, :] = jnp.full((1, TR), -1, jnp.int32)
-    obj_out[:, :] = jnp.full((1, TR), -1, jnp.int32)
+    t_out[:, :] = jnp.full((1, tr), 1e5, F32)
+    u_out[:, :] = jnp.zeros((1, tr), F32)
+    v_out[:, :] = jnp.zeros((1, tr), F32)
+    tri_out[:, :] = jnp.full((1, tr), -1, jnp.int32)
+    obj_out[:, :] = jnp.full((1, tr), -1, jnp.int32)
 
     i = pl.program_id(0)
     g_total = pl.num_programs(0)
@@ -121,7 +126,7 @@ def _kernel(
         decoded = (word >> (16 * (j % 2))) & 0xFFFF
         c = jnp.where(count < 0, j, decoded)
         if True:
-            sl = pl.ds(c * TC, TC)
+            sl = pl.ds(c * tc, tc)
             if stream:
                 cp = pltpu.make_async_copy(tbl_hbm.at[sl, :], scratch, sem)
                 cp.start()
@@ -430,6 +435,7 @@ def trace_rays_dense_pallas(
     min_dist = jnp.broadcast_to(jnp.asarray(min_dist, F32), (R,))
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, F32), (R,))
 
+    tr = TR
     use_blocks = cull and blockable(R, tile_hw)
     if use_blocks:
         H_t, W_t = tile_hw
@@ -447,7 +453,12 @@ def trace_rays_dense_pallas(
     d = d_f32.T
 
     TI = frame.dense_n.shape[0]
-    ti_pad = (-TI) % TC
+    # small scenes fit one chunk: shrink the chunk height to the triangle
+    # count (16-row sublane multiple — bf16 tiling) instead of padding to
+    # TC.  Cornell's 34 tris in a 128-row chunk would waste 73% of the
+    # VPU body; measured 1.9x on the whole trace stage.
+    tc = TC if TI > TC else max(16, -(-TI // 16) * 16)
+    ti_pad = (-TI) % tc
     n_dt = frame.dense_n.reshape(TI, 9).astype(dt)
     n_f32 = frame.dense_n_f32.reshape(TI, 9)
     e = frame.dense_e
@@ -458,9 +469,9 @@ def trace_rays_dense_pallas(
         e = jnp.pad(e, ((0, ti_pad), (0, 0)), constant_values=1.0)
     tri_ids = jnp.pad(frame.dense_tri, (0, ti_pad), constant_values=-2)[:, None]
     obj_ids = jnp.pad(frame.dense_obj, (0, ti_pad), constant_values=-1)[:, None]
-    n_chunks = (TI + ti_pad) // TC
+    n_chunks = (TI + ti_pad) // tc
 
-    r_pad = (-R) % TR
+    r_pad = (-R) % tr
     if r_pad:
         o = jnp.pad(o, ((0, 0), (0, r_pad)))
         d = jnp.pad(d, ((0, 0), (0, r_pad)), constant_values=1.0)
@@ -470,9 +481,14 @@ def trace_rays_dense_pallas(
         min_dist = jnp.pad(min_dist, (0, r_pad))
         max_dist = jnp.pad(max_dist, (0, r_pad))
     Rp = R + r_pad
-    grid = Rp // TR
+    grid = Rp // tr
 
-    if cull and frame.obj_aabb_lo is not None and len(frame.obj_layout) > 1:
+    if (
+        cull
+        and n_chunks > 1  # single chunk: predicates can cull nothing
+        and frame.obj_aabb_lo is not None
+        and len(frame.obj_layout) > 1
+    ):
         active = _chunk_predicates(
             frame, o_f32, d_f32, min_dist, max_dist, grid, TI + ti_pad
         )
@@ -506,11 +522,12 @@ def trace_rays_dense_pallas(
         is_f32=prec.is_f32,
         find_any=find_any,
         stream=stream,
+        tc=tc,
     )
 
     # index maps take (grid index, scalar-prefetch ref)
     const = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
-    ray_block = lambda rows: pl.BlockSpec((rows, TR), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
+    ray_block = lambda rows: pl.BlockSpec((rows, tr), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
 
     if stream:
         # ONE lane-padded f32 table, DMA'd chunk-by-chunk (DMA slices must
@@ -524,7 +541,7 @@ def trace_rays_dense_pallas(
         table_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
         table_args = (tbl,)
         scratch_shapes = [
-            pltpu.VMEM((TC, 128), F32),
+            pltpu.VMEM((tc, 128), F32),
             pltpu.SemaphoreType.DMA,
         ]
     else:

@@ -32,24 +32,21 @@ import jax.numpy as jnp
 
 
 
-def gather2x2(arr, base_y, base_x):
-    """Fetch the 2x2 window anchored at (base_y, base_x) for every pixel.
+RES_K = 2  # residual radius of the shifted-select fast path
 
-    arr: (H, W) or (H, W, C); base_*: (H, W) i32 PRE-SHIFTED for a 1-pixel
-    zero pad (i.e. already in [0, H] / [0, W]).
-    -> (H, W, 4[, C]) in tap order [(0,0), (0,1), (1,0), (1,1)].
 
-    Quad-packed gather: the 4 bilinear taps of every anchor are first packed
-    into ONE row of a shifted-slice tensor (cheap fused shifts, ~3.5 ms at
-    1080p), so a single `jnp.take` per channel group fetches the whole 2x2
-    footprint — 4x fewer gather indices.  Channel groups are sized so a
-    gathered row stays <= 32 bytes: measured on this TPU toolchain, flat
-    gathers run ~5x slower once rows exceed that (1080p f32: 4 takes of a
-    6ch payload 196 ms -> quad-packed group-2 takes 46 ms).  XLA's windowed
-    gather (slice_sizes=(2,2)) is ~45x slower still — never use it here."""
-    H, W = arr.shape[:2]
-    chan = arr.ndim == 3
-    a = arr if chan else arr[..., None]
+def _gather2x2_take(a, base_y, base_x):
+    """Quad-packed flat gather (the general path).
+
+    The 4 bilinear taps of every anchor are first packed into ONE row of a
+    shifted-slice tensor (cheap fused shifts, ~3.5 ms at 1080p), so a
+    single `jnp.take` per channel group fetches the whole 2x2 footprint —
+    4x fewer gather indices.  Channel groups are sized so a gathered row
+    stays <= 32 bytes: measured on this TPU toolchain, flat gathers run
+    ~5x slower once rows exceed that (1080p f32: 4 takes of a 6ch payload
+    196 ms -> quad-packed group-2 takes 46 ms).  XLA's windowed gather
+    (slice_sizes=(2,2)) is ~45x slower still — never use it here."""
+    H, W = a.shape[:2]
     C = a.shape[2]
     ap = jnp.pad(a, ((1, 1), (1, 1), (0, 0)))
     # (H+1, W+1, 4, C): row (y, x) holds taps [(y,x), (y,x+1), (y+1,x),
@@ -62,7 +59,76 @@ def gather2x2(arr, base_y, base_x):
         c1 = min(c0 + gsz, C)
         g = quad[..., c0:c1].reshape((H + 1) * (W + 1), 4 * (c1 - c0))
         outs.append(jnp.take(g, idx, axis=0, mode="clip").reshape(H, W, 4, c1 - c0))
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def _gather2x2_shifted(a, base_y, base_x, my, mx, res_y, res_x):
+    """Shifted-select fast path: every caring pixel's anchor is within
+    RES_K of (pixel + global motion (my, mx)), so the whole tap fetch is
+    (2K+1)^2 masked adds over statically shifted slices of the globally
+    rolled history — zero gather indices.  Reads that correspond to real
+    anchors never wrap: anchors are clipped to the padded range, so
+    y + my + res_y = base_y is always a valid row of the padded array
+    (wrapped reads occur only under masks that are zero there)."""
+    H, W = a.shape[:2]
+    K = RES_K
+    P = jnp.pad(a, ((1, 1), (1, 1), (0, 0)))  # (H+2, W+2, C)
+    Pr = jnp.roll(P, shift=(-my, -mx), axis=(0, 1))
+    E = jnp.pad(Pr, ((K, K), (K, K), (0, 0)))
+    view = lambda sy, sx: jax.lax.slice(
+        E, (1 + K + sy, 1 + K + sx, 0), (1 + K + sy + H, 1 + K + sx + W, E.shape[2])
+    )
+    out = [jnp.zeros_like(a) for _ in range(4)]
+    taps = ((0, 0), (0, 1), (1, 0), (1, 1))
+    for sy in range(-K, K + 1):
+        for sx in range(-K, K + 1):
+            m = ((res_y == sy) & (res_x == sx))[..., None]
+            for k, (dy, dx) in enumerate(taps):
+                v = view(sy + dy, sx + dx)
+                out[k] = out[k] + jnp.where(m, v, jnp.zeros_like(v))
+    return jnp.stack(out, axis=2)  # (H, W, 4, C)
+
+
+def gather2x2(arr, base_y, base_x, care=None):
+    """Fetch the 2x2 window anchored at (base_y, base_x) for every pixel.
+
+    arr: (H, W) or (H, W, C); base_*: (H, W) i32 PRE-SHIFTED for a 1-pixel
+    zero pad (i.e. already in [0, H] / [0, W]).
+    -> (H, W, 4[, C]) in tap order [(0,0), (0,1), (1,0), (1,1)].
+
+    `care` (optional (H, W) bool): pixels whose taps actually matter
+    (valid g-buffer + at least one in-bounds tap).  When given, the fetch
+    tests whether every caring anchor sits within RES_K pixels of the
+    pixel + one global integer motion vector — true for the whole frame
+    under static or smoothly moving cameras — and if so runs a zero-index
+    shifted-select instead of the flat gather (`lax.cond` picks per
+    frame; fast-moving content falls back to the general take path)."""
+    H, W = arr.shape[:2]
+    chan = arr.ndim == 3
+    a = arr if chan else arr[..., None]
+    if care is None:
+        out = _gather2x2_take(a, base_y, base_x)
+        return out if chan else out[..., 0]
+
+    row = jnp.arange(H, dtype=jnp.int32)[:, None]
+    col = jnp.arange(W, dtype=jnp.int32)[None, :]
+    dy = base_y - (row + 1)
+    dx = base_x - (col + 1)
+    cf = care.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(cf), 1.0)
+    my = jnp.round(jnp.sum(dy * cf) / n).astype(jnp.int32)
+    mx = jnp.round(jnp.sum(dx * cf) / n).astype(jnp.int32)
+    res_y = dy - my
+    res_x = dx - mx
+    K = RES_K
+    in_win = (jnp.abs(res_y) <= K) & (jnp.abs(res_x) <= K)
+    all_ok = jnp.all(in_win | ~care)
+
+    out = jax.lax.cond(
+        all_ok,
+        lambda: _gather2x2_shifted(a, base_y, base_x, my, mx, res_y, res_x),
+        lambda: _gather2x2_take(a, base_y, base_x),
+    )
     return out if chan else out[..., 0]
 
 
@@ -187,14 +253,14 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
     count_ch = jnp.clip(state.svgf_frame_count, 0, 255).astype(jnp.float32)
     packed_val = mesh_ch * 512 + count_ch
 
-    def fetch(by, bx, payload, want_count):
+    def fetch(by, bx, payload, want_count, care):
         """-> (tap_mesh (H,W,4) i32, tap_count i32 | None, payload taps)."""
         if payload is not None and fold:
             extra = [mesh_ch.astype(payload.dtype)[..., None]]
             if want_count:
                 extra.append(count_ch.astype(payload.dtype)[..., None])
             taps = gather2x2(
-                jnp.concatenate([payload] + extra, axis=-1), by, bx
+                jnp.concatenate([payload] + extra, axis=-1), by, bx, care=care
             ).astype(jnp.float32)
             n_extra = len(extra)
             tap_mesh = jnp.round(taps[..., -n_extra]).astype(jnp.int32) - 1
@@ -203,15 +269,17 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
             )
             return tap_mesh, tap_count, taps[..., :-n_extra]
         # separate packed-f32 validation gather (no payload, or many meshes)
-        pk = jnp.round(gather2x2(packed_val, by, bx)).astype(jnp.int32)
+        pk = jnp.round(gather2x2(packed_val, by, bx, care=care)).astype(jnp.int32)
         taps = None
         if payload is not None:
-            taps = gather2x2(payload, by, bx).astype(jnp.float32)
+            taps = gather2x2(payload, by, bx, care=care).astype(jnp.float32)
         return pk // 512 - 1, pk % 512, taps
 
     # ---- SVGF map (strict same-object validation)
     by, bx, w, inb = _footprint(g_fx - jnp.asarray(0.5, dt), g_fy - jnp.asarray(0.5, dt), H, W, dt)
-    tap_mesh, tap_count, svgf_taps = fetch(by, bx, svgf_payload, True)
+    tap_mesh, tap_count, svgf_taps = fetch(
+        by, bx, svgf_payload, True, valid & jnp.any(inb, axis=-1)
+    )
     tap_ok = inb & (tap_mesh == mesh_p[..., None]) & valid[..., None]
     w_s = jnp.where(tap_ok, w, 0).astype(dt)
     total = jnp.sum(w_s, axis=-1)
@@ -226,7 +294,9 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
     jx = jax.random.uniform(kx, (H, W), jnp.float32).astype(dt)
     jy = jax.random.uniform(ky, (H, W), jnp.float32).astype(dt)
     by2, bx2, w2, inb2 = _footprint(g_fx - jx, g_fy - jy, H, W, dt)
-    tap_mesh2, _, taa_taps = fetch(by2, bx2, taa_payload, False)
+    tap_mesh2, _, taa_taps = fetch(
+        by2, bx2, taa_payload, False, valid & jnp.any(inb2, axis=-1)
+    )
     w_t = jnp.where(inb2, w2, 0).astype(dt)
     total2 = jnp.sum(w_t, axis=-1)
     any2 = total2 > 0
