@@ -239,6 +239,13 @@ class FrameInput:
     cam_l2w: jnp.ndarray  # (4, 4) dtype (ray gen, `RDCamera::transform_L2W`)
     cam_w2c: jnp.ndarray  # (4, 4) f32 world-to-clip (reprojection)
     cam_fov_y: jnp.ndarray  # scalar dtype
+    # f32 camera for reprojection-position reconstruction: hit positions
+    # rebuilt as o32 + t * d32 reproject to sub-pixel accuracy even in
+    # bf16 mode, where the render-dtype G-buffer position scatters the
+    # footprint by +-10 px and forces the temporal gathers off their
+    # shifted-select fast path (ops/reproject.py)
+    cam_l2w_f32: jnp.ndarray  # (4, 4) f32
+    cam_fov_y_f32: jnp.ndarray  # scalar f32
     # skybox dynamics
     sky_delta_x: jnp.ndarray
     sky_delta_y: jnp.ndarray
@@ -511,6 +518,8 @@ def frame_input_from_flat(
         cam_l2w=as_dt(flat.cam_l2w),
         cam_w2c=f32(w2c),
         cam_fov_y=jnp.asarray(flat.cam_fov_y, dtype=dt),
+        cam_l2w_f32=f32(flat.cam_l2w),
+        cam_fov_y_f32=jnp.asarray(flat.cam_fov_y, jnp.float32),
         sky_delta_x=f32(sky.delta_x if sky else 0.0),
         sky_delta_y=f32(sky.delta_y if sky else 0.0),
         sky_exposure=f32(sky.exposure if sky else 1.0),

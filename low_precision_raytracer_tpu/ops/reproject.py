@@ -202,7 +202,7 @@ def _footprint(fx, fy, H, W, dt):
 
 def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
                            svgf_payload=None, taa_payload=None,
-                           n_meshes: int | None = None):
+                           n_meshes: int | None = None, position_f32=None):
     """`generate_temporal_map_step1/2` (`rt/rtrt/cuda.hpp:2265-2416`).
     -> (svgf_map, taa_map, svgf_taps, taa_taps).
 
@@ -239,7 +239,11 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
         onehot_o, comp.reshape(O, 16), preferred_element_type=f32
     ).reshape(H, W, 4, 4)
 
-    pos = g["position"].astype(f32)
+    # reproject an f32-reconstructed position when the caller provides one
+    # (bf16 G-buffer positions scatter the footprint by pixels at 1080p,
+    # which both degrades history validation and defeats the shifted-select
+    # gather fast path)
+    pos = (position_f32 if position_f32 is not None else g["position"]).astype(f32)
     p4 = jnp.concatenate([pos, jnp.ones((H, W, 1), f32)], axis=-1)
     clip = (comp_px @ p4[..., None])[..., 0]
     g_fx = (1 + clip[..., 0] / clip[..., 3]) / 2 * W

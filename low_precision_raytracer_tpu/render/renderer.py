@@ -160,10 +160,21 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
     else:
         svgf_payload = None
     taa_payload = state.taa_history if cfg.taa_on else None
+    # f32 hit positions for reprojection: o32 + t * d32 over an f32 camera
+    # grid (hit.t is always f32).  In bf16 mode the render-dtype G-buffer
+    # position wobbles the reprojected footprint by pixels, rejecting
+    # history and knocking the temporal gathers off their fast path.
+    if cfg.prec.is_f32:
+        pos32 = None
+    else:
+        o32, d32 = primary_ray_grid(
+            frame.cam_l2w_f32, frame.cam_fov_y_f32, W, H, jnp.float32
+        )
+        pos32 = o32 + g2d["t"].reshape(H, W)[..., None].astype(jnp.float32) * d32
     svgf_map, taa_map, svgf_taps, taa_taps = generate_temporal_maps(
         g2d, frame, state, W, H, dt, k_taa,
         svgf_payload=svgf_payload, taa_payload=taa_payload,
-        n_meshes=scene.n_meshes,
+        n_meshes=scene.n_meshes, position_f32=pos32,
     )
 
     # ---- "Pixel Shade #1"
