@@ -294,9 +294,10 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
     svgf_map = dict(frame_count=new_count, weights=w_s, base_y=by, base_x=bx)
 
     # ---- TAA map (jittered bilinear, loose validation)
-    kx, ky = jax.random.split(key)
-    jx = jax.random.uniform(kx, (H, W), jnp.float32).astype(dt)
-    jy = jax.random.uniform(ky, (H, W), jnp.float32).astype(dt)
+    # one bits draw, 16 bits per jitter axis (bf16 keeps ~8 of them anyway)
+    bits = jax.random.bits(key, (H, W), jnp.uint32)
+    jx = ((bits & 0xFFFF).astype(jnp.float32) * (1.0 / 65536.0)).astype(dt)
+    jy = ((bits >> 16).astype(jnp.float32) * (1.0 / 65536.0)).astype(dt)
     by2, bx2, w2, inb2 = _footprint(g_fx - jx, g_fy - jy, H, W, dt)
     tap_mesh2, _, taa_taps = fetch(
         by2, bx2, taa_payload, False, valid & jnp.any(inb2, axis=-1)
