@@ -208,11 +208,16 @@ def shade(
     # ---- GI ray generation (`rt/rtrt/cuda.hpp:1898-1999`)
     if not no_gi:
         # ONE batched draw per kind: 7 separate threefry chains cost ~5 ms
-        # per shade pass at 1080p; batched columns cost ~2
-        us = jax.random.uniform(key, (R, 5), dt)
-        gs = jax.random.normal(jax.random.fold_in(key, 1), (R, 6), jnp.float32)
-        r_mirror, r_spec, r_metal, u_ggx1, u_ggx2 = (us[:, i] for i in range(5))
-        g_lo, g_hi = gs[:, 0:3], gs[:, 3:6]
+        # per shade pass at 1080p.  Draw FLAT and slice contiguously — a
+        # (R, 5) draw puts 5 on the 128-lane axis and wastes 96% of every
+        # op that touches it
+        us = jax.random.uniform(key, (5 * R,), dt)
+        gs = jax.random.normal(jax.random.fold_in(key, 1), (6 * R,), jnp.float32)
+        r_mirror, r_spec, r_metal, u_ggx1, u_ggx2 = (
+            jax.lax.slice(us, (i * R,), ((i + 1) * R,)) for i in range(5)
+        )
+        g_lo = gs[0 : 3 * R].reshape(R, 3)
+        g_hi = gs[3 * R : 6 * R].reshape(R, 3)
 
         metallic = mat["metallic"]
         roughness = mat["roughness"]

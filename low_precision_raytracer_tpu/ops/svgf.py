@@ -333,29 +333,79 @@ def svgf_denoise(
     )
     c, v = integrated, var
     new_history = state.color_history
+    for it, stride in enumerate(cfg.strides):
+        c, v = wavelet_filter(c, v, depth, grad, normal, illum, stride, cfg)
+        if it == 0:
+            new_history = c
+    return c, SVGFState(miu1=miu1, miu2=miu2, color_history=new_history)
 
-    # 'auto' currently resolves to the XLA path: on the present TPU
-    # toolchain the fused Pallas wavelet measures at the same runtime but
-    # compiles ~30x slower, so it stays opt-in ('pallas')
-    use_pallas = cfg.wavelet_impl == "pallas"
-    if use_pallas:
-        from low_precision_raytracer_tpu.ops.svgf_pallas import (
-            pack_cv,
-            pack_geometry,
-            wavelet_filter_pallas,
+
+def svgf_denoise_pair(
+    color2,
+    state2: SVGFState,  # leaves stacked (2, ...)
+    svgf_map,
+    normal,
+    depth,
+    grad,
+    cfg: SVGFConfig,
+    color_taa_w,
+    moments_taa_w,
+    prefetch2=None,
+    wavelet_impl: str | None = None,
+):
+    """Both denoiser instances (GI-colored + GI-white,
+    `rt/gui/imgui_window.cu:231-239`) in one pass: the temporal stages run
+    vmapped, and the wavelet chain either vmapped (XLA stencils) or as the
+    stacked-pair fused Pallas kernel — one launch per stride for BOTH
+    instances, each HBM byte read once (ops/svgf_pallas.py).
+
+    `wavelet_impl`: 'pallas' | 'xla' | None -> cfg.wavelet_impl ('auto'
+    picks pallas on TPU)."""
+    impl = wavelet_impl or cfg.wavelet_impl
+    if impl == "auto":
+        import jax as _jax
+
+        impl = "pallas" if _jax.default_backend() == "tpu" else "xla"
+
+    def temporal(color, state, pre):
+        hist_vals = m1_vals = m2_vals = None
+        if pre is not None:
+            hist_vals, m1_vals, m2_vals = pre
+        integrated, illum = temporal_accumulation_color(
+            color, state.color_history, svgf_map, color_taa_w, hist_vals=hist_vals
+        )
+        miu1, miu2, var = temporal_accumulation_moments(
+            svgf_map, depth, grad, normal, state.miu1, state.miu2, illum,
+            moments_taa_w, cfg, m1_vals=m1_vals, m2_vals=m2_vals,
+        )
+        return integrated, illum, miu1, miu2, var
+
+    if prefetch2 is None:
+        integrated2, illum2, miu1_2, miu2_2, var2 = jax.vmap(temporal, in_axes=(0, 0, None))(
+            color2, state2, None
+        )
+    else:
+        integrated2, illum2, miu1_2, miu2_2, var2 = jax.vmap(temporal)(
+            color2, state2, prefetch2
         )
 
-        H, W = illum.shape
-        geo = pack_geometry(depth, grad, normal, illum)
-        for it, stride in enumerate(cfg.strides):
-            cv = pack_cv(c[:H] if c.shape[0] > H else c, v[:H] if v.shape[0] > H else v)
-            c, v = wavelet_filter_pallas(geo, cv, stride, cfg, W=W)
-            if it == 0:
-                new_history = c[:H]
-        c = c[:H]
+    if impl == "pallas":
+        from low_precision_raytracer_tpu.ops.svgf_pallas import (
+            wavelet_chain_pallas_pair,
+        )
+
+        out2, hist2 = wavelet_chain_pallas_pair(
+            integrated2, var2, depth, grad, normal, illum2, cfg.strides, cfg
+        )
     else:
-        for it, stride in enumerate(cfg.strides):
-            c, v = wavelet_filter(c, v, depth, grad, normal, illum, stride, cfg)
-            if it == 0:
-                new_history = c
-    return c, SVGFState(miu1=miu1, miu2=miu2, color_history=new_history)
+        def chain(c, v, illum):
+            hist = None
+            for it, stride in enumerate(cfg.strides):
+                c, v = wavelet_filter(c, v, depth, grad, normal, illum, stride, cfg)
+                if it == 0:
+                    hist = c
+            return c, hist
+
+        out2, hist2 = jax.vmap(chain)(integrated2, var2, illum2)
+    new_state2 = SVGFState(miu1=miu1_2, miu2=miu2_2, color_history=hist2)
+    return out2, new_state2

@@ -1,18 +1,27 @@
-"""Fused Pallas TPU kernel for the SVGF a-trous wavelet iteration
-(`wavelet_filter<stride>`, `rt/rtrt/cuda.hpp:1339-1440`) — the north-star
-"fused Pallas stencil" component.
+"""Fused Pallas TPU kernel for the SVGF a-trous wavelet chain
+(`wavelet_filter<stride>`, `rt/rtrt/cuda.hpp:1339-1440`).
 
-One launch per iteration: every input channel is read from HBM exactly once
-per tile (manual halo DMA into VMEM scratch), all 25 bilateral taps + the
-3x3 variance prefilter happen in VMEM, and the filtered colour + variance
-are written once.  The XLA fori_loop version re-reads every channel 25x;
-this kernel is memory-optimal.
+One launch per iteration for BOTH denoiser instances (GI-colored and
+GI-white, stacked vertically): every channel is read from HBM exactly once
+per tile (halo DMA into VMEM scratch), all 25 bilateral taps + the 3x3
+variance prefilter happen in VMEM, and the filtered colour + variance are
+written once.  The XLA fori_loop version re-reads every channel 25x per
+iteration; this kernel is memory-optimal.
 
-Tiling: row tiles of RT rows across the full (pre-padded) width.  Rows and
-columns are NaN-padded by PAD=32 >= 2*stride_max, so border taps fall on NaN
-and are dropped by the kernel's isfinite masks — identical semantics to the
-reference's bounds checks.  A validity channel reproduces the variance
-prefilter's in-bounds-only denominator.
+Two design points that differ from the naive version (and from round 1's
+kernel, which measured no faster than XLA):
+
+- **The chain stays packed.**  `wavelet_iter_pallas` consumes AND produces
+  the padded channel-major (4, Hs, Wp) colour/variance layout, so the
+  5-stride chain pays one pack and one unpack total instead of one per
+  iteration (pack/unpack was ~40% of the round-1 kernel's runtime).
+- **Borders are index-masked, not NaN-padded.**  The out-of-centre border
+  semantics (reference bounds checks -> tap dropped) come from comparing
+  per-tap row/column iotas against the static image extent, so the pad
+  regions of the packed buffers may hold garbage — which is exactly what
+  the packed chain produces (pallas output pads are never written).
+  Interior NaNs (invalid pixels) are still value-masked by isfinite, like
+  the reference treats in-band NaN.
 """
 
 from __future__ import annotations
@@ -26,84 +35,108 @@ from jax.experimental.pallas import tpu as pltpu
 
 from low_precision_raytracer_tpu.config import SVGFConfig
 
-PAD = 32  # >= 2 * max stride (strides 1..16)
+PAD = 32  # >= 2 * max stride (strides 1..16); multiple of RT
 RT = 16  # output rows per tile
 
 GAUSS_G = (1.0 / 2.0, 1.0 / 4.0)
 WAVELET_H = (3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
 
-# geometry channel indices in the packed (8, Hp, Wp) array
-C_DEPTH, C_GX, C_GY, C_NX, C_NY, C_NZ, C_ILLUM, C_MASK = range(8)
-# colour/variance channels in the packed (4, Hp, Wp) array
+# geometry channel indices in the packed (7, Hs, Wp) array
+C_DEPTH, C_GX, C_GY, C_NX, C_NY, C_NZ, C_ILLUM = range(7)
+# colour/variance channels in the packed (4, Hs, Wp) array
 C_R, C_G, C_B, C_VAR = range(4)
 
 
+def _pow_int(x, n: int):
+    result = None
+    base = x
+    while n > 0:
+        if n & 1:
+            result = base if result is None else result * base
+        base = base * base
+        n >>= 1
+    return result
+
+
 def _wavelet_kernel(
-    geo_hbm,  # (8, Hp, Wp) dtype, ANY
-    cv_hbm,  # (4, Hp, Wp) dtype, ANY
-    out_ref,  # (4, RT, W) dtype, VMEM block
-    geo_s,  # scratch (8, RT + 2h, Wp)
-    cv_s,  # scratch (4, RT + 2h, Wp)
+    geo_hbm,  # (7, Hs, Wp) dtype, ANY
+    cv_hbm,  # (4, Hs, Wp) dtype, ANY
+    out_ref,  # (4, RT, Wp) dtype, VMEM block at the tile's CENTER rows
+    geo_s,  # scratch (7, RT + 2*PAD, Wp)
+    cv_s,  # scratch (4, RT + 2*PAD, Wp)
     sems,
     *,
     stride: int,
+    H: int,
     W: int,
+    tiles: int,  # center tiles per instance
+    hp: int,  # padded rows per instance
     cfg_sigma_z: float,
     cfg_sigma_n: float,
     cfg_sigma_l: float,
     cfg_eps: float,
 ):
-    # fixed tile-aligned slab: rows [i*RT, i*RT + RT + 2*PAD) of the padded
-    # arrays (offsets must be divisible by the sublane tiling, so the slab is
-    # PAD-aligned regardless of stride; the centre row is at PAD in scratch)
     i = pl.program_id(0)
-    row0 = i * RT
+    inst = i // tiles  # which stacked instance
+    j = i % tiles  # center tile within the instance
+    slab0 = inst * hp + j * RT  # first slab row (abs); center row0 = slab0+PAD
 
     c1 = pltpu.make_async_copy(
-        geo_hbm.at[:, pl.ds(row0, RT + 2 * PAD), :], geo_s, sems.at[0]
+        geo_hbm.at[:, pl.ds(slab0, RT + 2 * PAD), :], geo_s, sems.at[0]
     )
     c2 = pltpu.make_async_copy(
-        cv_hbm.at[:, pl.ds(row0, RT + 2 * PAD), :], cv_s, sems.at[1]
+        cv_hbm.at[:, pl.ds(slab0, RT + 2 * PAD), :], cv_s, sems.at[1]
     )
     c1.start()
     c2.start()
     c1.wait()
     c2.wait()
 
-    # kernel math runs in f32 (Mosaic's isfinite/weird op requires F32);
-    # storage stays in the render dtype
-    dt = jnp.float32
+    dt = jnp.float32  # kernel math in f32 (Mosaic isfinite needs F32)
+    Wp = geo_s.shape[2]
     sz = jnp.asarray(cfg_sigma_z, dt)
-    sn = jnp.asarray(cfg_sigma_n, dt)
     sl = jnp.asarray(cfg_sigma_l, dt)
     eps = jnp.asarray(cfg_eps, dt)
     zero = jnp.asarray(0.0, dt)
 
-    def gslice(c, di, dj):
-        return geo_s[c, PAD + di : PAD + di + RT, PAD + dj : PAD + dj + W].astype(dt)
+    # index masks: tap at (di, dj) from the center is valid iff it lands in
+    # the instance's true image extent (replaces NaN border padding)
+    row_in_img = j * RT + jax.lax.broadcasted_iota(jnp.int32, (RT, 1), 0)
 
-    def cvslice(c, di, dj):
-        return cv_s[c, PAD + di : PAD + di + RT, PAD + dj : PAD + dj + W].astype(dt)
+    def g_at(ch, di, dj):
+        return jax.lax.slice(
+            geo_s[ch], (PAD + di, PAD + dj), (PAD + di + RT, PAD + dj + W)
+        ).astype(dt)
 
-    depth_p = gslice(C_DEPTH, 0, 0)
-    gx = gslice(C_GX, 0, 0)
-    gy = gslice(C_GY, 0, 0)
-    nx_p = gslice(C_NX, 0, 0)
-    ny_p = gslice(C_NY, 0, 0)
-    nz_p = gslice(C_NZ, 0, 0)
-    illum_p = gslice(C_ILLUM, 0, 0)
+    def cv_at(ch, di, dj):
+        return jax.lax.slice(
+            cv_s[ch], (PAD + di, PAD + dj), (PAD + di + RT, PAD + dj + W)
+        ).astype(dt)
 
-    # 3x3 gaussian prefilter on variance: in-bounds taps only (mask channel),
-    # interior NaN variance propagates like the reference
+    depth_p = g_at(C_DEPTH, 0, 0)
+    gx = g_at(C_GX, 0, 0)
+    gy = g_at(C_GY, 0, 0)
+    nx_p = g_at(C_NX, 0, 0)
+    ny_p = g_at(C_NY, 0, 0)
+    nz_p = g_at(C_NZ, 0, 0)
+    illum_p = g_at(C_ILLUM, 0, 0)
+
+    def center_mask(di, dj):
+        r = row_in_img + di
+        c = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) + dj
+        return (r >= 0) & (r < H) & (c >= 0) & (c < W)
+
+    # 3x3 gaussian prefilter on variance (in-bounds taps only; interior NaN
+    # variance propagates, like the reference)
     gnum = jnp.zeros((RT, W), dt)
     gden = jnp.zeros((RT, W), dt)
     for di in (-1, 0, 1):
         for dj in (-1, 0, 1):
             g = jnp.asarray(GAUSS_G[abs(di)] * GAUSS_G[abs(dj)], dt)
-            m = gslice(C_MASK, di, dj)
-            vq = cvslice(C_VAR, di, dj)
-            gnum = gnum + g * jnp.where(m > 0.5, vq, zero)
-            gden = gden + g * m
+            m = center_mask(di, dj)
+            vq = cv_at(C_VAR, di, dj)
+            gnum = gnum + g * jnp.where(m, vq, zero)
+            gden = gden + g * m.astype(dt)
     sqrt_g_var = jnp.sqrt(gnum / gden)
 
     num_r = jnp.zeros((RT, W), dt)
@@ -117,32 +150,33 @@ def _wavelet_kernel(
         for tj in (-2, -1, 0, 1, 2):
             di, dj = ti * stride, tj * stride
             hval = jnp.asarray(WAVELET_H[abs(ti)] * WAVELET_H[abs(tj)], dt)
-            depth_q = gslice(C_DEPTH, di, dj)
-            illum_q = gslice(C_ILLUM, di, dj)
+            m_idx = center_mask(di, dj)
+            depth_q = g_at(C_DEPTH, di, dj)
+            illum_q = g_at(C_ILLUM, di, dj)
             ndot = (
-                nx_p * gslice(C_NX, di, dj)
-                + ny_p * gslice(C_NY, di, dj)
-                + nz_p * gslice(C_NZ, di, dj)
+                nx_p * g_at(C_NX, di, dj)
+                + ny_p * g_at(C_NY, di, dj)
+                + nz_p * g_at(C_NZ, di, dj)
             )
             d_dot = gx * jnp.asarray(float(di), dt) + gy * jnp.asarray(float(dj), dt)
             arg = (-jnp.abs(depth_p - depth_q) / (sz * jnp.abs(d_dot + eps))
                    - jnp.abs(illum_p - illum_q) / (sl * sqrt_g_var + eps))
-            from low_precision_raytracer_tpu.ops.svgf import _pow_int
             w_n = _pow_int(jnp.maximum(zero, ndot), int(cfg_sigma_n)) \
-                if float(cfg_sigma_n).is_integer() else jnp.maximum(zero, ndot) ** sn
+                if float(cfg_sigma_n).is_integer() \
+                else jnp.maximum(zero, ndot) ** jnp.asarray(cfg_sigma_n, dt)
             hw = hval * jnp.exp(arg) * w_n
-            hw_fin = jnp.isfinite(hw)
+            ok = jnp.isfinite(hw) & m_idx
 
-            var_q = cvslice(C_VAR, di, dj)
-            ok_v = hw_fin & jnp.isfinite(var_q)
+            var_q = cv_at(C_VAR, di, dj)
+            ok_v = ok & jnp.isfinite(var_q)
             hv = jnp.where(ok_v, hw, zero)
             num_v = num_v + hv * hv * jnp.where(ok_v, var_q, zero)
             den_v = den_v + hv
 
-            r_q = cvslice(C_R, di, dj)
-            g_q = cvslice(C_G, di, dj)
-            b_q = cvslice(C_B, di, dj)
-            ok_c = hw_fin & jnp.isfinite(r_q) & jnp.isfinite(g_q) & jnp.isfinite(b_q)
+            r_q = cv_at(C_R, di, dj)
+            g_q = cv_at(C_G, di, dj)
+            b_q = cv_at(C_B, di, dj)
+            ok_c = ok & jnp.isfinite(r_q) & jnp.isfinite(g_q) & jnp.isfinite(b_q)
             hc = jnp.where(ok_c, hw, zero)
             num_r = num_r + hc * jnp.where(ok_c, r_q, zero)
             num_g = num_g + hc * jnp.where(ok_c, g_q, zero)
@@ -154,100 +188,140 @@ def _wavelet_kernel(
     out_g = num_g / den_c
     out_b = num_b / den_c
 
-    # value_or fallbacks to the unfiltered centre (`rt/rtrt/cuda.hpp:1432-1436`)
-    ctr_r = cvslice(C_R, 0, 0)
-    ctr_g = cvslice(C_G, 0, 0)
-    ctr_b = cvslice(C_B, 0, 0)
-    ctr_v = cvslice(C_VAR, 0, 0)
+    # value_or fallback to the unfiltered centre (`rt/rtrt/cuda.hpp:1432-1436`)
+    ctr_r = cv_at(C_R, 0, 0)
+    ctr_g = cv_at(C_G, 0, 0)
+    ctr_b = cv_at(C_B, 0, 0)
+    ctr_v = cv_at(C_VAR, 0, 0)
     odt = out_ref.dtype
-    out_ref[C_R, :, :] = jnp.where(jnp.isfinite(out_r), out_r, ctr_r).astype(odt)
-    out_ref[C_G, :, :] = jnp.where(jnp.isfinite(out_g), out_g, ctr_g).astype(odt)
-    out_ref[C_B, :, :] = jnp.where(jnp.isfinite(out_b), out_b, ctr_b).astype(odt)
-    out_ref[C_VAR, :, :] = jnp.where(jnp.isfinite(next_var), next_var, ctr_v).astype(odt)
+
+    def put(ch, val, ctr):
+        row = jnp.where(jnp.isfinite(val), val, ctr).astype(odt)
+        # only the image columns are written; the block's column pads stay
+        # garbage — index masks ignore them next iteration
+        out_ref[ch, :, PAD : PAD + W] = row
+
+    put(C_R, out_r, ctr_r)
+    put(C_G, out_g, ctr_g)
+    put(C_B, out_b, ctr_b)
+    put(C_VAR, next_var, ctr_v)
 
 
-def pack_geometry(depth, grad, normal, illum):
-    """Pack + NaN-pad the per-frame geometry channels once per denoise call.
-    -> (8, Hp, Wp) in the input dtype, plus the padded sizes."""
+def _padded_dims(H, W):
+    tiles = -(-H // RT)
+    hp = tiles * RT + 2 * PAD
+    wp = -(-(W + 2 * PAD) // 128) * 128
+    return tiles, hp, wp
+
+
+def pack_geometry_pair(depth, grad, normal, illum2):
+    """Pack geometry for both stacked instances: (7, 2*hp, wp).  depth,
+    grad, normal are shared; illum differs per instance."""
     H, W = depth.shape
     dt = depth.dtype
-    h_tiles = -(-H // RT)
-    Hp = h_tiles * RT + 2 * PAD
-    Wp = -(-(W + 2 * PAD) // 128) * 128  # lane-tiling aligned width
-    mask = jnp.ones((H, W), dt)
-    chans = [
-        depth,
-        grad[..., 0],
-        grad[..., 1],
-        normal[..., 0],
-        normal[..., 1],
-        normal[..., 2],
-        illum,
-        mask,
-    ]
-    stack = jnp.stack(chans)  # (8, H, W)
-    return jnp.pad(
-        stack,
-        ((0, 0), (PAD, Hp - H - PAD), (PAD, Wp - W - PAD)),
-        constant_values=jnp.nan,
-    )
+    tiles, hp, wp = _padded_dims(H, W)
+
+    def one(illum):
+        chans = jnp.stack([
+            depth, grad[..., 0], grad[..., 1],
+            normal[..., 0], normal[..., 1], normal[..., 2], illum,
+        ])  # (7, H, W)
+        return jnp.pad(
+            chans,
+            ((0, 0), (PAD, hp - H - PAD), (PAD, wp - W - PAD)),
+            constant_values=jnp.nan,
+        )
+
+    return jnp.concatenate([one(illum2[0]), one(illum2[1])], axis=1)
 
 
-def pack_cv(color, var):
-    H, W = var.shape
-    h_tiles = -(-H // RT)
-    Hp = h_tiles * RT + 2 * PAD
-    Wp = -(-(W + 2 * PAD) // 128) * 128
-    stack = jnp.stack([color[..., 0], color[..., 1], color[..., 2], var])
-    return jnp.pad(
-        stack,
-        ((0, 0), (PAD, Hp - H - PAD), (PAD, Wp - W - PAD)),
-        constant_values=jnp.nan,
-    )
+def pack_cv_pair(color2, var2):
+    """(2, H, W, 3) colour + (2, H, W) variance -> (4, 2*hp, wp)."""
+    H, W = var2.shape[1:]
+    tiles, hp, wp = _padded_dims(H, W)
+
+    def one(color, var):
+        chans = jnp.stack([color[..., 0], color[..., 1], color[..., 2], var])
+        return jnp.pad(
+            chans,
+            ((0, 0), (PAD, hp - H - PAD), (PAD, wp - W - PAD)),
+            constant_values=jnp.nan,
+        )
+
+    return jnp.concatenate([one(color2[0], var2[0]), one(color2[1], var2[1])], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("stride", "cfg", "W", "interpret"))
-def wavelet_filter_pallas(geo_packed, cv_packed, stride: int, cfg: SVGFConfig,
-                          W: int = None, interpret: bool = False):
-    """One fused a-trous iteration.  geo/cv are pack_geometry/pack_cv outputs.
-    W: the true (unpadded) image width (static).
-    -> (color (Hr, W, 3), var (Hr, W)) — rows padded up to the tile grid."""
-    dt = geo_packed.dtype
-    Hp, Wp = geo_packed.shape[1:]
-    assert W is not None and W <= Wp - 2 * PAD
-    Hr = Hp - 2 * PAD  # rounded-up height
-    tiles = Hr // RT
+def unpack_cv_pair(cv, H, W):
+    """(4, 2*hp, wp) -> (color (2, H, W, 3), var (2, H, W))."""
+    tiles, hp, wp = _padded_dims(H, W)
+    halves = [cv[:, k * hp + PAD : k * hp + PAD + H, PAD : PAD + W] for k in (0, 1)]
+    stack = jnp.stack(halves)  # (2, 4, H, W)
+    color = jnp.moveaxis(stack[:, 0:3], 1, -1)  # (2, H, W, 3)
+    return color, stack[:, 3]
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "cfg", "H", "W", "interpret"))
+def wavelet_iter_pallas(geo, cv, stride: int, cfg: SVGFConfig, H: int, W: int,
+                        interpret: bool = False):
+    """One fused a-trous iteration over the stacked pair.
+    geo: (7, 2*hp, wp); cv: (4, 2*hp, wp) -> next cv, same layout (pads
+    untouched/garbage — consumed only via index-masked taps)."""
+    dt = cv.dtype
+    tiles, hp, wp = _padded_dims(H, W)
     rows_in = RT + 2 * PAD
-
     kernel = functools.partial(
         _wavelet_kernel,
         stride=stride,
+        H=H,
         W=W,
+        tiles=tiles,
+        hp=hp,
         cfg_sigma_z=cfg.sigma_z,
         cfg_sigma_n=cfg.sigma_n,
         cfg_sigma_l=cfg.sigma_l,
         cfg_eps=cfg.eps,
     )
-    out = pl.pallas_call(
+    rows_per_inst = hp // RT
+    return pl.pallas_call(
         kernel,
-        grid=(tiles,),
+        grid=(2 * tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (4, RT, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (4, RT, wp),
+            # block row index of this tile's CENTER rows
+            lambda i: (0, (i // tiles) * rows_per_inst + PAD // RT + (i % tiles), 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((4, Hr, W), dt),
+        out_shape=jax.ShapeDtypeStruct((4, 2 * hp, wp), dt),
         scratch_shapes=[
-            pltpu.VMEM((8, rows_in, Wp), dt),
-            pltpu.VMEM((4, rows_in, Wp), dt),
+            pltpu.VMEM((7, rows_in, wp), dt),
+            pltpu.VMEM((4, rows_in, wp), dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(geo_packed, cv_packed)
-    color = jnp.moveaxis(out[0:3], 0, -1)  # (Hr, W, 3)
-    return color, out[3]
+    )(geo, cv)
+
+
+def wavelet_chain_pallas_pair(color2, var2, depth, grad, normal, illum2,
+                              strides, cfg: SVGFConfig, interpret: bool = False):
+    """The full 5-stride chain for both instances.
+    -> (color2 (2, H, W, 3), history2 (2, H, W, 3)) — history is the
+    stride[0] output (`rt/rtrt/cuda.hpp:1676-1688`)."""
+    H, W = var2.shape[1:]
+    geo = pack_geometry_pair(depth, grad, normal, illum2)
+    cv = pack_cv_pair(color2, var2)
+    history2 = None
+    for it, s in enumerate(strides):
+        cv = wavelet_iter_pallas(geo, cv, s, cfg, H=H, W=W, interpret=interpret)
+        if it == 0:
+            history2, _ = unpack_cv_pair(cv, H, W)
+    out_color2, _ = unpack_cv_pair(cv, H, W)
+    if history2 is None:
+        history2 = out_color2
+    return out_color2, history2

@@ -22,7 +22,7 @@ from low_precision_raytracer_tpu.ops.gbuffer import fill_gbuffer
 from low_precision_raytracer_tpu.ops.reproject import generate_temporal_maps
 from low_precision_raytracer_tpu.ops.shade import gbuffer_to_shade_input, shade
 from low_precision_raytracer_tpu.ops.svgf import preprocess_normal_depth, svgf_denoise
-from low_precision_raytracer_tpu.render.renderer import _trace_di, _trace_gi
+from low_precision_raytracer_tpu.render.renderer import _gi_shade_input, _trace_di
 
 
 def _timed(name, stats, fn, *args):
@@ -88,7 +88,18 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
         di0 = _timed("Trace DI Ray #1", stats, di_fn, out0.source, out0.lights, out0.skip_tri)
 
     if cfg.gi_on:
-        gi_fn = jax.jit(lambda o: _trace_gi(scene, frame, o, prec, cfg))
+        from low_precision_raytracer_tpu.ops.trace import trace as _trace
+
+        def gi_trace(o):
+            maxt = jnp.where(o.gi_valid, 1e5, 0.0)
+            hit = _trace(
+                scene, frame, o.source, o.gi_direction, prec=prec, cfg=cfg,
+                find_any=False, skip_tri=o.skip_tri,
+                min_dist=prec.ray_moveforward_t, max_dist=maxt, coherent=False,
+            )
+            return _gi_shade_input(scene, frame, o, hit, prec)
+
+        gi_fn = jax.jit(gi_trace)
         for _ in range(2):
             sin1 = _timed("Trace GI #1", stats, gi_fn, out0)
         shade1_fn = jax.jit(

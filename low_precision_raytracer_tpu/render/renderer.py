@@ -42,7 +42,10 @@ from low_precision_raytracer_tpu.ops.shade import (
     gbuffer_to_shade_input,
     shade,
 )
-from low_precision_raytracer_tpu.ops.svgf import preprocess_normal_depth, svgf_denoise
+from low_precision_raytracer_tpu.ops.svgf import (
+    preprocess_normal_depth,
+    svgf_denoise_pair,
+)
 from low_precision_raytracer_tpu.ops.taa import temporal_anti_aliasing
 from low_precision_raytracer_tpu.ops.trace import trace
 from low_precision_raytracer_tpu.render.framestate import FrameState, init_frame_state
@@ -83,25 +86,10 @@ def _trace_di(scene, frame, source, lights, skip_tri, prec, cfg, coherent=True):
     return vis * lights.multiplier
 
 
-def _trace_gi(scene, frame, shade_out, prec, cfg):
-    """`trace_gi` (`rt/rtrt/cuda.hpp:2083-2141`): closest-hit bounce ray ->
-    next round's ShadeInput (COMMON / SKYBOX / INVALID)."""
+def _gi_shade_input(scene, frame, shade_out, hit, prec):
+    """Closest GI hit -> next round's ShadeInput (COMMON / SKYBOX /
+    INVALID), `trace_gi` (`rt/rtrt/cuda.hpp:2083-2141`)."""
     dt = prec.dtype
-    R = shade_out.source.shape[0]
-    maxt = jnp.where(shade_out.gi_valid, 1e5, 0.0)
-    hit = trace(
-        scene,
-        frame,
-        shade_out.source,
-        shade_out.gi_direction,
-        prec=prec,
-        cfg=cfg,
-        find_any=False,
-        skip_tri=shade_out.skip_tri,
-        min_dist=prec.ray_moveforward_t,
-        max_dist=maxt,
-        coherent=False,  # hemisphere-sampled bounce directions
-    )
     attrs = interpolate_hit_attributes(scene, frame, hit, dt)
     got = hit.tri >= 0
     stype = jnp.where(
@@ -121,6 +109,62 @@ def _trace_gi(scene, frame, shade_out, prec, cfg):
         obj=jnp.maximum(hit.obj, 0),
         tri=jnp.maximum(hit.tri, 0),
     )
+
+
+def _trace_di_gi(scene, frame, shade_out, prec, cfg, *, want_gi, coherent):
+    """The round's shadow rays and (optionally) its GI bounce ray share one
+    kernel launch — both depend only on this round's shade output, and a
+    trace launch has a fixed XLA-side cost (prep + dispatch) worth paying
+    once, not twice.  The fused launch runs closest-hit for all lanes
+    (visible := no hit, same predicate as any-hit; scenes where any-hit
+    early-exit matters launch few-chunk tiles anyway).
+
+    -> (di_intensity (R, L, 3), gi ShadeInput | None)."""
+    R = shade_out.source.shape[0]
+    L = shade_out.lights.valid.shape[1]
+    dt = prec.dtype
+    lights = shade_out.lights
+    if not want_gi or L == 0:
+        di = _trace_di(
+            scene, frame, shade_out.source, lights, shade_out.skip_tri,
+            prec, cfg, coherent=coherent,
+        ) if L else jnp.zeros((R, 0, 3), dt)
+        sin_next = None
+        if want_gi:
+            maxt = jnp.where(shade_out.gi_valid, 1e5, 0.0)
+            hit = trace(
+                scene, frame, shade_out.source, shade_out.gi_direction,
+                prec=prec, cfg=cfg, find_any=False,
+                skip_tri=shade_out.skip_tri,
+                min_dist=prec.ray_moveforward_t, max_dist=maxt,
+                coherent=False,
+            )
+            sin_next = _gi_shade_input(scene, frame, shade_out, hit, prec)
+        return di, sin_next
+
+    # [shadow lanes (L, R) | gi lanes (R)] in one launch
+    o_sh = jnp.broadcast_to(shade_out.source[None], (L, R, 3)).reshape(L * R, 3)
+    d_sh = lights.direction.transpose(1, 0, 2).reshape(L * R, 3)
+    maxt_sh = jnp.where(
+        lights.valid, lights.max_t.astype(jnp.float32), 0.0
+    ).T.reshape(L * R)
+    skip_sh = jnp.broadcast_to(shade_out.skip_tri[None], (L, R)).reshape(L * R)
+    maxt_gi = jnp.where(shade_out.gi_valid, 1e5, 0.0)
+    o = jnp.concatenate([o_sh, shade_out.source])
+    d = jnp.concatenate([d_sh, shade_out.gi_direction])
+    maxt = jnp.concatenate([maxt_sh, maxt_gi])
+    skips = jnp.concatenate([skip_sh, shade_out.skip_tri])
+    hit = trace(
+        scene, frame, o, d,
+        prec=prec, cfg=cfg, find_any=False,
+        skip_tri=skips, min_dist=prec.ray_moveforward_t, max_dist=maxt,
+        coherent=False,  # gi lanes are hemisphere-sampled
+    )
+    visible = (hit.tri[: L * R] < 0).reshape(L, R).T
+    vis = (visible & lights.valid).astype(dt)[..., None]
+    di = vis * lights.multiplier
+    hit_gi = jax.tree.map(lambda x: x[L * R :], hit)
+    return di, _gi_shade_input(scene, frame, shade_out, hit_gi, prec)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -191,13 +235,17 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
         key=k_shade0,
     )
 
-    # ---- "Trace DI Ray #1" + "Accumulate DI #1" (+ skybox radiance)
-    di0 = _trace_di(scene, frame, out0.source, out0.lights, out0.skip_tri, prec, cfg)
+    # ---- "Trace DI Ray #1" + "Trace GI #1" fused (+ "Accumulate DI #1",
+    # skybox radiance): the round's shadow and bounce rays both depend only
+    # on this shade output, so they share one kernel launch
+    di0, sin_next = _trace_di_gi(
+        scene, frame, out0, prec, cfg, want_gi=gi_rounds >= 1, coherent=True
+    )
     intensity0 = out0.intensity + jnp.sum(di0, axis=1) + out0.di_sky
 
     n_rays = jnp.asarray(R, jnp.int32) + jnp.sum(out0.lights.valid.astype(jnp.int32))
 
-    # ---- GI rounds ("Trace GI #k", "Shade #k+1", "Trace DI #k+1",
+    # ---- GI rounds ("Shade #k+1", fused "Trace DI #k+1" + "Trace GI #k+1",
     # "Accumulate #k+1"), `cfg.max_bounces - 1` of them.  Round-1 radiance
     # feeds the SVGF colored/white demodulation channels directly (the
     # reference's two-bounce schedule); deeper rounds fold in multiplied by
@@ -206,12 +254,11 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
     out_prev = out0
     path_mult = jnp.ones((R, 3), dt)
     for r in range(1, gi_rounds + 1):
-        sin_r = _trace_gi(scene, frame, out_prev, prec, cfg)
         last = r == gi_rounds
         out_r = shade(
             scene,
             frame,
-            sin_r,
+            sin_next,
             view_dir=out_prev.view_dir_out,
             prec=prec,
             cfg=cfg,
@@ -220,9 +267,9 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
             no_gi=last,
             key=k_rounds[r - 1],
         )
-        di_r = _trace_di(
-            scene, frame, out_r.source, out_r.lights, out_r.skip_tri, prec, cfg,
-            coherent=False,  # shadow rays from scattered bounce hit points
+        di_r, sin_next = _trace_di_gi(
+            scene, frame, out_r, prec, cfg, want_gi=not last,
+            coherent=False,  # rays from scattered bounce hit points
         )
         contrib = out_r.intensity + jnp.sum(di_r, axis=1) + out_r.di_sky
         intensity1 = intensity1 + path_mult * contrib
@@ -260,13 +307,11 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
             lambda a, b: jnp.stack([a, b]), state.svgf_colored, state.svgf_white
         )
         pre2 = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), pre_c, pre_w)
-        mul2, new_st2 = jax.vmap(
-            lambda m, s, p: svgf_denoise(
-                m, s, svgf_map, normal2d, depth2d, grad, cfg.svgf,
-                cfg.svgf.color_mix_weight, cfg.svgf.moments_mix_weight,
-                prefetch=p,
-            )
-        )(mul2, st2, pre2)
+        mul2, new_st2 = svgf_denoise_pair(
+            mul2, st2, svgf_map, normal2d, depth2d, grad, cfg.svgf,
+            cfg.svgf.color_mix_weight, cfg.svgf.moments_mix_weight,
+            prefetch2=pre2,
+        )
         mul_c, mul_w = mul2[0], mul2[1]
         new_colored = jax.tree_util.tree_map(lambda x: x[0], new_st2)
         new_white = jax.tree_util.tree_map(lambda x: x[1], new_st2)
