@@ -119,12 +119,18 @@ def _trace_di_gi(scene, frame, shade_out, prec, cfg, *, want_gi, coherent):
     (visible := no hit, same predicate as any-hit; scenes where any-hit
     early-exit matters launch few-chunk tiles anyway).
 
-    -> (di_intensity (R, L, 3), gi ShadeInput | None)."""
+    -> (di_intensity (R, L, 3), gi ShadeInput | None).
+
+    Fusion only pays for INCOHERENT rounds (bounce DI + next bounce GI,
+    both morton-sorted on multi-chunk scenes: one 2R-lane sort beats two
+    R-lane launches).  Round-0 shadow rays are screen-coherent — folding
+    them into a sorted launch would trade their free screen-block culling
+    for a sort, measured a net loss on Sponza-class scenes."""
     R = shade_out.source.shape[0]
     L = shade_out.lights.valid.shape[1]
     dt = prec.dtype
     lights = shade_out.lights
-    if not want_gi or L == 0:
+    if not want_gi or L == 0 or coherent:
         di = _trace_di(
             scene, frame, shade_out.source, lights, shade_out.skip_tri,
             prec, cfg, coherent=coherent,
