@@ -194,6 +194,12 @@ class SceneArrays:
     tex_srgb: jnp.ndarray
     # skybox
     sky_data: jnp.ndarray  # (h, w, 3) f32
+    # quad-packed skybox texels in the render dtype: row (y, x) holds the
+    # 2x2 bilinear footprint [(y,x), (y,x+1 wrap), (y+1 clamp, x),
+    # (y+1 clamp, x+1 wrap)] flattened to 12 channels, so ONE flat take
+    # fetches a whole bilinear sample (gather index count is the cost on
+    # TPU — 4 takes of 12B rows lose to 1 take of 24B rows 3-4x)
+    sky_quad: jnp.ndarray  # (h*w, 12) dtype
     # packed per-triangle attribute rows for the one-hot-matmul interpolation
     # path (small scenes): (T, 48) = 3 vertices x [pos3 nrm3 tan3 col3 uv0.2
     # uv1.2]; a gather from a small table IS an (R, T) one-hot matmul on TPU
@@ -366,6 +372,11 @@ def build_scene_arrays(host: HostScene, prec: Precision | str, leaf_size: int = 
         if sky_valid
         else np.zeros((1, 1, 3), np.float32)
     )
+    # quad-packed footprint rows (see SceneArrays.sky_quad): x wraps, y clamps
+    _x1 = np.roll(sky_data, -1, axis=1)
+    _y1 = np.concatenate([sky_data[1:], sky_data[-1:]], axis=0)
+    _y1x1 = np.roll(_y1, -1, axis=1)
+    sky_quad = np.concatenate([sky_data, _x1, _y1, _y1x1], axis=2).reshape(-1, 12)
 
     # packed per-triangle attribute rows (one-hot interpolation path)
     n_tris = tri_idx.shape[0]
@@ -420,6 +431,7 @@ def build_scene_arrays(host: HostScene, prec: Precision | str, leaf_size: int = 
         tex_height=i32(tex_height),
         tex_srgb=jnp.asarray(tex_srgb),
         sky_data=jnp.asarray(sky_data),
+        sky_quad=jnp.asarray(sky_quad, dtype=dt),
         tri_attr=(as_dt(tri_attr) if tri_attr is not None else None),
         leaf_size=int(leaf_size),
         sky_valid=bool(sky_valid),

@@ -119,11 +119,27 @@ def _kernel(
     count = active_ref[i]
     # count < 0 encodes overflow: run every chunk
     n_iter = jnp.where(count < 0, n_chunks, count)
-    ids_base = g_total + i * (maxc // 2)
+    ids_base = g_total + i * maxc
+    # word layout: low id_bits = chunk id, high bits = truncated f32 bit
+    # pattern of the tile's conservative slab-entry distance to the chunk
+    # (positive floats compare like their bit patterns; truncation rounds
+    # DOWN, so the decoded tmin never exceeds the true entry distance)
+    id_bits = max(1, (n_chunks - 1).bit_length())
+    id_mask = (1 << id_bits) - 1
+
+    def word_at(j):
+        return active_ref[ids_base + jnp.minimum(j, maxc - 1)]
+
+    def chunk_tmin_bits(j):
+        """Truncated f32 BIT PATTERN of the conservative entry distance of
+        the j-th nearest active chunk (0 on overflow tiles — no early
+        exit).  Comparisons happen in the integer bit domain: positive
+        floats order like their bit patterns, and Mosaic has no scalar
+        i32->f32 bitcast."""
+        return jnp.where(count < 0, 0, word_at(j) & ~id_mask)
 
     def chunk_body(j, _):
-        word = active_ref[ids_base + j // 2]
-        decoded = (word >> (16 * (j % 2))) & 0xFFFF
+        decoded = word_at(j) & id_mask
         c = jnp.where(count < 0, j, decoded)
         if True:
             sl = pl.ds(c * tc, tc)
@@ -235,24 +251,41 @@ def _kernel(
             obj_out[:, :] = jnp.where(better, obj_win, obj_out[:, :])
         return 0
 
-    # branchless sparse iteration: exactly n_iter chunk bodies run, indices
-    # from the compacted per-tile active-chunk list (fine-grained scf.if
-    # branching costs ~1us/branch on this TPU; a dynamic fori does not)
-    if find_any:
-        # any-hit rays (shadows): stop as soon as every live lane has a hit
-        # (dead lanes — maxd <= mind, e.g. invalid command slots — count as
-        # done); incoherent shadow tiles saturate after a few chunks
-        def w_cond(j):
-            live = (tri_out[:, :] < 0) & (maxd > mind)
-            return (j < n_iter) & jnp.any(live)
+    # branchless sparse iteration with ORDERED early termination: the
+    # per-tile chunk list arrives sorted by conservative entry distance, so
+    # the walk stops as soon as no live lane can improve on its current
+    # best inside the next (hence any remaining) chunk — the dense-kernel
+    # analogue of ordered BVH traversal, and the reason bounce rays on big
+    # scenes don't pay for the whole candidate list.  (Fine-grained
+    # per-chunk @pl.when branching costs ~1us/branch; one while_loop
+    # condition per chunk does not.)
+    def w_body(j):
+        chunk_body(j, 0)
+        return j + 1
 
-        def w_body(j):
-            chunk_body(j, 0)
-            return j + 1
+    as_bits = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)
+    if n_chunks == 1 and not find_any:
+        # nothing to exit early from; skip the per-iteration cond
+        jax.lax.fori_loop(0, n_iter, chunk_body, 0)
+    elif find_any:
+        # any-hit rays (shadows): a lane is done at its FIRST hit; dead
+        # lanes (maxd <= mind, e.g. invalid command slots) count as done
+        def w_cond(j):
+            live = (
+                (tri_out[:, :] < 0)
+                & (maxd > mind)
+                & (chunk_tmin_bits(j) < as_bits(jnp.maximum(maxd, 0.0)))
+            )
+            return (j < n_iter) & jnp.any(live)
 
         jax.lax.while_loop(w_cond, w_body, jnp.int32(0))
     else:
-        jax.lax.fori_loop(0, n_iter, chunk_body, 0)
+        def w_cond(j):
+            cap = jnp.maximum(jnp.minimum(t_out[:, :], maxd), 0.0)
+            improvable = (maxd > mind) & (chunk_tmin_bits(j) < as_bits(cap))
+            return (j < n_iter) & jnp.any(improvable)
+
+        jax.lax.while_loop(w_cond, w_body, jnp.int32(0))
 
 
 BLOCK_H, BLOCK_W = 8, 64  # screen-space ray tile (= TR rays), keeps tiles
@@ -348,10 +381,11 @@ def _chunk_predicates(frame, origins_f32, dirs_f32, min_dist, max_dist, grid, r_
     active = jnp.dot(tile_obj, chunk_obj.T, preferred_element_type=F32) > 0
 
     if frame.dense_chunk_lo is not None:
-        active = active & _tile_chunk_predicates(
-            frame, o, d, min_dist, max_dist, grid
-        )
-    return active.astype(jnp.int32)
+        hit, tmin = _tile_chunk_predicates(frame, o, d, min_dist, max_dist, grid)
+        active = active & hit
+    else:
+        tmin = jnp.zeros(active.shape, jnp.float32)
+    return active.astype(jnp.int32), tmin
 
 
 def _tile_chunk_predicates(frame, o, d, min_dist, max_dist, grid):
@@ -403,7 +437,9 @@ def _tile_chunk_predicates(frame, o, d, min_dist, max_dist, grid):
     tmax = jnp.min(t_hi_ax, axis=-1)
     slop = jnp.float32(0.02)  # scene-level slab slop, like the object test
     hit = (tmin <= tmax + slop) & (tmax + slop >= 0) & (tmin < t_hi[:, None])
-    return hit & any_live[:, None]
+    # conservative non-negative entry distance per (tile, chunk): feeds the
+    # kernel's ordered early termination (slop keeps it a lower bound)
+    return hit & any_live[:, None], jnp.maximum(tmin - slop, 0.0)
 
 
 @functools.partial(
@@ -449,6 +485,22 @@ def trace_rays_dense_pallas(
     c = frame.dense_center
     o_f32 = origins.astype(F32)
     d_f32 = directions.astype(F32)
+    if cull and frame.obj_aabb_lo is not None and frame.dense_n.shape[0] > TC:
+        # cap every lane's reach at its scene-AABB exit distance: no hit
+        # can lie beyond it, and without the cap a single MISS lane
+        # (t = 1e5) in a tile blocks the ordered early exit for everyone.
+        # (single-chunk scenes skip it — nothing to exit early from)
+        lo = jnp.min(frame.obj_aabb_lo, axis=0)
+        hi = jnp.max(frame.obj_aabb_hi, axis=0)
+        big = jnp.float32(3e38)
+        inv = 1.0 / d_f32
+        t1 = (lo[None, :] - o_f32) * inv
+        t2 = (hi[None, :] - o_f32) * inv
+        far = jnp.maximum(t1, t2)
+        far = jnp.where(jnp.isfinite(far), far, big)
+        texit = jnp.min(far, axis=-1)
+        slop = 1e-3 * jnp.linalg.norm(hi - lo) + jnp.float32(0.05)
+        max_dist = jnp.minimum(max_dist, jnp.maximum(texit, 0.0) * 1.01 + slop)
     o = (o_f32 - c).T
     d = d_f32.T
 
@@ -489,28 +541,38 @@ def trace_rays_dense_pallas(
         and frame.obj_aabb_lo is not None
         and len(frame.obj_layout) > 1
     ):
-        active = _chunk_predicates(
+        active, chunk_tmin = _chunk_predicates(
             frame, o_f32, d_f32, min_dist, max_dist, grid, TI + ti_pad
         )
     else:
         active = jnp.ones((grid, n_chunks), jnp.int32)
-    # compact the active-chunk ids per tile: [counts (G,) | ids packed two
-    # i16 per i32 word (G, maxc/2)].  SMEM prefetch capacity is ~1MB, so the
-    # per-tile list length adapts to the tile count; tiles whose active set
-    # exceeds it fall back to iterating every chunk (count = -1).
+        chunk_tmin = jnp.zeros((grid, n_chunks), jnp.float32)
+    # compact the active-chunk ids per tile, NEAREST FIRST: [counts (G,) |
+    # words (G, maxc)], each word = truncated f32 bits of the tile's
+    # conservative entry distance (high bits) | chunk id (low id_bits) —
+    # positive-float bit patterns order like the floats, and truncating the
+    # low mantissa bits only rounds the bound DOWN.  The kernel walks the
+    # list in this near-to-far order and stops when no live lane can
+    # improve (ordered-traversal early exit).  SMEM prefetch capacity is
+    # ~1MB, so the per-tile list length adapts to the tile count; tiles
+    # whose active set overflows it fall back to iterating every chunk
+    # unordered (count = -1).
     budget_words = (900 * 1024) // 4
-    maxc = min(MAXC, max(8, (budget_words // max(grid, 1) - 1) // 2 * 2))
-    col = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
-    order = jnp.argsort(jnp.where(active > 0, col, col + n_chunks), axis=1)
+    maxc = min(MAXC, max(8, budget_words // max(grid, 1) - 1))
+    id_bits = max(1, (n_chunks - 1).bit_length())
+    big = jnp.float32(3e38)
+    tkey = jnp.where(active > 0, jnp.maximum(chunk_tmin, 0.0), big)
+    order = jnp.argsort(tkey, axis=1)
     take = min(maxc, n_chunks)
     ids = order[:, :take].astype(jnp.int32)
+    tnear = jnp.take_along_axis(tkey, order, axis=1)[:, :take]
+    tbits = jax.lax.bitcast_convert_type(tnear, jnp.int32)
+    words = (tbits & ~((1 << id_bits) - 1)) | ids
     if take < maxc:
-        ids = jnp.pad(ids, ((0, 0), (0, maxc - take)))
+        words = jnp.pad(words, ((0, 0), (0, maxc - take)))
     count = jnp.sum(active, axis=1, dtype=jnp.int32)
     count = jnp.where(count > maxc, -1, count)  # overflow -> run all chunks
-    pairs = ids.reshape(grid, maxc // 2, 2)
-    packed = (pairs[..., 0] & 0xFFFF) | (pairs[..., 1] << 16)
-    active = jnp.concatenate([count, packed.reshape(-1)])
+    active = jnp.concatenate([count, words.reshape(-1)])
 
     kernel = functools.partial(
         _kernel,
