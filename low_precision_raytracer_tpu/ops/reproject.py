@@ -32,7 +32,11 @@ import jax.numpy as jnp
 
 
 
-RES_K = 2  # residual radius of the shifted-select fast path
+RES_K = 1  # residual radius of the shifted-select fast path.  Static or
+# translating cameras produce residuals in {-1, 0} (the trunc of the
+# bilinear footprint), so K=1 covers the steady state with 9 shifts
+# instead of 25 — the select loop is the fast path's whole cost.  Frames
+# whose motion spreads residuals wider fall back to the take path.
 
 
 def _gather2x2_take(a, base_y, base_x):

@@ -103,19 +103,32 @@ def _wavelet_kernel(
     # the instance's true image extent (replaces NaN border padding)
     row_in_img = j * RT + jax.lax.broadcasted_iota(jnp.int32, (RT, 1), 0)
 
+    # hoist the LANE rotations: slicing at a column offset costs a vector
+    # rotate, so build one full-slab rotated view per distinct dj and
+    # channel (9 channels x <=7 offsets) instead of one per tap read
+    # (25 taps x 9 reads); row offsets below are cheap sublane slices.
+    dj_set = sorted({t * stride for t in (-2, -1, 0, 1, 2)} | {-1, 0, 1})
+    g_rot = {
+        dj: {
+            ch: geo_s[ch, :, PAD + dj : PAD + dj + W]
+            for ch in (C_DEPTH, C_NX, C_NY, C_NZ, C_ILLUM)
+        }
+        for dj in dj_set
+    }
+    c_rot = {
+        dj: {ch: cv_s[ch, :, PAD + dj : PAD + dj + W] for ch in (C_R, C_G, C_B, C_VAR)}
+        for dj in dj_set
+    }
+
     def g_at(ch, di, dj):
-        return jax.lax.slice(
-            geo_s[ch], (PAD + di, PAD + dj), (PAD + di + RT, PAD + dj + W)
-        ).astype(dt)
+        return g_rot[dj][ch][PAD + di : PAD + di + RT, :].astype(dt)
 
     def cv_at(ch, di, dj):
-        return jax.lax.slice(
-            cv_s[ch], (PAD + di, PAD + dj), (PAD + di + RT, PAD + dj + W)
-        ).astype(dt)
+        return c_rot[dj][ch][PAD + di : PAD + di + RT, :].astype(dt)
 
     depth_p = g_at(C_DEPTH, 0, 0)
-    gx = g_at(C_GX, 0, 0)
-    gy = g_at(C_GY, 0, 0)
+    gx = geo_s[C_GX, PAD : PAD + RT, PAD : PAD + W].astype(dt)  # center-only
+    gy = geo_s[C_GY, PAD : PAD + RT, PAD : PAD + W].astype(dt)
     nx_p = g_at(C_NX, 0, 0)
     ny_p = g_at(C_NY, 0, 0)
     nz_p = g_at(C_NZ, 0, 0)
