@@ -58,3 +58,69 @@ def test_channelless_and_no_care():
     a2 = arr[..., 0]
     ref = _gather2x2_take(arr, by, bx)[..., 0]
     np.testing.assert_array_equal(np.asarray(gather2x2(a2, by, bx)), np.asarray(ref))
+
+
+def test_static_camera_residuals_stay_in_window():
+    """End-to-end guard for the shifted-select fast path: after one frame
+    of a STATIC camera, every valid pixel's reprojected anchor must sit
+    within RES_K of its own pixel (fp32-reconstructed positions — the
+    bf16 G-buffer position wobbles +-10 px and would force the 60 ms
+    take path every frame)."""
+    import low_precision_raytracer_tpu.ops.reproject as rp
+    from low_precision_raytracer_tpu.config import RenderConfig, get_precision
+    from low_precision_raytracer_tpu.models import procedural
+    from low_precision_raytracer_tpu.models.scene import (
+        build_scene_arrays,
+        flatten_frame,
+    )
+    from low_precision_raytracer_tpu.ops.camera import primary_ray_grid
+    from low_precision_raytracer_tpu.ops.gbuffer import fill_gbuffer
+    from low_precision_raytracer_tpu.ops.trace import resolve_cfg
+    from low_precision_raytracer_tpu.render.framestate import init_frame_state
+    from low_precision_raytracer_tpu.render.renderer import render_frame
+
+    H = W = 48
+    cfg = RenderConfig(width=W, height=H, precision="bf16")
+    prec = get_precision(cfg.precision)
+    host = procedural.cornell_box_scene()
+    scene = build_scene_arrays(host, prec, leaf_size=cfg.bvh_leaf_size)
+    frame = flatten_frame(host, prec, max_direct_lights=cfg.max_direct_lights,
+                          width=W, height=H)
+    cfg = resolve_cfg(scene, frame, cfg)
+    state = init_frame_state(cfg, len(frame.obj_layout))
+    key = jax.random.PRNGKey(0)
+    _, _, state = render_frame(scene, frame, state, cfg, key)
+
+    # recompute the SVGF footprint exactly as render_frame does
+    o, d = primary_ray_grid(frame.cam_l2w, frame.cam_fov_y, W, H, prec.dtype)
+    g_flat, hit = fill_gbuffer(
+        scene, frame, o.reshape(-1, 3), d.reshape(-1, 3), prec, cfg=cfg
+    )
+    g = {k: v.reshape((H, W) + v.shape[1:]) for k, v in g_flat.items()}
+    o32, d32 = primary_ray_grid(
+        frame.cam_l2w_f32, frame.cam_fov_y_f32, W, H, jnp.float32
+    )
+    pos32 = o32 + g["t"].reshape(H, W)[..., None].astype(jnp.float32) * d32
+
+    f32 = jnp.float32
+    O = frame.obj_w2l.shape[0]
+    comp = state.last_w2c[None] @ state.last_l2w @ frame.obj_w2l_f32
+    onehot = (
+        g["obj"].reshape(-1)[:, None] == jnp.arange(O, dtype=jnp.int32)[None, :]
+    ).astype(f32)
+    comp_px = jnp.dot(onehot, comp.reshape(O, 16)).reshape(H, W, 4, 4)
+    p4 = jnp.concatenate([pos32, jnp.ones((H, W, 1), f32)], axis=-1)
+    clip = (comp_px @ p4[..., None])[..., 0]
+    g_fx = (1 + clip[..., 0] / clip[..., 3]) / 2 * W
+    g_fy = (1 + clip[..., 1] / clip[..., 3]) / 2 * H
+    by, bx, _, inb = rp._footprint(
+        g_fx - jnp.asarray(0.5, prec.dtype), g_fy - jnp.asarray(0.5, prec.dtype),
+        H, W, prec.dtype,
+    )
+    care = np.asarray(g["valid"] & jnp.any(inb, axis=-1))
+    row = np.arange(H)[:, None]
+    col = np.arange(W)[None, :]
+    dy = np.asarray(by) - (row + 1)
+    dx = np.asarray(bx) - (col + 1)
+    bad = ((np.abs(dy) > rp.RES_K) | (np.abs(dx) > rp.RES_K)) & care
+    assert bad.sum() == 0, f"{bad.sum()} caring pixels outside the K window"
