@@ -93,7 +93,7 @@ def main():
                         "value": round(float(p), 2),
                         "unit": "dB",
                         "ssim": round(float(s), 4),
-                        "target": ">= reference fp32 - 1 dB (north star)",
+                        "target": "PSNR(bf16, fp32) >= 30 dB (direct difference metric)",
                     }
                 )
             )

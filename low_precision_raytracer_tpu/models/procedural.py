@@ -139,10 +139,12 @@ def animated_cornell_scene():
 
 
 def sponza_like_scene(pillar_grid: int = 4, sphere_subdiv: int = 2, with_skybox: bool = True):
-    """BASELINE config 5: a Sponza-class scene — colonnade of pillars, floor,
-    varied PBR materials, equirect HDR skybox IBL.  Triangle count scales
-    with pillar_grid/sphere_subdiv (defaults ~ tens of thousands of
-    instance-triangles, exercising the BVH path)."""
+    """BASELINE config 5: a colonnade scene — pillars, floor, varied PBR
+    materials, equirect HDR skybox IBL.  Triangle count scales with
+    pillar_grid/sphere_subdiv: the (4, 2) default is 5,314 instance-tris /
+    33 objects ("colonnade-5k"); (8, 3) is 82,690 instance-tris / 129
+    objects ("colonnade-83k", the large-scene benchmark config — real
+    Sponza is ~260k, so only the (8,3)+ variants deserve the comparison)."""
     from low_precision_raytracer_tpu.models.scene import Skybox
 
     scene = HostScene()

@@ -39,9 +39,15 @@ def specular_brdf(V, H, L, N, alpha):
     one = jnp.asarray(1.0, dt)
     div1 = anl + jnp.sqrt(jnp.maximum(0.0, a2 + (one - a2) * anl * anl).astype(dt))
     div2 = anv + jnp.sqrt(jnp.maximum(0.0, a2 + (one - a2) * anv * anv).astype(dt))
-    d_val = a2 / (
-        jnp.asarray(jnp.pi, dt) * (nh * nh * (a2 - one) + one) ** 2
-    )
+    # NDF denominator in the cancellation-free form (1 - nh^2) + nh^2*a2
+    # (mathematically = nh^2*(a2-1) + 1, `rt/rtrt/bsdf.hpp:12-33`): in bf16
+    # the reference's form rounds (a2 - 1) to exactly -1 for a2 < 2^-9, so
+    # at nh = 1 the denominator cancels to 0 and d_val goes Inf, poisoning
+    # the metallic mix with Inf*0 = NaN.  All terms here are non-negative —
+    # at nh = 1 it computes a2 exactly in any dtype.
+    nh2 = nh * nh
+    denom = (one - nh2) + nh2 * a2
+    d_val = a2 / (jnp.asarray(jnp.pi, dt) * jnp.maximum(denom * denom, jnp.asarray(1e-12, dt)))
     out = d_val / div1 / div2
     bad = (nh <= 0) | (hl <= 0) | (hv <= 0)
     return jnp.where(bad, jnp.asarray(0.0, dt), out)

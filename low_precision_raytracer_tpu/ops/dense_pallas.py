@@ -716,7 +716,7 @@ def trace_rays_dense_pallas_sorted(
     compact and the chunk culling bites again, then the hits are unsorted
     back to caller order with a second key-value sort (sorts cost ~10 ms
     per 2M rays on TPU; a gather-based permute costs more).  Measured ~2x
-    on Sponza-class bounce traces.  Results can differ from the unsorted
+    on colonnade-5k bounce traces.  Results can differ from the unsorted
     launch only where two triangles tie on t across different chunks
     (evaluation-order tiebreak, ~1e-5 of lanes)."""
     R = origins.shape[0]

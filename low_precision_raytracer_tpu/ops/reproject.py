@@ -70,15 +70,17 @@ def _gather2x2_shifted(a, base_y, base_x, my, mx, res_y, res_x):
     """Shifted-select fast path: every caring pixel's anchor is within
     RES_K of (pixel + global motion (my, mx)), so the whole tap fetch is
     (2K+1)^2 masked adds over statically shifted slices of the globally
-    rolled history — zero gather indices.  Reads that correspond to real
-    anchors never wrap: anchors are clipped to the padded range, so
-    y + my + res_y = base_y is always a valid row of the padded array
-    (wrapped reads occur only under masks that are zero there)."""
+    rolled history — zero gather indices.  The outer K-pad must WRAP: a
+    caring border pixel whose slice index overflows Pr (e.g. bottom row,
+    residual +1 under global motion my <= -2) still addresses a real row of
+    the padded history — the roll correspondence puts it at the circularly
+    wrapped index, so a wrap pad reads exactly P[base + tap] while a zero
+    pad would silently return 0 there."""
     H, W = a.shape[:2]
     K = RES_K
     P = jnp.pad(a, ((1, 1), (1, 1), (0, 0)))  # (H+2, W+2, C)
     Pr = jnp.roll(P, shift=(-my, -mx), axis=(0, 1))
-    E = jnp.pad(Pr, ((K, K), (K, K), (0, 0)))
+    E = jnp.pad(Pr, ((K, K), (K, K), (0, 0)), mode="wrap")
     view = lambda sy, sx: jax.lax.slice(
         E, (1 + K + sy, 1 + K + sx, 0), (1 + K + sy + H, 1 + K + sx + W, E.shape[2])
     )

@@ -29,8 +29,11 @@ def sample_ggx(a2, u1, u2):
 
 def d_ggx_opti(nh, a2):
     """`D_ggx_opti` (`rt/rtrt/cuda.hpp:1726-1729`): pi * tmp^2 with
-    tmp = (NH*a2 - NH)*NH + 1 (the NDF denominator, premultiplied)."""
-    tmp = (nh * a2 - nh) * nh + 1.0
+    tmp = (NH*a2 - NH)*NH + 1 — computed in the cancellation-free form
+    (1 - NH^2) + NH^2*a2: in bf16 the reference's form rounds to 0 at
+    NH = 1 for a2 < 2^-9 (8-bit mantissa), blowing the pdf up to Inf."""
+    nh2 = nh * nh
+    tmp = (1.0 - nh2) + nh2 * a2
     return jnp.asarray(jnp.pi, nh.dtype) * tmp * tmp
 
 

@@ -68,6 +68,15 @@ def sample_skybox(scene, frame, directions):
     cost on TPU.  Rows are split into <=32-byte channel groups (fp32 rows
     are 48B; past 32B flat takes run ~5x slower).
 
+    Accepted deviations from the per-texel reference fetch (goldens were
+    regenerated over both): (1) at the panorama poles (y0 = -1 or H-1, the
+    top/bottom half-pixel) the quad table's y+1 taps at the clamped base row
+    blend the adjacent row with weight >= 0.5 where the reference clamped
+    both rows to the pole row; (2) quad texels are stored in the render
+    dtype, so bf16 runs quantize HDR radiance that the reference fetched in
+    f32 — within the precision policy's intent (radiance math is
+    render-dtype everywhere else too).
+
     directions: (..., 3) -> (..., 3) fp32 radiance.
     """
     f32 = jnp.float32

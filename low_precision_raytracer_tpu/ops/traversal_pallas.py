@@ -54,7 +54,8 @@ MAXL = 1024  # hard cap on compacted leaf ids per packet
 
 
 def _kernel(
-    lists_ref,  # (G + G*maxc,) i32: [counts | packed (qtmin | leaf id) keys]
+    lists_ref,  # (2G + G*maxc,) i32: [counts (G,) | qcaps (G,) | packed
+    # (qtmin | leaf id) keys (G, maxc)] — see _leaf_schedule
     rank2orig_ref,  # (NL,) i32: global front-to-back order -> leaf id
     tscale_ref,  # (1,) f32: dequantization step for the per-item t bounds
     *refs,
@@ -356,8 +357,9 @@ def _leaf_schedule(lo, hi, o_f32, d_f32, min_dist, max_dist, grid, maxc):
     positive i32, so the k largest keys are the k nearest active leaves and
     the kernel can decode both fields from the prefetched word.
 
-    -> (lists (G + G*maxc,) i32: [counts | keys], rank2orig (NL,) i32 global
-       front-to-back order for list overflow, tscale (1,) f32 dequant step)
+    -> (lists (2G + G*maxc,) i32: [counts (G,) | per-packet quantized exit
+       caps (G,) | keys (G, maxc)], rank2orig (NL,) i32 global front-to-back
+       order for list overflow, tscale (1,) f32 dequant step)
     """
     nl = lo.shape[0]
     assert nl <= 0xFFFF, "leaf id must fit 16 bits"

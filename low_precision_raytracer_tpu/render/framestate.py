@@ -23,13 +23,15 @@ class FrameState:
     # last frame's per-pixel mesh id / primitive (`LastFramePixelID`)
     last_mesh_id: jnp.ndarray  # (H, W) i32, -1 = empty
     last_prim: jnp.ndarray  # (H, W) i32
-    # last frame's per-OBJECT L2W.  The reference keys its backup by the
-    # G-buffer objectid (`buffer.last_frame_L2W[objectid]`,
-    # `rt/rtrt/cuda.hpp:2253-2263`) — the per-drawn-instance id, NOT the
-    # shared mesh/VAO: keying by mesh makes every instance of a shared mesh
-    # reproject through the LAST instance's transform, which breaks temporal
-    # accumulation for any instanced scene (all history rejected).  fp32:
-    # the reprojection matrix chain is precision-critical.
+    # last frame's per-OBJECT L2W.  Deliberate deviation from the reference:
+    # its backup key (`buffer.last_frame_L2W[objectid]`,
+    # `rt/rtrt/cuda.hpp:2253-2263`) is the shared mesh/VAO index (set per
+    # mesh at `rt/rtrt/loader.cu:634`, used as vao_index at
+    # `rt/rtrt/cuda.hpp:549,967,2107`), so the reference collides instances
+    # of a shared mesh last-writer-wins — every instance reprojects through
+    # the last writer's transform, rejecting history in instanced scenes.
+    # Keying per drawn OBJECT fixes that.  fp32: the reprojection matrix
+    # chain is precision-critical.
     last_l2w: jnp.ndarray  # (n_objects, 4, 4) f32
     # last frame's world-to-clip (`buffer.last_frame_transform_W2C`)
     last_w2c: jnp.ndarray  # (4, 4) f32

@@ -125,7 +125,7 @@ def _trace_di_gi(scene, frame, shade_out, prec, cfg, *, want_gi, coherent):
     both morton-sorted on multi-chunk scenes: one 2R-lane sort beats two
     R-lane launches).  Round-0 shadow rays are screen-coherent — folding
     them into a sorted launch would trade their free screen-block culling
-    for a sort, measured a net loss on Sponza-class scenes."""
+    for a sort, measured a net loss on colonnade-5k."""
     R = shade_out.source.shape[0]
     L = shade_out.lights.valid.shape[1]
     dt = prec.dtype

@@ -14,13 +14,12 @@ from low_precision_raytracer_tpu.ops.reproject import (
 )
 
 
-def _mk(H=33, W=47, C=5, seed=0):
+def _mk(H=33, W=47, C=5, seed=0, my=3, mx=-2):
     k = jax.random.PRNGKey(seed)
     k1, k2, k3, k4 = jax.random.split(k, 4)
     arr = jax.random.normal(k1, (H, W, C), jnp.float32)
     # anchors: pixel + global motion + residual in [-K, K], clipped to the
     # padded range like _footprint does
-    my, mx = 3, -2
     ry = jax.random.randint(k2, (H, W), -RES_K, RES_K + 1)
     rx = jax.random.randint(k3, (H, W), -RES_K, RES_K + 1)
     row = jnp.arange(H)[:, None]
@@ -39,6 +38,29 @@ def test_shifted_matches_take_where_care():
     np.testing.assert_array_equal(
         np.asarray(out) * m, np.asarray(ref) * m
     )
+
+
+def test_shifted_matches_take_negative_motion_border():
+    """Regression: negative global motion with a +K residual makes border
+    pixels' slice indices overflow the rolled history; the fast path's outer
+    pad must WRAP (the true row lives at the circularly-wrapped index) —
+    a zero pad silently darkened the far border row/column during pans.
+    Calls the fast path DIRECTLY so dispatch fallback can't mask the bug."""
+    from low_precision_raytracer_tpu.ops.reproject import _gather2x2_shifted
+
+    for my, mx in ((-2, 0), (0, -2), (-2, -2), (1, 1), (3, -2)):
+        arr, by, bx, _ = _mk(seed=7, my=my, mx=mx)
+        H, W = arr.shape[:2]
+        row = jnp.arange(H)[:, None]
+        col = jnp.arange(W)[None, :]
+        res_y = by - (row + 1) - my
+        res_x = bx - (col + 1) - mx
+        in_win = (jnp.abs(res_y) <= RES_K) & (jnp.abs(res_x) <= RES_K)
+        assert bool(jnp.any(in_win)), "degenerate test setup"
+        ref = _gather2x2_take(arr, by, bx)
+        out = _gather2x2_shifted(arr, by, bx, my, mx, res_y, res_x)
+        m = np.asarray(in_win)[..., None, None]
+        np.testing.assert_array_equal(np.asarray(out) * m, np.asarray(ref) * m)
 
 
 def test_out_of_window_falls_back_exactly():

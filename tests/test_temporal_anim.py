@@ -1,5 +1,5 @@
 """BASELINE config 4: animated scene with temporal reprojection + SVGF, and
-config 5 smoke: Sponza-class scene with skybox IBL."""
+config 5 smoke: colonnade scene with skybox IBL."""
 
 import numpy as np
 
