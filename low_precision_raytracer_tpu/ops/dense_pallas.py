@@ -50,6 +50,7 @@ TR = 512  # rays per tile (lane axis, multiple of 128).  Measured: bigger
 # triangles per chunk (sublane axis) — single source of truth lives next to
 # the host-side chunk-AABB precompute
 from low_precision_raytracer_tpu.models.scene import DENSE_CHUNK_TRIS as TC  # noqa: E402
+_M32_PRECISION = jax.lax.Precision.HIGHEST  # f32 dot precision (perf-probe knob)
 MAXC = 512  # max compacted active chunks per tile; the adaptive per-tile
 # budget (SMEM ~1MB / n_tiles) is usually the binding cap at high ray
 # counts — e.g. 54 ids/tile at 1080p — but small grids on chunk-heavy
@@ -57,7 +58,6 @@ MAXC = 512  # max compacted active chunks per tile; the adaptive per-tile
 
 
 def _kernel(
-    active_ref,  # (G + G*maxc/2,) i32: [counts | packed i16 chunk ids]
     *refs,
     n_chunks: int,
     maxc: int,
@@ -68,51 +68,209 @@ def _kernel(
     find_any: bool,
     stream: bool = False,
     tc: int = TC,
+    single: bool = False,
+    ablate: str = "",
 ):
-    """Resident mode (stream=False): the five coefficient tables are whole
-    VMEM refs.  Streaming mode (stream=True): ONE lane-padded f32 table
-    (TIp, 128) stays in HBM and each active chunk's (TC, 128) slab is
-    DMA'd into a VMEM scratch on demand — lifts the VMEM cap on scene
-    size (column layout: n_dt 0:9 | n_f32 9:18 | e 18:21 | tri 21 |
-    obj 22; tri/obj ride as exact f32 integers)."""
+    """MXU-staged chunk body: the 14 linear-in-ray quantities of the
+    triangle test come from TWO lhs-transposed `dot_general`s per chunk
+    instead of ~50 VPU broadcast-madd passes —
+
+    - A32t slab (8, P32) f32: blocks [Oz, Dz, Ox32, Oy32, Dx32, Dy32,
+      Tri, Obj] against B32 = [o; 1; d; 0] (8, TR).  The z row and the
+      fp32 re-test rows need true f32 (Mosaic lowers the f32 matmul to
+      multi-pass bf16 on the MXU); triangle/object ids ride as extra
+      blocks against the ones row (exact f32 integers < 2^24).
+    - Aabt slab (16, Pab) in the render dtype: dtype rows [Ox, Oy, Dx,
+      Dy] + error-band rows [Sox, Soy, Sdx, Sdy] (|coeff| x |ray|)
+      against Bab = [o; 1; d; 0; |o|; 1; |d|; 0].  In bf16 mode the rays
+      round to bf16 here — covered by the dtype error band (the CUDA
+      reference's DataT kernel rounds its rays the same way) and
+      resolved by the fp32 re-test inside the band.  fp32 mode keeps
+      only the 4 S blocks (u/v come from the f32 dot).
+
+    Measured vs the VPU body (Cornell chunk, 2.07M rays): 13.3 -> 10.6 ms
+    AND ~1000x faster Mosaic compiles (0.6 s vs 300-650 s).
+
+    Resident mode (stream=False): both A tables are whole VMEM refs,
+    flattened 2-D as (NC*8, P32) / (NC*16, Pab); chunk c is the sublane
+    slice [c*8, (c+1)*8) / [c*16, (c+1)*16).  Streaming mode: the same
+    tables live in HBM and each chunk's slabs are DMA'd into VMEM
+    scratch on demand (slices are whole sublane-tiles, trivially
+    aligned) — lifts the VMEM cap on scene size.
+
+    single=True (one chunk, e.g. Cornell): no scalar-prefetch list, no
+    per-chunk decode, STATIC slab loads — the whole scheduling apparatus
+    of the multi-chunk walk costs ~2x on single-chunk scenes."""
+    if not single:
+        active_ref, *refs = refs  # (G + G*maxc,) i32: [counts | packed ids]
     if stream:
-        (tbl_hbm, o_ref, d_ref, skip_ref, mind_ref, maxd_ref,
-         t_out, u_out, v_out, tri_out, obj_out, scratch, sem) = refs
+        (a32_hbm, aab_hbm, rays_ref, outf_ref, ids_ref,
+         scr32, scrab, sem32, semab) = refs
     else:
-        (n_dt_ref,  # (TI, 9) dtype   rows 0,1 used
-         n_f32_ref,  # (TI, 9) f32    all rows
-         e_ref,  # (TI, 3) f32
-         tri_ref,  # (TI, 1) i32
-         obj_ref,  # (TI, 1) i32
-         o_ref,  # (3, TR) f32 (recentered)
-         d_ref,  # (3, TR) f32
-         skip_ref,  # (1, TR) i32
-         mind_ref,  # (1, TR) f32
-         maxd_ref,  # (1, TR) f32
-         t_out,  # (1, TR) f32 — double as running-best accumulators
-         u_out,
-         v_out,
-         tri_out,  # (1, TR) i32
-         obj_out) = refs
-    tr = o_ref.shape[1]  # rays per tile (static block shape: TR or BIG_TR)
-    ox = o_ref[0:1, :]
-    oy = o_ref[1:2, :]
-    oz = o_ref[2:3, :]
-    dx = d_ref[0:1, :]
-    dy = d_ref[1:2, :]
-    dz = d_ref[2:3, :]
-    skip = skip_ref[0:1, :]
-    mind = mind_ref[0:1, :]
-    maxd = maxd_ref[0:1, :]
+        (a32_ref,  # (NC*8, P32) f32
+         aab_ref,  # (NC*16, Pab) dtype
+         rays_ref,  # (11, TR) f32: [B32 rows 0-7 | skip | mind | maxd]
+         outf_ref,  # (3, TR) f32 [t, u, v] — running-best accumulators
+         ids_ref,  # (2, TR) i32 [tri, obj]
+         ) = refs
+    # the rays block arrives PRE-PACKED in the f32 dot's feature layout
+    # ([ox, oy, oz, 1, dx, dy, dz, 0]): one blocked operand instead of
+    # five, zero in-kernel assembly.  Per-tile blocked-operand windows
+    # carry fixed Mosaic overhead — packing operands measured ~25% off
+    # the whole launch at 4050 tiles.
+    tr = rays_ref.shape[1]
+    B32 = rays_ref[0:8, :]
+    skip = rays_ref[8:9, :]  # ids as exact f32 integers
+    mind = rays_ref[9:10, :]
+    maxd = rays_ref[10:11, :]
+    Bab = jnp.concatenate([B32, jnp.abs(B32)], axis=0)  # |1| = 1, |0| = 0
+    if not is_f32:
+        Bab = Bab.astype(jnp.bfloat16)
+    DN = (((0,), (0,)), ((), ()))
 
     d12 = jnp.float32(d1 + d2)
     d1f = jnp.float32(d1)
 
-    t_out[:, :] = jnp.full((1, tr), 1e5, F32)
-    u_out[:, :] = jnp.zeros((1, tr), F32)
-    v_out[:, :] = jnp.zeros((1, tr), F32)
-    tri_out[:, :] = jnp.full((1, tr), -1, jnp.int32)
-    obj_out[:, :] = jnp.full((1, tr), -1, jnp.int32)
+    outf_ref[:, :] = jnp.concatenate(
+        [jnp.full((1, tr), 1e5, F32), jnp.zeros((2, tr), F32)], axis=0
+    )
+    ids_ref[:, :] = jnp.full((2, tr), -1, jnp.int32)
+
+    def run_chunk(c):
+        if True:
+            if stream:
+                cp32 = pltpu.make_async_copy(
+                    a32_hbm.at[pl.ds(c * 8, 8), :], scr32, sem32
+                )
+                cpab = pltpu.make_async_copy(
+                    aab_hbm.at[pl.ds(c * 16, 16), :], scrab, semab
+                )
+                cp32.start()
+                cpab.start()
+                cp32.wait()
+                cpab.wait()
+                a32 = scr32[:, :]
+                aab = scrab[:, :]
+            else:
+                a32 = a32_ref[pl.ds(c * 8, 8), :]
+                aab = aab_ref[pl.ds(c * 16, 16), :]
+
+            # precision must be explicit: the framework's global
+            # jax_default_matmul_precision='highest' would stamp fp32
+            # contract precision onto the bf16 dot, which Mosaic rejects
+            # ("Bad lhs type"); DEFAULT on bf16 inputs is the MXU-native
+            # bf16 x bf16 -> f32-accumulate mode.
+            if "prec" in ablate:  # perf probes
+                p32 = (jax.lax.Precision.HIGH if "prech" in ablate
+                       else jax.lax.Precision.DEFAULT)
+            else:
+                p32 = _M32_PRECISION
+            m32 = jax.lax.dot_general(
+                a32, B32, DN, preferred_element_type=F32, precision=p32,
+            )
+            mab = jax.lax.dot_general(
+                aab, Bab, DN, preferred_element_type=F32,
+                precision=(jax.lax.Precision.HIGHEST if is_f32
+                           else jax.lax.Precision.DEFAULT),
+            )
+            b32 = lambda k: m32[k * tc : (k + 1) * tc]
+            bab = lambda k: mab[k * tc : (k + 1) * tc]
+            Oz, Dz = b32(0), b32(1)
+            tri = b32(6)  # (tc, TR) exact f32 integers
+            obj = b32(7)
+            if is_f32:
+                # u/v ARE the f32 rows; Aab carries only the 4 S blocks
+                Ox, Oy, Dx, Dy = b32(2), b32(3), b32(4), b32(5)
+                s_ox, s_oy, s_dx, s_dy = bab(0), bab(1), bab(2), bab(3)
+            else:
+                Ox, Oy, Dx, Dy = bab(0), bab(1), bab(2), bab(3)
+                s_ox, s_oy, s_dx, s_dy = bab(4), bab(5), bab(6), bab(7)
+
+            t = -Oz / Dz  # (tc, TR)
+            t_dx = t * Dx
+            t_dy = t * Dy
+            u = Ox + t_dx
+            v = Oy + t_dy
+
+            error_u = (d12 * s_ox + t * d12 * s_dx + d1f * (jnp.abs(Ox) + 3 * jnp.abs(t_dx))) * 0.2
+            error_v = (d12 * s_oy + t * d12 * s_dy + d1f * (jnp.abs(Oy) + 3 * jnp.abs(t_dy))) * 0.2
+
+            w = 1.0 - u - v
+            in_band = lambda x, err: (x >= -err) & (x <= 0)
+            ambiguous = in_band(u, error_u) | in_band(v, error_v) | in_band(w, error_u + error_v)
+            dtype_accept = (u > -error_u) & (v > -error_v) & (u + v < 1 + error_u + error_v)
+
+            if "band" in ablate:  # perf probe: no band, no fp32 re-test
+                u_sel, v_sel = u, v
+                accept_geom = (u > 0) & (v > 0) & (u + v < 1)
+            elif fallback == "both" and not is_f32:
+                Ox32, Oy32, Dx32, Dy32 = b32(2), b32(3), b32(4), b32(5)
+                u32 = Ox32 + t * Dx32
+                v32 = Oy32 + t * Dy32
+                ok32 = (u32 > 0) & (v32 > 0) & (u32 + v32 < 1)
+                u_sel = jnp.where(ambiguous, u32, u)
+                v_sel = jnp.where(ambiguous, v32, v)
+                accept_geom = (ambiguous & ok32) | (~ambiguous & dtype_accept)
+            elif fallback == "both":
+                strict = (u > 0) & (v > 0) & (u + v < 1)
+                u_sel, v_sel = u, v
+                accept_geom = (ambiguous & strict) | (~ambiguous & dtype_accept)
+            else:
+                u_sel, v_sel = u, v
+                accept_geom = dtype_accept
+
+            accept = (
+                accept_geom
+                & (t > mind)
+                & (t < maxd)
+                & (tri != skip)
+                & jnp.isfinite(t)
+            )
+
+            t_masked = jnp.where(accept, t, jnp.inf)
+            t_min = jnp.min(t_masked, axis=0, keepdims=True)  # (1, TR)
+            at_min = t_masked == t_min
+            neg = jnp.float32(-3e38)
+            if "ids" in ablate:  # perf probe: no winner-id tracking
+                u_win = jnp.max(jnp.where(at_min, u_sel, neg), axis=0, keepdims=True)
+                v_win = jnp.max(jnp.where(at_min, v_sel, neg), axis=0, keepdims=True)
+                better = jnp.isfinite(t_min) & (t_min < outf_ref[0:1, :])
+                b3 = jnp.broadcast_to(better, (3, tr))
+                outf_ref[:, :] = jnp.where(
+                    b3, jnp.concatenate([t_min, u_win, v_win], axis=0), outf_ref[:, :]
+                )
+                return 0
+            big = jnp.float32(3e38)
+            tri_win = jnp.min(jnp.where(at_min, tri, big), axis=0, keepdims=True)
+            win = at_min & (tri == tri_win)
+            u_win = jnp.max(jnp.where(win, u_sel, neg), axis=0, keepdims=True)
+            v_win = jnp.max(jnp.where(win, v_sel, neg), axis=0, keepdims=True)
+            obj_win = jnp.max(jnp.where(win, obj, neg), axis=0, keepdims=True)
+
+            better = jnp.isfinite(t_min) & (t_min < outf_ref[0:1, :])
+            b3 = jnp.broadcast_to(better, (3, tr))
+            outf_ref[:, :] = jnp.where(
+                b3, jnp.concatenate([t_min, u_win, v_win], axis=0), outf_ref[:, :]
+            )
+            ids_new = jnp.concatenate([tri_win, obj_win], axis=0).astype(jnp.int32)
+            b2 = jnp.broadcast_to(better, (2, tr))
+            ids_ref[:, :] = jnp.where(b2, ids_new, ids_ref[:, :])
+        return 0
+
+    if single:
+        # one chunk: c = 0 is STATIC (static slab loads, no prefetch list,
+        # no decode, no loop).  The ONE cross-lane reduction guards the
+        # whole body: fused DI+GI launches arrive lane-major with invalid
+        # command slots (maxd = 0) clustered into whole tiles, and an
+        # all-dead tile skips its chunk entirely (~0.3us vs ~4us body).
+        if "guard" in ablate:  # perf probe: straight-line, no dead-tile skip
+            run_chunk(0)
+            return
+
+        @pl.when(jnp.any(maxd > mind))
+        def _():
+            run_chunk(0)
+        return
 
     i = pl.program_id(0)
     g_total = pl.num_programs(0)
@@ -141,114 +299,7 @@ def _kernel(
     def chunk_body(j, _):
         decoded = word_at(j) & id_mask
         c = jnp.where(count < 0, j, decoded)
-        if True:
-            sl = pl.ds(c * tc, tc)
-            if stream:
-                cp = pltpu.make_async_copy(tbl_hbm.at[sl, :], scratch, sem)
-                cp.start()
-                cp.wait()
-                n_dt = scratch[:, 0:9]  # pre-rounded to the render dtype
-                n_f = scratch[:, 9:18]
-                e = scratch[:, 18:21]
-                tri = scratch[:, 21:22].astype(jnp.int32)  # (TC, 1)
-                obj = scratch[:, 22:23].astype(jnp.int32)
-            else:
-                n_dt = n_dt_ref[sl, :].astype(F32)  # bf16 storage -> f32 math
-                n_f = n_f32_ref[sl, :]
-                e = e_ref[sl, :]
-                tri = tri_ref[sl, :]  # (TC, 1)
-                obj = obj_ref[sl, :]
-
-            def row(nmat, k, e_col):
-                o_val = (
-                    nmat[:, 3 * k : 3 * k + 1] * ox
-                    + nmat[:, 3 * k + 1 : 3 * k + 2] * oy
-                    + nmat[:, 3 * k + 2 : 3 * k + 3] * oz
-                    + e_col
-                )
-                d_val = (
-                    nmat[:, 3 * k : 3 * k + 1] * dx
-                    + nmat[:, 3 * k + 1 : 3 * k + 2] * dy
-                    + nmat[:, 3 * k + 2 : 3 * k + 3] * dz
-                )
-                return o_val, d_val
-
-            Ox, Dx = row(n_dt, 0, e[:, 0:1])
-            Oy, Dy = row(n_dt, 1, e[:, 1:2])
-            Oz, Dz = row(n_f, 2, e[:, 2:3])  # z row always fp32
-
-            t = -Oz / Dz  # (TC, TR)
-            t_dx = t * Dx
-            t_dy = t * Dy
-            u = Ox + t_dx
-            v = Oy + t_dy
-
-            def arow(nmat, k, e_col):
-                a = (
-                    jnp.abs(nmat[:, 3 * k : 3 * k + 1]) * jnp.abs(ox)
-                    + jnp.abs(nmat[:, 3 * k + 1 : 3 * k + 2]) * jnp.abs(oy)
-                    + jnp.abs(nmat[:, 3 * k + 2 : 3 * k + 3]) * jnp.abs(oz)
-                    + jnp.abs(e_col)
-                )
-                b = (
-                    jnp.abs(nmat[:, 3 * k : 3 * k + 1]) * jnp.abs(dx)
-                    + jnp.abs(nmat[:, 3 * k + 1 : 3 * k + 2]) * jnp.abs(dy)
-                    + jnp.abs(nmat[:, 3 * k + 2 : 3 * k + 3]) * jnp.abs(dz)
-                )
-                return a, b
-
-            s_ox, s_dx = arow(n_dt, 0, e[:, 0:1])
-            s_oy, s_dy = arow(n_dt, 1, e[:, 1:2])
-            error_u = (d12 * s_ox + t * d12 * s_dx + d1f * (jnp.abs(Ox) + 3 * jnp.abs(t_dx))) * 0.2
-            error_v = (d12 * s_oy + t * d12 * s_dy + d1f * (jnp.abs(Oy) + 3 * jnp.abs(t_dy))) * 0.2
-
-            w = 1.0 - u - v
-            in_band = lambda x, err: (x >= -err) & (x <= 0)
-            ambiguous = in_band(u, error_u) | in_band(v, error_v) | in_band(w, error_u + error_v)
-            dtype_accept = (u > -error_u) & (v > -error_v) & (u + v < 1 + error_u + error_v)
-
-            if fallback == "both" and not is_f32:
-                Ox32, Dx32 = row(n_f, 0, e[:, 0:1])
-                Oy32, Dy32 = row(n_f, 1, e[:, 1:2])
-                u32 = Ox32 + t * Dx32
-                v32 = Oy32 + t * Dy32
-                ok32 = (u32 > 0) & (v32 > 0) & (u32 + v32 < 1)
-                u_sel = jnp.where(ambiguous, u32, u)
-                v_sel = jnp.where(ambiguous, v32, v)
-                accept_geom = (ambiguous & ok32) | (~ambiguous & dtype_accept)
-            elif fallback == "both":
-                strict = (u > 0) & (v > 0) & (u + v < 1)
-                u_sel, v_sel = u, v
-                accept_geom = (ambiguous & strict) | (~ambiguous & dtype_accept)
-            else:
-                u_sel, v_sel = u, v
-                accept_geom = dtype_accept
-
-            accept = (
-                accept_geom
-                & (t > mind)
-                & (t < maxd)
-                & (tri != skip)
-                & jnp.isfinite(t)
-            )
-
-            t_masked = jnp.where(accept, t, jnp.inf)
-            t_min = jnp.min(t_masked, axis=0, keepdims=True)  # (1, TR)
-            at_min = t_masked == t_min
-            big = jnp.int32(2**30)
-            tri_win = jnp.min(jnp.where(at_min, tri, big), axis=0, keepdims=True)
-            win = at_min & (tri == tri_win)
-            neg = jnp.float32(-3e38)
-            u_win = jnp.max(jnp.where(win, u_sel, neg), axis=0, keepdims=True)
-            v_win = jnp.max(jnp.where(win, v_sel, neg), axis=0, keepdims=True)
-            obj_win = jnp.max(jnp.where(win, obj, -1), axis=0, keepdims=True)
-
-            better = jnp.isfinite(t_min) & (t_min < t_out[:, :])
-            t_out[:, :] = jnp.where(better, t_min, t_out[:, :])
-            u_out[:, :] = jnp.where(better, u_win, u_out[:, :])
-            v_out[:, :] = jnp.where(better, v_win, v_out[:, :])
-            tri_out[:, :] = jnp.where(better, tri_win, tri_out[:, :])
-            obj_out[:, :] = jnp.where(better, obj_win, obj_out[:, :])
+        run_chunk(c)
         return 0
 
     # branchless sparse iteration with ORDERED early termination: the
@@ -264,15 +315,12 @@ def _kernel(
         return j + 1
 
     as_bits = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)
-    if n_chunks == 1 and not find_any:
-        # nothing to exit early from; skip the per-iteration cond
-        jax.lax.fori_loop(0, n_iter, chunk_body, 0)
-    elif find_any:
+    if find_any:
         # any-hit rays (shadows): a lane is done at its FIRST hit; dead
         # lanes (maxd <= mind, e.g. invalid command slots) count as done
         def w_cond(j):
             live = (
-                (tri_out[:, :] < 0)
+                (ids_ref[0:1, :] < 0)
                 & (maxd > mind)
                 & (chunk_tmin_bits(j) < as_bits(jnp.maximum(maxd, 0.0)))
             )
@@ -281,7 +329,7 @@ def _kernel(
         jax.lax.while_loop(w_cond, w_body, jnp.int32(0))
     else:
         def w_cond(j):
-            cap = jnp.maximum(jnp.minimum(t_out[:, :], maxd), 0.0)
+            cap = jnp.maximum(jnp.minimum(outf_ref[0:1, :], maxd), 0.0)
             improvable = (maxd > mind) & (chunk_tmin_bits(j) < as_bits(cap))
             return (j < n_iter) & jnp.any(improvable)
 
@@ -442,9 +490,81 @@ def _tile_chunk_predicates(frame, o, d, min_dist, max_dist, grid):
     return hit & any_live[:, None], jnp.maximum(tmin - slop, 0.0)
 
 
+def _pad128(x: int) -> int:
+    return ((x + 127) // 128) * 128
+
+
+def _mxu_tables(n_dt, n_f32, e, tri_ids, obj_ids, tc, dt, is_f32):
+    """Per-chunk lhs-transposed A slabs for the kernel's two dots.
+
+    -> (a32t (NC*8, P32) f32, aabt (NC*16, Pab) dtype).  Column (lane)
+    layout inside a chunk slab: block-major [blk0 tri0..tc | blk1 ... ],
+    zero-padded to a 128 multiple (padded columns produce garbage output
+    rows that are never sliced).  The sublane axis is the contraction:
+    K = 8 rows [ox, oy, oz, 1, dx, dy, dz, 0] for a32t, K = 16 (the same
+    plus the |.| half) for aabt.  Cost: a handful of XLA reshapes per
+    frame, CSE'd across a frame's trace launches."""
+    f32 = jnp.float32
+    TIp = n_dt.shape[0]
+    nc = TIp // tc
+    z3 = jnp.zeros((TIp, 3), f32)
+    z1 = jnp.zeros((TIp, 1), f32)
+    trif = tri_ids.astype(f32)  # (TIp, 1) exact integers
+    objf = obj_ids.astype(f32)
+    nf = n_f32
+    cat = lambda *xs: jnp.concatenate(xs, axis=1)
+    rows32 = [
+        cat(nf[:, 6:9], e[:, 2:3], z3, z1),   # Oz
+        cat(z3, z1, nf[:, 6:9], z1),          # Dz
+        cat(nf[:, 0:3], e[:, 0:1], z3, z1),   # Ox32
+        cat(nf[:, 3:6], e[:, 1:2], z3, z1),   # Oy32
+        cat(z3, z1, nf[:, 0:3], z1),          # Dx32
+        cat(z3, z1, nf[:, 3:6], z1),          # Dy32
+        cat(z3, trif, z3, z1),                # Tri (rides the ones row)
+        cat(z3, objf, z3, z1),                # Obj
+    ]
+
+    def slabs(rows, k):
+        # (TIp, k) blocks -> (NC, K, nblk*tc), lane-padded, 2-D flattened
+        nblk = len(rows)
+        a = jnp.stack([r.reshape(nc, tc, k) for r in rows], axis=1)
+        at = a.transpose(0, 3, 1, 2).reshape(nc, k, nblk * tc)
+        pad = _pad128(nblk * tc) - nblk * tc
+        if pad:
+            at = jnp.pad(at, ((0, 0), (0, 0), (0, pad)))
+        return at.reshape(nc * k, at.shape[2])
+
+    a32t = slabs(rows32, 8)
+
+    ndf = n_dt.astype(f32)  # dtype-rounded coefficients (exact in f32)
+    na = jnp.abs(ndf)
+    ea = jnp.abs(e)
+    z8 = jnp.zeros((TIp, 8), f32)
+    s_rows = [
+        cat(z8, na[:, 0:3], ea[:, 0:1], z3, z1),  # Sox
+        cat(z8, na[:, 3:6], ea[:, 1:2], z3, z1),  # Soy
+        cat(z8, z3, z1, na[:, 0:3], z1),           # Sdx
+        cat(z8, z3, z1, na[:, 3:6], z1),           # Sdy
+    ]
+    if is_f32:
+        rows_ab = s_rows  # u/v come from the f32 dot
+    else:
+        rows_ab = [
+            cat(ndf[:, 0:3], e[:, 0:1], z3, z1, z8),  # Ox (dtype)
+            cat(ndf[:, 3:6], e[:, 1:2], z3, z1, z8),  # Oy
+            cat(z3, z1, ndf[:, 0:3], z1, z8),          # Dx
+            cat(z3, z1, ndf[:, 3:6], z1, z8),          # Dy
+        ] + s_rows
+    aabt = slabs(rows_ab, 16).astype(f32 if is_f32 else jnp.bfloat16)
+    return a32t, aabt
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("prec", "fallback", "find_any", "cull", "tile_hw", "interpret", "stream"),
+    static_argnames=(
+        "prec", "fallback", "find_any", "cull", "tile_hw", "interpret",
+        "stream", "ablate",
+    ),
 )
 def trace_rays_dense_pallas(
     scene,
@@ -462,6 +582,7 @@ def trace_rays_dense_pallas(
     tile_hw=None,  # static (H, W): enables screen-block ray tiling
     interpret: bool = False,
     stream: bool = False,  # HBM-streamed coefficient table (large scenes)
+    ablate: str = "",  # perf-probe switches, see _kernel (not for production)
 ) -> Hit:
     assert frame.dense_n is not None, "dense coefficients missing"
     dt = prec.dtype
@@ -472,7 +593,9 @@ def trace_rays_dense_pallas(
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, F32), (R,))
 
     tr = TR
-    use_blocks = cull and blockable(R, tile_hw)
+    # screen-block coherence only matters when there are chunks to cull;
+    # single-chunk scenes skip the reorder (measured 2.5 ms/launch at 1080p)
+    use_blocks = cull and blockable(R, tile_hw) and frame.dense_n.shape[0] > TC
     if use_blocks:
         H_t, W_t = tile_hw
         origins = to_blocks(origins, H_t, W_t)
@@ -535,44 +658,49 @@ def trace_rays_dense_pallas(
     Rp = R + r_pad
     grid = Rp // tr
 
-    if (
-        cull
-        and n_chunks > 1  # single chunk: predicates can cull nothing
-        and frame.obj_aabb_lo is not None
-        and len(frame.obj_layout) > 1
-    ):
-        active, chunk_tmin = _chunk_predicates(
-            frame, o_f32, d_f32, min_dist, max_dist, grid, TI + ti_pad
-        )
+    single = n_chunks == 1
+    if single:
+        # no chunk scheduling at all: the kernel runs chunk 0 statically
+        active = None
+        maxc = 1
     else:
-        active = jnp.ones((grid, n_chunks), jnp.int32)
-        chunk_tmin = jnp.zeros((grid, n_chunks), jnp.float32)
-    # compact the active-chunk ids per tile, NEAREST FIRST: [counts (G,) |
-    # words (G, maxc)], each word = truncated f32 bits of the tile's
-    # conservative entry distance (high bits) | chunk id (low id_bits) —
-    # positive-float bit patterns order like the floats, and truncating the
-    # low mantissa bits only rounds the bound DOWN.  The kernel walks the
-    # list in this near-to-far order and stops when no live lane can
-    # improve (ordered-traversal early exit).  SMEM prefetch capacity is
-    # ~1MB, so the per-tile list length adapts to the tile count; tiles
-    # whose active set overflows it fall back to iterating every chunk
-    # unordered (count = -1).
-    budget_words = (900 * 1024) // 4
-    maxc = min(MAXC, max(8, budget_words // max(grid, 1) - 1))
-    id_bits = max(1, (n_chunks - 1).bit_length())
-    big = jnp.float32(3e38)
-    tkey = jnp.where(active > 0, jnp.maximum(chunk_tmin, 0.0), big)
-    order = jnp.argsort(tkey, axis=1)
-    take = min(maxc, n_chunks)
-    ids = order[:, :take].astype(jnp.int32)
-    tnear = jnp.take_along_axis(tkey, order, axis=1)[:, :take]
-    tbits = jax.lax.bitcast_convert_type(tnear, jnp.int32)
-    words = (tbits & ~((1 << id_bits) - 1)) | ids
-    if take < maxc:
-        words = jnp.pad(words, ((0, 0), (0, maxc - take)))
-    count = jnp.sum(active, axis=1, dtype=jnp.int32)
-    count = jnp.where(count > maxc, -1, count)  # overflow -> run all chunks
-    active = jnp.concatenate([count, words.reshape(-1)])
+        if (
+            cull
+            and frame.obj_aabb_lo is not None
+            and len(frame.obj_layout) > 1
+        ):
+            active, chunk_tmin = _chunk_predicates(
+                frame, o_f32, d_f32, min_dist, max_dist, grid, TI + ti_pad
+            )
+        else:
+            active = jnp.ones((grid, n_chunks), jnp.int32)
+            chunk_tmin = jnp.zeros((grid, n_chunks), jnp.float32)
+        # compact the active-chunk ids per tile, NEAREST FIRST: [counts (G,)
+        # | words (G, maxc)], each word = truncated f32 bits of the tile's
+        # conservative entry distance (high bits) | chunk id (low id_bits)
+        # — positive-float bit patterns order like the floats, and
+        # truncating the low mantissa bits only rounds the bound DOWN.  The
+        # kernel walks the list in this near-to-far order and stops when no
+        # live lane can improve (ordered-traversal early exit).  SMEM
+        # prefetch capacity is ~1MB, so the per-tile list length adapts to
+        # the tile count; tiles whose active set overflows it fall back to
+        # iterating every chunk unordered (count = -1).
+        budget_words = (900 * 1024) // 4
+        maxc = min(MAXC, max(8, budget_words // max(grid, 1) - 1))
+        id_bits = max(1, (n_chunks - 1).bit_length())
+        big = jnp.float32(3e38)
+        tkey = jnp.where(active > 0, jnp.maximum(chunk_tmin, 0.0), big)
+        order = jnp.argsort(tkey, axis=1)
+        take = min(maxc, n_chunks)
+        ids = order[:, :take].astype(jnp.int32)
+        tnear = jnp.take_along_axis(tkey, order, axis=1)[:, :take]
+        tbits = jax.lax.bitcast_convert_type(tnear, jnp.int32)
+        words = (tbits & ~((1 << id_bits) - 1)) | ids
+        if take < maxc:
+            words = jnp.pad(words, ((0, 0), (0, maxc - take)))
+        count = jnp.sum(active, axis=1, dtype=jnp.int32)
+        count = jnp.where(count > maxc, -1, count)  # overflow: run all
+        active = jnp.concatenate([count, words.reshape(-1)])
 
     kernel = functools.partial(
         _kernel,
@@ -585,79 +713,77 @@ def trace_rays_dense_pallas(
         find_any=find_any,
         stream=stream,
         tc=tc,
+        single=single,
+        ablate=ablate,
     )
 
-    # index maps take (grid index, scalar-prefetch ref)
-    const = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+    # index maps take (grid index[, scalar-prefetch ref])
+    const = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM)
     ray_block = lambda rows: pl.BlockSpec((rows, tr), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
 
+    a32t, aabt = _mxu_tables(
+        n_dt, n_f32, e, tri_ids, obj_ids, tc, dt, prec.is_f32
+    )
     if stream:
-        # ONE lane-padded f32 table, DMA'd chunk-by-chunk (DMA slices must
-        # be 128-lane aligned, hence the padded column layout)
-        tbl = jnp.concatenate(
-            [n_dt.astype(F32), n_f32, e,
-             tri_ids.astype(F32), obj_ids.astype(F32)],
-            axis=1,
-        )
-        tbl = jnp.pad(tbl, ((0, 0), (0, 128 - tbl.shape[1])))
-        table_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
-        table_args = (tbl,)
+        # both A tables stay in HBM; each chunk's slabs (whole sublane
+        # tiles, trivially DMA-aligned) stream into VMEM scratch on demand
+        table_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        table_args = (a32t, aabt)
         scratch_shapes = [
-            pltpu.VMEM((tc, 128), F32),
+            pltpu.VMEM((8, a32t.shape[1]), F32),
+            pltpu.VMEM((16, aabt.shape[1]), aabt.dtype),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ]
     else:
-        table_specs = [
-            const(n_dt.shape),
-            const(n_f32.shape),
-            const(e.shape),
-            const(tri_ids.shape),
-            const(obj_ids.shape),
-        ]
-        table_args = (n_dt, n_f32, e, tri_ids, obj_ids)
+        table_specs = [const(a32t.shape), const(aabt.shape)]
+        table_args = (a32t, aabt)
         scratch_shapes = []
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(grid,),
-        in_specs=table_specs + [
-            ray_block(3),
-            ray_block(3),
-            ray_block(1),
-            ray_block(1),
-            ray_block(1),
+    # ONE packed ray operand, pre-laid in the kernel's B32 feature order
+    # [o; 1; d; 0 | skip; mind; maxd] — fewer per-tile blocked windows
+    rays = jnp.concatenate(
+        [
+            o,
+            jnp.ones((1, Rp), F32),
+            d,
+            jnp.zeros((1, Rp), F32),
+            skip_tri[None, :].astype(F32),
+            min_dist[None, :],
+            max_dist[None, :],
         ],
-        out_specs=[ray_block(1)] * 5,
+        axis=0,
+    )  # (11, Rp)
+    in_specs = table_specs + [ray_block(11)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0 if single else 1,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=[ray_block(3), ray_block(2)],
         scratch_shapes=scratch_shapes,
     )
-    t, u, v, tri, obj = pl.pallas_call(
+    args = ([] if single else [active]) + [*table_args, rays]
+    outf, ids = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((1, Rp), F32),
-            jax.ShapeDtypeStruct((1, Rp), F32),
-            jax.ShapeDtypeStruct((1, Rp), F32),
-            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
-            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+            jax.ShapeDtypeStruct((3, Rp), F32),
+            jax.ShapeDtypeStruct((2, Rp), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(
-        active,
-        *table_args,
-        o,
-        d,
-        skip_tri[None, :],
-        min_dist[None, :],
-        max_dist[None, :],
-    )
+    )(*args)
     def cut(x):
-        x = x[0, :R]
+        x = x[:R]
         return from_blocks(x, H_t, W_t) if use_blocks else x
 
-    return Hit(t=cut(t), u=cut(u), v=cut(v), tri=cut(tri), obj=cut(obj))
+    return Hit(t=cut(outf[0]), u=cut(outf[1]), v=cut(outf[2]),
+               tri=cut(ids[0]), obj=cut(ids[1]))
 
 
 def _morton_key(origins, directions, live=None):

@@ -95,7 +95,82 @@ def _gather2x2_shifted(a, base_y, base_x, my, mx, res_y, res_x):
     return jnp.stack(out, axis=2)  # (H, W, 4, C)
 
 
-def gather2x2(arr, base_y, base_x, care=None):
+HALO_ROWS = 17  # multi-chip vertical tap reach: 16 rows + 1 footprint row.
+# Under a pixel-row mesh the tap fetch must not address arbitrary global
+# rows (GSPMD lowers that to an all-gather of the whole history — 117 of
+# them in the round-2 sharded HLO).  The halo path exchanges HALO_ROWS
+# with each row-neighbour over ICI (2 ppermutes) and gathers locally;
+# anchors further than the halo read zeros, which the validation channels
+# turn into "no history" (temporal restart) — the multi-chip policy for
+# >16 px/frame vertical motion.  Horizontal motion is unlimited (the
+# column axis is unsharded).
+
+
+def _gather2x2_halo(a, base_y, base_x, mesh):
+    """Shard-local 2x2 tap fetch under a pixel-row mesh.
+
+    a: (H, W, C) row-sharded; base_*: (H, W) i32 pre-shifted global anchors
+    (+1 pad convention of gather2x2).  -> (H, W, 4, C), tap order as
+    _gather2x2_take.  Communication: exactly two ppermutes of HALO_ROWS
+    rows; the take itself is device-local."""
+    import jax
+
+    axis = mesh.axis_names[0]
+    n = int(mesh.devices.size)
+    H, W = a.shape[:2]
+    C = a.shape[2]
+
+    def local(a_l, by_l, bx_l):
+        i = jax.lax.axis_index(axis)
+        Hl = a_l.shape[0]
+        kh = min(HALO_ROWS, Hl)
+        r0 = i * Hl
+        fwd = [(j, (j + 1) % n) for j in range(n)]
+        bwd = [(j, (j - 1) % n) for j in range(n)]
+        from_prev = jax.lax.ppermute(a_l[Hl - kh :], axis, fwd)
+        from_next = jax.lax.ppermute(a_l[:kh], axis, bwd)
+        ext = jnp.concatenate([from_prev, a_l, from_next], axis=0)
+        # zero rows that wrapped past the global image edge (and the
+        # virtual -1 / H pad rows): zero taps read as mesh-id -1 /
+        # frame-count 0 downstream, i.e. "no history" — identical to the
+        # single-chip zero pad
+        gr = r0 - kh + jnp.arange(Hl + 2 * kh, dtype=jnp.int32)
+        ok_row = (gr >= 0) & (gr < H)
+        ext = jnp.where(ok_row[:, None, None], ext, 0)
+        extp = jnp.pad(ext, ((0, 1), (1, 1), (0, 0)))
+        quad = jnp.stack(
+            [extp[:-1, :-1], extp[:-1, 1:], extp[1:, :-1], extp[1:, 1:]],
+            axis=2,
+        )  # (Hl + 2kh, W + 1, 4, C)
+        ly = by_l - 1 - r0 + kh  # padded-global anchor -> ext quad row
+        reach = (ly >= 0) & (ly <= Hl + 2 * kh - 1)
+        lyc = jnp.clip(ly, 0, Hl + 2 * kh - 1)
+        idx = (lyc * (W + 1) + bx_l).reshape(-1)
+        gsz = max(1, 32 // (4 * a_l.dtype.itemsize))
+        rows = (Hl + 2 * kh) * (W + 1)
+        outs = []
+        for c0 in range(0, C, gsz):
+            c1 = min(c0 + gsz, C)
+            g = quad[..., c0:c1].reshape(rows, 4 * (c1 - c0))
+            outs.append(
+                jnp.take(g, idx, axis=0, mode="clip").reshape(Hl, W, 4, c1 - c0)
+            )
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+        return jnp.where(reach[..., None, None], out, 0)
+
+    from jax.sharding import PartitionSpec as P
+
+    row = P(axis)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(row, row, row),
+        out_specs=row,
+        check_vma=False,
+    )(a, base_y, base_x)
+
+
+def gather2x2(arr, base_y, base_x, care=None, mesh=None):
     """Fetch the 2x2 window anchored at (base_y, base_x) for every pixel.
 
     arr: (H, W) or (H, W, C); base_*: (H, W) i32 PRE-SHIFTED for a 1-pixel
@@ -108,10 +183,17 @@ def gather2x2(arr, base_y, base_x, care=None):
     pixel + one global integer motion vector — true for the whole frame
     under static or smoothly moving cameras — and if so runs a zero-index
     shifted-select instead of the flat gather (`lax.cond` picks per
-    frame; fast-moving content falls back to the general take path)."""
+    frame; fast-moving content falls back to the general take path).
+
+    `mesh` (optional jax.sharding.Mesh, pixel-row axis): route the fetch
+    through the shard-local halo path (_gather2x2_halo) — bounded ICI
+    communication instead of GSPMD all-gathers."""
     H, W = arr.shape[:2]
     chan = arr.ndim == 3
     a = arr if chan else arr[..., None]
+    if mesh is not None and int(mesh.devices.size) > 1:
+        out = _gather2x2_halo(a, base_y, base_x, mesh)
+        return out if chan else out[..., 0]
     if care is None:
         out = _gather2x2_take(a, base_y, base_x)
         return out if chan else out[..., 0]
@@ -208,7 +290,8 @@ def _footprint(fx, fy, H, W, dt):
 
 def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
                            svgf_payload=None, taa_payload=None,
-                           n_meshes: int | None = None, position_f32=None):
+                           n_meshes: int | None = None, position_f32=None,
+                           mesh=None):
     """`generate_temporal_map_step1/2` (`rt/rtrt/cuda.hpp:2265-2416`).
     -> (svgf_map, taa_map, svgf_taps, taa_taps).
 
@@ -270,7 +353,8 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
             if want_count:
                 extra.append(count_ch.astype(payload.dtype)[..., None])
             taps = gather2x2(
-                jnp.concatenate([payload] + extra, axis=-1), by, bx, care=care
+                jnp.concatenate([payload] + extra, axis=-1), by, bx, care=care,
+                mesh=mesh,
             ).astype(jnp.float32)
             n_extra = len(extra)
             tap_mesh = jnp.round(taps[..., -n_extra]).astype(jnp.int32) - 1
@@ -279,10 +363,14 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
             )
             return tap_mesh, tap_count, taps[..., :-n_extra]
         # separate packed-f32 validation gather (no payload, or many meshes)
-        pk = jnp.round(gather2x2(packed_val, by, bx, care=care)).astype(jnp.int32)
+        pk = jnp.round(
+            gather2x2(packed_val, by, bx, care=care, mesh=mesh)
+        ).astype(jnp.int32)
         taps = None
         if payload is not None:
-            taps = gather2x2(payload, by, bx, care=care).astype(jnp.float32)
+            taps = gather2x2(
+                payload, by, bx, care=care, mesh=mesh
+            ).astype(jnp.float32)
         return pk // 512 - 1, pk % 512, taps
 
     # ---- SVGF map (strict same-object validation)

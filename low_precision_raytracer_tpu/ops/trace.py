@@ -63,12 +63,23 @@ def trace(
     min_dist=0.0,
     max_dist=1e5,
     coherent: bool = True,
+    lane_k: int = 1,
 ) -> Hit:
     """`coherent=False` marks launches whose rays are NOT in screen order
     (GI bounces, secondary shadow rays).  On multi-chunk scenes the dense
     Pallas backend then recovers tile coherence with a morton sort
     (`trace_rays_dense_pallas_sorted`) — incoherent tiles otherwise defeat
     its packet culling.
+
+    `lane_k=K`: the caller packed K command lanes per pixel, PIXEL-major
+    (row i*K+l = pixel i's lane l — the layout that stays local under the
+    pixel-row mesh).  The trace transposes to LANE-major (K blocks of
+    pixel-ordered rays) before the kernel and back after: each lane block
+    is screen-coherent, and statically-dead command slots (e.g. the
+    invalid-light shadow lanes, maxd = 0) cluster into all-dead kernel
+    tiles that the dense kernel skips wholesale.  Under `cfg.mesh` the
+    transpose happens INSIDE the per-shard function — a local reshape,
+    never a GSPMD reshard.
 
     With `cfg.mesh` set (multi-chip, parallel/tiling.py), the whole launch
     runs under `shard_map`: rays partition over the mesh's pixel axis and
@@ -91,11 +102,13 @@ def trace(
         max_dist = jnp.broadcast_to(jnp.asarray(max_dist, jnp.float32), (R,))
         cfg_local = cfg.replace(mesh=None)
 
+        assert R % (n_dev * lane_k) == 0
+
         def local_trace(scene, frame, o, d, s, mn, mx):
             return trace(
                 scene, frame, o, d, prec=prec, cfg=cfg_local,
                 find_any=find_any, skip_tri=s, min_dist=mn, max_dist=mx,
-                coherent=coherent,
+                coherent=coherent, lane_k=lane_k,
             )
 
         rep = lambda tree: jax.tree.map(lambda _: P(), tree)
@@ -107,6 +120,27 @@ def trace(
             out_specs=Hit(t=ray, u=ray, v=ray, tri=ray, obj=ray),
             check_vma=False,
         )(scene, frame, origins, directions, skip_tri, min_dist, max_dist)
+
+    if lane_k > 1:
+        import jax
+        import jax.numpy as jnp
+
+        K = lane_k
+        Rk = origins.shape[0]
+        R0 = Rk // K
+        if skip_tri is None:
+            skip_tri = jnp.full((Rk,), -1, jnp.int32)
+        min_dist = jnp.broadcast_to(jnp.asarray(min_dist, jnp.float32), (Rk,))
+        max_dist = jnp.broadcast_to(jnp.asarray(max_dist, jnp.float32), (Rk,))
+        t3 = lambda x: jnp.swapaxes(x.reshape(R0, K, 3), 0, 1).reshape(Rk, 3)
+        t1 = lambda x: x.reshape(R0, K).T.reshape(Rk)
+        hit = trace(
+            scene, frame, t3(origins), t3(directions), prec=prec, cfg=cfg,
+            find_any=find_any, skip_tri=t1(skip_tri), min_dist=t1(min_dist),
+            max_dist=t1(max_dist), coherent=coherent, lane_k=1,
+        )
+        u1 = lambda x: x.reshape(K, R0).T.reshape(Rk)
+        return jax.tree.map(u1, hit)
 
     impl = cfg.traversal_impl
     if impl == "auto":  # resolve_cfg not applied — fall back inside trace

@@ -62,12 +62,13 @@ def _trace_di(scene, frame, source, lights, skip_tri, prec, cfg, coherent=True):
     dt = prec.dtype
     if L == 0:
         return jnp.zeros((R, 0, 3), dt)
-    # (L, R) layout keeps each light's rays in pixel order, so the dense
-    # backend's screen-block tiling applies to shadow rays too
-    o = jnp.broadcast_to(source[None, :, :], (L, R, 3)).reshape(L * R, 3)
-    d = lights.direction.transpose(1, 0, 2).reshape(L * R, 3)
-    maxt = jnp.where(lights.valid, lights.max_t.astype(jnp.float32), 0.0).T.reshape(L * R)
-    skips = jnp.broadcast_to(skip_tri[None, :], (L, R)).reshape(L * R)
+    # PIXEL-major command rows (mesh-local), transposed to per-light pixel
+    # order inside trace (lane_k) so each light's block keeps screen-block
+    # tiling and invalid-light blocks die wholesale
+    o = jnp.broadcast_to(source[:, None, :], (R, L, 3)).reshape(R * L, 3)
+    d = lights.direction.reshape(R * L, 3)
+    maxt = jnp.where(lights.valid, lights.max_t.astype(jnp.float32), 0.0).reshape(R * L)
+    skips = jnp.broadcast_to(skip_tri[:, None], (R, L)).reshape(R * L)
     hit = trace(
         scene,
         frame,
@@ -80,8 +81,9 @@ def _trace_di(scene, frame, source, lights, skip_tri, prec, cfg, coherent=True):
         min_dist=prec.ray_moveforward_t,
         max_dist=maxt,
         coherent=coherent,
+        lane_k=L,
     )
-    visible = (hit.tri < 0).reshape(L, R).T
+    visible = hit.tri.reshape(R, L) < 0
     vis = (visible & lights.valid).astype(dt)[..., None]
     return vis * lights.multiplier
 
@@ -154,28 +156,34 @@ def _trace_di_gi(scene, frame, shade_out, prec, cfg, *, want_gi, coherent):
             sin_next = _gi_shade_input(scene, frame, shade_out, hit, prec)
         return di, sin_next
 
-    # [shadow lanes (L, R) | gi lanes (R)] in one launch
-    o_sh = jnp.broadcast_to(shade_out.source[None], (L, R, 3)).reshape(L * R, 3)
-    d_sh = lights.direction.transpose(1, 0, 2).reshape(L * R, 3)
-    maxt_sh = jnp.where(
-        lights.valid, lights.max_t.astype(jnp.float32), 0.0
-    ).T.reshape(L * R)
-    skip_sh = jnp.broadcast_to(shade_out.skip_tri[None], (L, R)).reshape(L * R)
+    # PIXEL-major fused lanes: row i*(L+1)+l = pixel i's l-th shadow ray,
+    # row i*(L+1)+L = its GI bounce ray.  Pixel-major (vs the former
+    # [all shadow | all gi] blocks) keeps the (R, L+1) -> (R*(L+1),)
+    # reshape a local operation under the pixel-row mesh — the global
+    # block concat forced GSPMD to all-gather every fused launch's rays.
+    # trace(lane_k=K) transposes to lane-major blocks shard-locally, so
+    # invalid command slots still cluster into skippable all-dead tiles.
+    K = L + 1
+    o = jnp.broadcast_to(shade_out.source[:, None, :], (R, K, 3)).reshape(R * K, 3)
+    d = jnp.concatenate(
+        [lights.direction, shade_out.gi_direction[:, None, :]], axis=1
+    ).reshape(R * K, 3)
+    maxt_sh = jnp.where(lights.valid, lights.max_t.astype(jnp.float32), 0.0)
     maxt_gi = jnp.where(shade_out.gi_valid, 1e5, 0.0)
-    o = jnp.concatenate([o_sh, shade_out.source])
-    d = jnp.concatenate([d_sh, shade_out.gi_direction])
-    maxt = jnp.concatenate([maxt_sh, maxt_gi])
-    skips = jnp.concatenate([skip_sh, shade_out.skip_tri])
+    maxt = jnp.concatenate([maxt_sh, maxt_gi[:, None]], axis=1).reshape(R * K)
+    skips = jnp.broadcast_to(shade_out.skip_tri[:, None], (R, K)).reshape(R * K)
     hit = trace(
         scene, frame, o, d,
         prec=prec, cfg=cfg, find_any=False,
         skip_tri=skips, min_dist=prec.ray_moveforward_t, max_dist=maxt,
         coherent=False,  # gi lanes are hemisphere-sampled
+        lane_k=K,
     )
-    visible = (hit.tri[: L * R] < 0).reshape(L, R).T
+    tri_rk = hit.tri.reshape(R, K)
+    visible = tri_rk[:, :L] < 0
     vis = (visible & lights.valid).astype(dt)[..., None]
     di = vis * lights.multiplier
-    hit_gi = jax.tree.map(lambda x: x[L * R :], hit)
+    hit_gi = jax.tree.map(lambda x: x.reshape(R, K)[:, L], hit)
     return di, _gi_shade_input(scene, frame, shade_out, hit_gi, prec)
 
 
@@ -231,6 +239,7 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
         g2d, frame, state, W, H, dt, k_taa,
         svgf_payload=svgf_payload, taa_payload=taa_payload,
         n_meshes=scene.n_meshes, position_f32=pos32,
+        mesh=cfg.mesh,  # multi-chip: halo-exchange fetch, no all-gathers
     )
 
     # ---- "Pixel Shade #1"
