@@ -69,17 +69,29 @@ def _kernel(
     stream: bool = False,
     tc: int = TC,
     single: bool = False,
+    n32: int = 8,  # A32 block count (9 with the TriHi radix block)
     ablate: str = "",
 ):
     """MXU-staged chunk body: the 14 linear-in-ray quantities of the
-    triangle test come from TWO lhs-transposed `dot_general`s per chunk
+    triangle test come from lhs-transposed `dot_general`s per chunk
     instead of ~50 VPU broadcast-madd passes —
 
-    - A32t slab (8, P32) f32: blocks [Oz, Dz, Ox32, Oy32, Dx32, Dy32,
-      Tri, Obj] against B32 = [o; 1; d; 0] (8, TR).  The z row and the
-      fp32 re-test rows need true f32 (Mosaic lowers the f32 matmul to
-      multi-pass bf16 on the MXU); triangle/object ids ride as extra
-      blocks against the ones row (exact f32 integers < 2^24).
+    - A32 slab: blocks [Oz, Dz, Ox32, Oy32, Dx32, Dy32, TriLo, Obj
+      (, TriHi)] against B32 = [o; 1; d; 0] (8, TR).  The z row and the
+      fp32 re-test rows carry the fp32 shadow coefficients.  In fp32
+      render mode this is one true-f32 dot (Precision.HIGHEST — Mosaic's
+      6-pass bf16 decomposition; exact, and the f32 u/v ARE the primary
+      results there).  In bf16 render mode Mosaic has no cheap f32 dot
+      (HIGHEST costs ~5 ms/launch at 1080p, HIGH is unimplemented), so
+      the slab is stored as interleaved hi/lo bf16 halves (16, P32) and
+      the kernel runs a MANUAL bf16x3: ah*bh + al*bh + ah*bl, three
+      single-pass MXU dots with f32 accumulate.  Error: the dropped
+      al*bl term bounds relative error by ~2^-16 — far below the bf16
+      dtype path this mode shades with, and the fp32-retest band has its
+      own slop.  Ids stay EXACT: tri rides as radix-2^16 blocks (TriLo
+      + 65536*TriHi, each half exact under an 8+8-bit bf16 split, and
+      the ones-row B entries split as 1+0 so no cross term is dropped),
+      which also lifts the dense-path id range to 2^24.
     - Aabt slab (16, Pab) in the render dtype: dtype rows [Ox, Oy, Dx,
       Dy] + error-band rows [Sox, Soy, Sdx, Sdy] (|coeff| x |ray|)
       against Bab = [o; 1; d; 0; |o|; 1; |d|; 0].  In bf16 mode the rays
@@ -89,7 +101,7 @@ def _kernel(
       only the 4 S blocks (u/v come from the f32 dot).
 
     Measured vs the VPU body (Cornell chunk, 2.07M rays): 13.3 -> 10.6 ms
-    AND ~1000x faster Mosaic compiles (0.6 s vs 300-650 s).
+    AND ~1000x faster Mosaic compiles (0.9 s vs 300-650 s).
 
     Resident mode (stream=False): both A tables are whole VMEM refs,
     flattened 2-D as (NC*8, P32) / (NC*16, Pab); chunk c is the sublane
@@ -103,11 +115,12 @@ def _kernel(
     of the multi-chunk walk costs ~2x on single-chunk scenes."""
     if not single:
         active_ref, *refs = refs  # (G + G*maxc,) i32: [counts | packed ids]
+    r32 = 8 if is_f32 else 16  # A32 rows/chunk (bf16: 8 hi + 8 lo halves)
     if stream:
         (a32_hbm, aab_hbm, rays_ref, outf_ref, ids_ref,
          scr32, scrab, sem32, semab) = refs
     else:
-        (a32_ref,  # (NC*8, P32) f32
+        (a32_ref,  # (NC*r32, P32) f32 | interleaved-bf16 hi/lo
          aab_ref,  # (NC*16, Pab) dtype
          rays_ref,  # (11, TR) f32: [B32 rows 0-7 | skip | mind | maxd]
          outf_ref,  # (3, TR) f32 [t, u, v] — running-best accumulators
@@ -140,7 +153,7 @@ def _kernel(
         if True:
             if stream:
                 cp32 = pltpu.make_async_copy(
-                    a32_hbm.at[pl.ds(c * 8, 8), :], scr32, sem32
+                    a32_hbm.at[pl.ds(c * r32, r32), :], scr32, sem32
                 )
                 cpab = pltpu.make_async_copy(
                     aab_hbm.at[pl.ds(c * 16, 16), :], scrab, semab
@@ -152,31 +165,43 @@ def _kernel(
                 a32 = scr32[:, :]
                 aab = scrab[:, :]
             else:
-                a32 = a32_ref[pl.ds(c * 8, 8), :]
+                a32 = a32_ref[pl.ds(c * r32, r32), :]
                 aab = aab_ref[pl.ds(c * 16, 16), :]
 
             # precision must be explicit: the framework's global
             # jax_default_matmul_precision='highest' would stamp fp32
-            # contract precision onto the bf16 dot, which Mosaic rejects
+            # contract precision onto the bf16 dots, which Mosaic rejects
             # ("Bad lhs type"); DEFAULT on bf16 inputs is the MXU-native
-            # bf16 x bf16 -> f32-accumulate mode.
-            if "prec" in ablate:  # perf probes
-                p32 = (jax.lax.Precision.HIGH if "prech" in ablate
-                       else jax.lax.Precision.DEFAULT)
+            # single-pass bf16 x bf16 -> f32-accumulate mode.
+            dflt = jax.lax.Precision.DEFAULT
+            if is_f32:
+                m32 = jax.lax.dot_general(
+                    a32, B32, DN, preferred_element_type=F32,
+                    precision=_M32_PRECISION,
+                )
             else:
-                p32 = _M32_PRECISION
-            m32 = jax.lax.dot_general(
-                a32, B32, DN, preferred_element_type=F32, precision=p32,
-            )
+                # manual bf16x3 (see docstring): Mosaic's HIGHEST costs
+                # ~5 ms/launch at 1080p and HIGH is unimplemented
+                bh = B32.astype(jnp.bfloat16)
+                bl = (B32 - bh.astype(F32)).astype(jnp.bfloat16)
+                ah = a32[0:8, :]
+                al = a32[8:16, :]
+                d3 = lambda x, y: jax.lax.dot_general(
+                    x, y, DN, preferred_element_type=F32, precision=dflt
+                )
+                m32 = d3(ah, bh) + d3(al, bh) + d3(ah, bl)
+                if "prec" in ablate:  # perf probe: single-pass (inexact)
+                    m32 = d3(ah, bh)
             mab = jax.lax.dot_general(
                 aab, Bab, DN, preferred_element_type=F32,
-                precision=(jax.lax.Precision.HIGHEST if is_f32
-                           else jax.lax.Precision.DEFAULT),
+                precision=(jax.lax.Precision.HIGHEST if is_f32 else dflt),
             )
             b32 = lambda k: m32[k * tc : (k + 1) * tc]
             bab = lambda k: mab[k * tc : (k + 1) * tc]
             Oz, Dz = b32(0), b32(1)
-            tri = b32(6)  # (tc, TR) exact f32 integers
+            tri = b32(6)  # (tc, TR) exact f32 integers (radix-2^16 split)
+            if n32 == 9:
+                tri = tri + 65536.0 * b32(8)
             obj = b32(7)
             if is_f32:
                 # u/v ARE the f32 rows; Aab carries only the 4 S blocks
@@ -494,22 +519,36 @@ def _pad128(x: int) -> int:
     return ((x + 127) // 128) * 128
 
 
-def _mxu_tables(n_dt, n_f32, e, tri_ids, obj_ids, tc, dt, is_f32):
-    """Per-chunk lhs-transposed A slabs for the kernel's two dots.
+def _mxu_tables(n_dt, n_f32, e, tri_ids, obj_ids, tc, dt, is_f32,
+                need_hi: bool):
+    """Per-chunk lhs-transposed A slabs for the kernel's dots.
 
-    -> (a32t (NC*8, P32) f32, aabt (NC*16, Pab) dtype).  Column (lane)
-    layout inside a chunk slab: block-major [blk0 tri0..tc | blk1 ... ],
-    zero-padded to a 128 multiple (padded columns produce garbage output
-    rows that are never sliced).  The sublane axis is the contraction:
-    K = 8 rows [ox, oy, oz, 1, dx, dy, dz, 0] for a32t, K = 16 (the same
-    plus the |.| half) for aabt.  Cost: a handful of XLA reshapes per
-    frame, CSE'd across a frame's trace launches."""
+    -> (a32t, aabt, n32).  fp32 mode: a32t is (NC*8, P32) f32.  bf16
+    mode: a32t is (NC*16, P32) bf16 — per chunk 8 hi rows then 8 lo rows
+    (lo = f32 - f32(hi)) for the kernel's manual bf16x3 dot; interleaving
+    at chunk granularity keeps the dynamic slice 16-row aligned (the
+    bf16 sublane tile).  Column (lane) layout inside a chunk slab:
+    block-major [blk0 tri0..tc | blk1 ... ], zero-padded to a 128
+    multiple (padded columns produce garbage output rows that are never
+    sliced).  The sublane axis is the contraction: K = 8 rows
+    [ox, oy, oz, 1, dx, dy, dz, 0] for a32t, K = 16 (the same plus the
+    |.| half) for aabt.  `need_hi`: ids may exceed 15 bits — add the
+    TriHi radix-2^16 block (n32 = 9).  Cost: a handful of XLA reshapes
+    per frame, CSE'd across a frame's trace launches."""
     f32 = jnp.float32
     TIp = n_dt.shape[0]
     nc = TIp // tc
     z3 = jnp.zeros((TIp, 3), f32)
     z1 = jnp.zeros((TIp, 1), f32)
-    trif = tri_ids.astype(f32)  # (TIp, 1) exact integers
+    tri_i = tri_ids.astype(jnp.int32)
+    if need_hi:
+        # arithmetic radix split: lo in [0, 65535], hi carries the sign
+        # (sentinel -2 -> hi -1, lo 65534; reconstructs exactly in f32)
+        tri_lo = (tri_i & 0xFFFF).astype(f32)
+        tri_hi = (tri_i >> 16).astype(f32)
+    else:
+        tri_lo = tri_i.astype(f32)  # (TIp, 1) exact 16-bit integers
+        tri_hi = None
     objf = obj_ids.astype(f32)
     nf = n_f32
     cat = lambda *xs: jnp.concatenate(xs, axis=1)
@@ -520,21 +559,34 @@ def _mxu_tables(n_dt, n_f32, e, tri_ids, obj_ids, tc, dt, is_f32):
         cat(nf[:, 3:6], e[:, 1:2], z3, z1),   # Oy32
         cat(z3, z1, nf[:, 0:3], z1),          # Dx32
         cat(z3, z1, nf[:, 3:6], z1),          # Dy32
-        cat(z3, trif, z3, z1),                # Tri (rides the ones row)
+        cat(z3, tri_lo, z3, z1),              # TriLo (rides the ones row)
         cat(z3, objf, z3, z1),                # Obj
     ]
+    if need_hi:
+        rows32.append(cat(z3, tri_hi, z3, z1))  # TriHi
+    n32 = len(rows32)
 
-    def slabs(rows, k):
-        # (TIp, k) blocks -> (NC, K, nblk*tc), lane-padded, 2-D flattened
+    def slabs3(rows, k):
+        # (TIp, k) blocks -> (NC, K, P) lane-padded
         nblk = len(rows)
         a = jnp.stack([r.reshape(nc, tc, k) for r in rows], axis=1)
         at = a.transpose(0, 3, 1, 2).reshape(nc, k, nblk * tc)
         pad = _pad128(nblk * tc) - nblk * tc
         if pad:
             at = jnp.pad(at, ((0, 0), (0, 0), (0, pad)))
+        return at
+
+    def slabs(rows, k):
+        at = slabs3(rows, k)
         return at.reshape(nc * k, at.shape[2])
 
-    a32t = slabs(rows32, 8)
+    if is_f32:
+        a32t = slabs(rows32, 8)
+    else:
+        a3 = slabs3(rows32, 8)  # (NC, 8, P32) f32
+        hi = a3.astype(jnp.bfloat16)
+        lo = (a3 - hi.astype(f32)).astype(jnp.bfloat16)
+        a32t = jnp.concatenate([hi, lo], axis=1).reshape(nc * 16, a3.shape[2])
 
     ndf = n_dt.astype(f32)  # dtype-rounded coefficients (exact in f32)
     na = jnp.abs(ndf)
@@ -556,7 +608,7 @@ def _mxu_tables(n_dt, n_f32, e, tri_ids, obj_ids, tc, dt, is_f32):
             cat(z3, z1, ndf[:, 3:6], z1, z8),          # Dy
         ] + s_rows
     aabt = slabs(rows_ab, 16).astype(f32 if is_f32 else jnp.bfloat16)
-    return a32t, aabt
+    return a32t, aabt, n32
 
 
 @functools.partial(
@@ -721,9 +773,15 @@ def trace_rays_dense_pallas(
     const = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM)
     ray_block = lambda rows: pl.BlockSpec((rows, tr), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
 
-    a32t, aabt = _mxu_tables(
-        n_dt, n_f32, e, tri_ids, obj_ids, tc, dt, prec.is_f32
+    # bf16 mode carries tri ids through the hi/lo split, which is exact
+    # only below 2^16; larger id spaces add the TriHi radix block.  The
+    # bound must be static: dense_tri indexes the global mesh triangle
+    # table, so its size is the id ceiling.
+    need_hi = (not prec.is_f32) and scene.tri_idx.shape[0] > (1 << 16)
+    a32t, aabt, n32 = _mxu_tables(
+        n_dt, n_f32, e, tri_ids, obj_ids, tc, dt, prec.is_f32, need_hi
     )
+    kernel = functools.partial(kernel, n32=n32)
     if stream:
         # both A tables stay in HBM; each chunk's slabs (whole sublane
         # tiles, trivially DMA-aligned) stream into VMEM scratch on demand
@@ -733,7 +791,7 @@ def trace_rays_dense_pallas(
         ]
         table_args = (a32t, aabt)
         scratch_shapes = [
-            pltpu.VMEM((8, a32t.shape[1]), F32),
+            pltpu.VMEM((8 if prec.is_f32 else 16, a32t.shape[1]), a32t.dtype),
             pltpu.VMEM((16, aabt.shape[1]), aabt.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
