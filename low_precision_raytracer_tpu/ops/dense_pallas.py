@@ -70,6 +70,7 @@ def _kernel(
     tc: int = TC,
     single: bool = False,
     n32: int = 8,  # A32 block count (9 with the TriHi radix block)
+    guarded: bool = True,  # single-chunk: emit the dead-tile skip?
     ablate: str = "",
 ):
     """MXU-staged chunk body: the 14 linear-in-ray quantities of the
@@ -141,8 +142,8 @@ def _kernel(
         Bab = Bab.astype(jnp.bfloat16)
     DN = (((0,), (0,)), ((), ()))
 
-    d12 = jnp.float32(d1 + d2)
-    d1f = jnp.float32(d1)
+    c1 = jnp.float32(0.2 * d1)
+    c3 = jnp.float32(0.6 * d1)
 
     outf_ref[:, :] = jnp.concatenate(
         [jnp.full((1, tr), 1e5, F32), jnp.zeros((2, tr), F32)], axis=0
@@ -181,7 +182,12 @@ def _kernel(
                 )
             else:
                 # manual bf16x3 (see docstring): Mosaic's HIGHEST costs
-                # ~5 ms/launch at 1080p and HIGH is unimplemented
+                # ~5 ms/launch at 1080p and HIGH is unimplemented.  The
+                # three partial products ride ONE dot by concatenating
+                # along the contraction axis (K=24 — still well under the
+                # MXU's 128-deep array, so it costs one pass where three
+                # separate K=8 dots cost three): measured 2.1 ms/launch
+                # at 1080p (11.0 -> 8.9 ms).
                 bh = B32.astype(jnp.bfloat16)
                 bl = (B32 - bh.astype(F32)).astype(jnp.bfloat16)
                 ah = a32[0:8, :]
@@ -189,9 +195,12 @@ def _kernel(
                 d3 = lambda x, y: jax.lax.dot_general(
                     x, y, DN, preferred_element_type=F32, precision=dflt
                 )
-                m32 = d3(ah, bh) + d3(al, bh) + d3(ah, bl)
                 if "prec" in ablate:  # perf probe: single-pass (inexact)
                     m32 = d3(ah, bh)
+                else:
+                    a_cat = jnp.concatenate([ah, al, ah], axis=0)
+                    b_cat = jnp.concatenate([bh, bh, bl], axis=0)
+                    m32 = d3(a_cat, b_cat)
             mab = jax.lax.dot_general(
                 aab, Bab, DN, preferred_element_type=F32,
                 precision=(jax.lax.Precision.HIGHEST if is_f32 else dflt),
@@ -217,8 +226,11 @@ def _kernel(
             u = Ox + t_dx
             v = Oy + t_dy
 
-            error_u = (d12 * s_ox + t * d12 * s_dx + d1f * (jnp.abs(Ox) + 3 * jnp.abs(t_dx))) * 0.2
-            error_v = (d12 * s_oy + t * d12 * s_dy + d1f * (jnp.abs(Oy) + 3 * jnp.abs(t_dy))) * 0.2
+            # the 0.2*(d1+d2) factor on the S terms is folded into the S
+            # rows at table build (host side); only the |.|-of-computed
+            # terms keep kernel-side constants
+            error_u = s_ox + t * s_dx + c1 * jnp.abs(Ox) + c3 * jnp.abs(t_dx)
+            error_v = s_oy + t * s_dy + c1 * jnp.abs(Oy) + c3 * jnp.abs(t_dy)
 
             w = 1.0 - u - v
             in_band = lambda x, err: (x >= -err) & (x <= 0)
@@ -288,7 +300,7 @@ def _kernel(
         # whole body: fused DI+GI launches arrive lane-major with invalid
         # command slots (maxd = 0) clustered into whole tiles, and an
         # all-dead tile skips its chunk entirely (~0.3us vs ~4us body).
-        if "guard" in ablate:  # perf probe: straight-line, no dead-tile skip
+        if not guarded or "guard" in ablate:  # all-live launch: straight line
             run_chunk(0)
             return
 
@@ -520,7 +532,7 @@ def _pad128(x: int) -> int:
 
 
 def _mxu_tables(n_dt, n_f32, e, tri_ids, obj_ids, tc, dt, is_f32,
-                need_hi: bool):
+                need_hi: bool, d1: float = 0.0, d2: float = 0.0):
     """Per-chunk lhs-transposed A slabs for the kernel's dots.
 
     -> (a32t, aabt, n32).  fp32 mode: a32t is (NC*8, P32) f32.  bf16
@@ -589,8 +601,11 @@ def _mxu_tables(n_dt, n_f32, e, tri_ids, obj_ids, tc, dt, is_f32,
         a32t = jnp.concatenate([hi, lo], axis=1).reshape(nc * 16, a3.shape[2])
 
     ndf = n_dt.astype(f32)  # dtype-rounded coefficients (exact in f32)
-    na = jnp.abs(ndf)
-    ea = jnp.abs(e)
+    # the kernel's error bands read 0.2*(d1+d2)*s_* — fold the constant
+    # into the S rows here (two fewer VPU passes per chunk)
+    sband = jnp.float32(0.2 * (d1 + d2))
+    na = jnp.abs(ndf) * sband
+    ea = jnp.abs(e) * sband
     z8 = jnp.zeros((TIp, 8), f32)
     s_rows = [
         cat(z8, na[:, 0:3], ea[:, 0:1], z3, z1),  # Sox
@@ -641,6 +656,14 @@ def trace_rays_dense_pallas(
     R = origins.shape[0]
     if skip_tri is None:
         skip_tri = jnp.full((R,), -1, jnp.int32)
+    # scalar min/max dist (primary launches) -> every lane is live, so the
+    # single-chunk dead-tile guard's cross-lane reduction (~0.5 ms at 1080p)
+    # is pure overhead; command launches pass per-lane max_dist arrays
+    all_live = (
+        isinstance(min_dist, (int, float))
+        and isinstance(max_dist, (int, float))
+        and max_dist > min_dist
+    )
     min_dist = jnp.broadcast_to(jnp.asarray(min_dist, F32), (R,))
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, F32), (R,))
 
@@ -766,6 +789,7 @@ def trace_rays_dense_pallas(
         stream=stream,
         tc=tc,
         single=single,
+        guarded=not all_live,
         ablate=ablate,
     )
 
@@ -779,7 +803,8 @@ def trace_rays_dense_pallas(
     # table, so its size is the id ceiling.
     need_hi = (not prec.is_f32) and scene.tri_idx.shape[0] > (1 << 16)
     a32t, aabt, n32 = _mxu_tables(
-        n_dt, n_f32, e, tri_ids, obj_ids, tc, dt, prec.is_f32, need_hi
+        n_dt, n_f32, e, tri_ids, obj_ids, tc, dt, prec.is_f32, need_hi,
+        d1=prec.delta1, d2=prec.delta2,
     )
     kernel = functools.partial(kernel, n32=n32)
     if stream:
