@@ -54,7 +54,9 @@ def bench(width=1920, height=1080, precision="bf16", frames=20, warmup=3):
 
     cfg = resolve_cfg(scene, frame, cfg)
     state = init_frame_state(cfg, len(frame.obj_layout))
-    key = jax.random.PRNGKey(0)
+    from low_precision_raytracer_tpu.utils.rng import render_key
+
+    key = render_key(0)
 
     image = None
     for i in range(warmup):

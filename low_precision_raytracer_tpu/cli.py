@@ -49,6 +49,29 @@ def _build_scene(name_or_path: str):
         cam.translation = center + np.array([0, 0, 2.5 * radius], np.float32)
         scene.root.add(cam)
         scene.active_camera = cam
+    from low_precision_raytracer_tpu.models.hierarchy import LightObject
+
+    if not any(isinstance(n, LightObject) for n in scene.root.walk()):
+        # headlight rig for light-less files (e.g. the Khronos Box sample):
+        # without it a GI render of such a file is legitimately black
+        # (SKYBOX_COLOR is 0) — a CLI convenience, not reference parity
+        import numpy as np
+        from low_precision_raytracer_tpu.models.hierarchy import LIGHT_POINT
+
+        los = [m.aabb[0] for m in scene.meshes]
+        his = [m.aabb[1] for m in scene.meshes]
+        lo = np.min(np.stack(los), axis=0)
+        hi = np.max(np.stack(his), axis=0)
+        radius = float(np.linalg.norm(hi - lo)) / 2 + 1e-3
+        lamp = LightObject(
+            name="default-headlight",
+            light_type=LIGHT_POINT,
+            intensity=np.full(3, 40.0 * radius * radius, np.float32),
+        )
+        lamp.translation = np.asarray(
+            scene.active_camera.translation, np.float32
+        ) + np.array([radius, 2.0 * radius, radius], np.float32)
+        scene.root.add(lamp)
     return scene
 
 
@@ -222,7 +245,7 @@ def main(argv=None) -> int:
     pr.add_argument("--no-taa", action="store_true")
     pr.add_argument("--taa-weight", type=float, default=1.0)
     pr.add_argument("--demodulate", action="store_true")
-    pr.add_argument("--fallback", choices=["both", "dtype"], default="both")
+    pr.add_argument("--fallback", choices=["auto", "both", "dtype", "mxu3"], default="auto")
     pr.add_argument("--impl", default="auto",
                     choices=["auto", "jax", "dense", "dense_pallas", "pallas"],
                     help="trace backend (auto: dense kernel small scenes, "

@@ -57,6 +57,50 @@ MAXC = 512  # max compacted active chunks per tile; the adaptive per-tile
 # scenes need the headroom (overflow falls back to iterating every chunk)
 
 
+def _finish_chunk(accept_geom, u_sel, v_sel, t, tri, obj,
+                  mind, maxd, skip, outf_ref, ids_ref, tr, ablate):
+    """Shared chunk epilogue: distance/skip gating + closest-hit winner
+    tracking into the running-best output refs (min-reduce + winner mask,
+    no argmin gathers)."""
+    accept = (
+        accept_geom
+        & (t > mind)
+        & (t < maxd)
+        & (tri != skip)
+        & jnp.isfinite(t)
+    )
+
+    t_masked = jnp.where(accept, t, jnp.inf)
+    t_min = jnp.min(t_masked, axis=0, keepdims=True)  # (1, TR)
+    at_min = t_masked == t_min
+    neg = jnp.float32(-3e38)
+    if "ids" in ablate:  # perf probe: no winner-id tracking
+        u_win = jnp.max(jnp.where(at_min, u_sel, neg), axis=0, keepdims=True)
+        v_win = jnp.max(jnp.where(at_min, v_sel, neg), axis=0, keepdims=True)
+        better = jnp.isfinite(t_min) & (t_min < outf_ref[0:1, :])
+        b3 = jnp.broadcast_to(better, (3, tr))
+        outf_ref[:, :] = jnp.where(
+            b3, jnp.concatenate([t_min, u_win, v_win], axis=0), outf_ref[:, :]
+        )
+        return 0
+    big = jnp.float32(3e38)
+    tri_win = jnp.min(jnp.where(at_min, tri, big), axis=0, keepdims=True)
+    win = at_min & (tri == tri_win)
+    u_win = jnp.max(jnp.where(win, u_sel, neg), axis=0, keepdims=True)
+    v_win = jnp.max(jnp.where(win, v_sel, neg), axis=0, keepdims=True)
+    obj_win = jnp.max(jnp.where(win, obj, neg), axis=0, keepdims=True)
+
+    better = jnp.isfinite(t_min) & (t_min < outf_ref[0:1, :])
+    b3 = jnp.broadcast_to(better, (3, tr))
+    outf_ref[:, :] = jnp.where(
+        b3, jnp.concatenate([t_min, u_win, v_win], axis=0), outf_ref[:, :]
+    )
+    ids_new = jnp.concatenate([tri_win, obj_win], axis=0).astype(jnp.int32)
+    b2 = jnp.broadcast_to(better, (2, tr))
+    ids_ref[:, :] = jnp.where(b2, ids_new, ids_ref[:, :])
+    return 0
+
+
 def _kernel(
     *refs,
     n_chunks: int,
@@ -114,12 +158,19 @@ def _kernel(
     single=True (one chunk, e.g. Cornell): no scalar-prefetch list, no
     per-chunk decode, STATIC slab loads — the whole scheduling apparatus
     of the multi-chunk walk costs ~2x on single-chunk scenes."""
+    mxu3 = fallback == "mxu3"  # bf16 mode only: no Aab slab at all (see
+    # trace_rays_dense_pallas docstring) — the bf16x3 dot's f32-grade u/v
+    # are the ONLY triangle test, strict acceptance, no error band
     if not single:
         active_ref, *refs = refs  # (G + G*maxc,) i32: [counts | packed ids]
     r32 = 8 if is_f32 else 16  # A32 rows/chunk (bf16: 8 hi + 8 lo halves)
-    if stream:
+    if stream and mxu3:
+        (a32_hbm, rays_ref, outf_ref, ids_ref, scr32, sem32) = refs
+    elif stream:
         (a32_hbm, aab_hbm, rays_ref, outf_ref, ids_ref,
          scr32, scrab, sem32, semab) = refs
+    elif mxu3:
+        (a32_ref, rays_ref, outf_ref, ids_ref) = refs
     else:
         (a32_ref,  # (NC*r32, P32) f32 | interleaved-bf16 hi/lo
          aab_ref,  # (NC*16, Pab) dtype
@@ -137,9 +188,10 @@ def _kernel(
     skip = rays_ref[8:9, :]  # ids as exact f32 integers
     mind = rays_ref[9:10, :]
     maxd = rays_ref[10:11, :]
-    Bab = jnp.concatenate([B32, jnp.abs(B32)], axis=0)  # |1| = 1, |0| = 0
-    if not is_f32:
-        Bab = Bab.astype(jnp.bfloat16)
+    if not mxu3:
+        Bab = jnp.concatenate([B32, jnp.abs(B32)], axis=0)  # |1| = 1, |0| = 0
+        if not is_f32:
+            Bab = Bab.astype(jnp.bfloat16)
     DN = (((0,), (0,)), ((), ()))
 
     c1 = jnp.float32(0.2 * d1)
@@ -156,18 +208,22 @@ def _kernel(
                 cp32 = pltpu.make_async_copy(
                     a32_hbm.at[pl.ds(c * r32, r32), :], scr32, sem32
                 )
-                cpab = pltpu.make_async_copy(
-                    aab_hbm.at[pl.ds(c * 16, 16), :], scrab, semab
-                )
                 cp32.start()
-                cpab.start()
-                cp32.wait()
-                cpab.wait()
+                if not mxu3:
+                    cpab = pltpu.make_async_copy(
+                        aab_hbm.at[pl.ds(c * 16, 16), :], scrab, semab
+                    )
+                    cpab.start()
+                    cp32.wait()
+                    cpab.wait()
+                    aab = scrab[:, :]
+                else:
+                    cp32.wait()
                 a32 = scr32[:, :]
-                aab = scrab[:, :]
             else:
                 a32 = a32_ref[pl.ds(c * r32, r32), :]
-                aab = aab_ref[pl.ds(c * 16, 16), :]
+                if not mxu3:
+                    aab = aab_ref[pl.ds(c * 16, 16), :]
 
             # precision must be explicit: the framework's global
             # jax_default_matmul_precision='highest' would stamp fp32
@@ -201,18 +257,24 @@ def _kernel(
                     a_cat = jnp.concatenate([ah, al, ah], axis=0)
                     b_cat = jnp.concatenate([bh, bh, bl], axis=0)
                     m32 = d3(a_cat, b_cat)
-            mab = jax.lax.dot_general(
-                aab, Bab, DN, preferred_element_type=F32,
-                precision=(jax.lax.Precision.HIGHEST if is_f32 else dflt),
-            )
+            if not mxu3:
+                mab = jax.lax.dot_general(
+                    aab, Bab, DN, preferred_element_type=F32,
+                    precision=(jax.lax.Precision.HIGHEST if is_f32 else dflt),
+                )
+                bab = lambda k: mab[k * tc : (k + 1) * tc]
             b32 = lambda k: m32[k * tc : (k + 1) * tc]
-            bab = lambda k: mab[k * tc : (k + 1) * tc]
             Oz, Dz = b32(0), b32(1)
             tri = b32(6)  # (tc, TR) exact f32 integers (radix-2^16 split)
             if n32 == 9:
                 tri = tri + 65536.0 * b32(8)
             obj = b32(7)
-            if is_f32:
+            if mxu3:
+                # single f32-grade test: u/v ARE the bf16x3 rows; strict
+                # acceptance, no band, no dtype pass (the Aab slab does not
+                # even ride the launch)
+                Ox, Oy, Dx, Dy = b32(2), b32(3), b32(4), b32(5)
+            elif is_f32:
                 # u/v ARE the f32 rows; Aab carries only the 4 S blocks
                 Ox, Oy, Dx, Dy = b32(2), b32(3), b32(4), b32(5)
                 s_ox, s_oy, s_dx, s_dy = bab(0), bab(1), bab(2), bab(3)
@@ -225,6 +287,14 @@ def _kernel(
             t_dy = t * Dy
             u = Ox + t_dx
             v = Oy + t_dy
+
+            if mxu3:
+                u_sel, v_sel = u, v
+                accept_geom = (u > 0) & (v > 0) & (u + v < 1)
+                return _finish_chunk(
+                    accept_geom, u_sel, v_sel, t, tri, obj,
+                    mind, maxd, skip, outf_ref, ids_ref, tr, ablate,
+                )
 
             # the 0.2*(d1+d2) factor on the S terms is folded into the S
             # rows at table build (host side); only the |.|-of-computed
@@ -256,43 +326,10 @@ def _kernel(
                 u_sel, v_sel = u, v
                 accept_geom = dtype_accept
 
-            accept = (
-                accept_geom
-                & (t > mind)
-                & (t < maxd)
-                & (tri != skip)
-                & jnp.isfinite(t)
+            return _finish_chunk(
+                accept_geom, u_sel, v_sel, t, tri, obj,
+                mind, maxd, skip, outf_ref, ids_ref, tr, ablate,
             )
-
-            t_masked = jnp.where(accept, t, jnp.inf)
-            t_min = jnp.min(t_masked, axis=0, keepdims=True)  # (1, TR)
-            at_min = t_masked == t_min
-            neg = jnp.float32(-3e38)
-            if "ids" in ablate:  # perf probe: no winner-id tracking
-                u_win = jnp.max(jnp.where(at_min, u_sel, neg), axis=0, keepdims=True)
-                v_win = jnp.max(jnp.where(at_min, v_sel, neg), axis=0, keepdims=True)
-                better = jnp.isfinite(t_min) & (t_min < outf_ref[0:1, :])
-                b3 = jnp.broadcast_to(better, (3, tr))
-                outf_ref[:, :] = jnp.where(
-                    b3, jnp.concatenate([t_min, u_win, v_win], axis=0), outf_ref[:, :]
-                )
-                return 0
-            big = jnp.float32(3e38)
-            tri_win = jnp.min(jnp.where(at_min, tri, big), axis=0, keepdims=True)
-            win = at_min & (tri == tri_win)
-            u_win = jnp.max(jnp.where(win, u_sel, neg), axis=0, keepdims=True)
-            v_win = jnp.max(jnp.where(win, v_sel, neg), axis=0, keepdims=True)
-            obj_win = jnp.max(jnp.where(win, obj, neg), axis=0, keepdims=True)
-
-            better = jnp.isfinite(t_min) & (t_min < outf_ref[0:1, :])
-            b3 = jnp.broadcast_to(better, (3, tr))
-            outf_ref[:, :] = jnp.where(
-                b3, jnp.concatenate([t_min, u_win, v_win], axis=0), outf_ref[:, :]
-            )
-            ids_new = jnp.concatenate([tri_win, obj_win], axis=0).astype(jnp.int32)
-            b2 = jnp.broadcast_to(better, (2, tr))
-            ids_ref[:, :] = jnp.where(b2, ids_new, ids_ref[:, :])
-        return 0
 
     if single:
         # one chunk: c = 0 is STATIC (static slab loads, no prefetch list,
@@ -532,7 +569,8 @@ def _pad128(x: int) -> int:
 
 
 def _mxu_tables(n_dt, n_f32, e, tri_ids, obj_ids, tc, dt, is_f32,
-                need_hi: bool, d1: float = 0.0, d2: float = 0.0):
+                need_hi: bool, d1: float = 0.0, d2: float = 0.0,
+                no_aab: bool = False):
     """Per-chunk lhs-transposed A slabs for the kernel's dots.
 
     -> (a32t, aabt, n32).  fp32 mode: a32t is (NC*8, P32) f32.  bf16
@@ -600,6 +638,9 @@ def _mxu_tables(n_dt, n_f32, e, tri_ids, obj_ids, tc, dt, is_f32,
         lo = (a3 - hi.astype(f32)).astype(jnp.bfloat16)
         a32t = jnp.concatenate([hi, lo], axis=1).reshape(nc * 16, a3.shape[2])
 
+    if no_aab:  # mxu3: the bf16x3 dot is the only triangle test
+        return a32t, None, n32
+
     ndf = n_dt.astype(f32)  # dtype-rounded coefficients (exact in f32)
     # the kernel's error bands read 0.2*(d1+d2)*s_* — fold the constant
     # into the S rows here (two fewer VPU passes per chunk)
@@ -652,6 +693,17 @@ def trace_rays_dense_pallas(
     ablate: str = "",  # perf-probe switches, see _kernel (not for production)
 ) -> Hit:
     assert frame.dense_n is not None, "dense coefficients missing"
+    # 'mxu3' (bf16/fp16 only): the manual bf16x3 MXU dot — already required
+    # for the fp32-shadow z-row and the band re-test — is uniformly accurate
+    # to ~2^-16 relative, BETTER than the dtype test it would be guarding,
+    # so the dtype Aab slab + error band + re-test select are strictly more
+    # work for strictly less accuracy.  This mode drops them: one dot, one
+    # strict accept.  Deviation from the reference's DataT kernel semantics
+    # (`rt/rtrt/cuda.hpp:206-283`) is conservative — results move TOWARD the
+    # fp32 oracle.  fp32 mode has no shadow dot to reuse, so it keeps 'both'.
+    if fallback == "mxu3" and prec.is_f32:
+        fallback = "both"
+    mxu3 = fallback == "mxu3"
     dt = prec.dtype
     R = origins.shape[0]
     if skip_tri is None:
@@ -804,26 +856,26 @@ def trace_rays_dense_pallas(
     need_hi = (not prec.is_f32) and scene.tri_idx.shape[0] > (1 << 16)
     a32t, aabt, n32 = _mxu_tables(
         n_dt, n_f32, e, tri_ids, obj_ids, tc, dt, prec.is_f32, need_hi,
-        d1=prec.delta1, d2=prec.delta2,
+        d1=prec.delta1, d2=prec.delta2, no_aab=mxu3,
     )
     kernel = functools.partial(kernel, n32=n32)
+    tables = (a32t,) if mxu3 else (a32t, aabt)
     if stream:
-        # both A tables stay in HBM; each chunk's slabs (whole sublane
+        # the A tables stay in HBM; each chunk's slabs (whole sublane
         # tiles, trivially DMA-aligned) stream into VMEM scratch on demand
-        table_specs = [
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ]
-        table_args = (a32t, aabt)
+        table_specs = [pl.BlockSpec(memory_space=pltpu.ANY) for _ in tables]
+        table_args = tables
         scratch_shapes = [
             pltpu.VMEM((8 if prec.is_f32 else 16, a32t.shape[1]), a32t.dtype),
-            pltpu.VMEM((16, aabt.shape[1]), aabt.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
         ]
+        if not mxu3:
+            scratch_shapes.append(pltpu.VMEM((16, aabt.shape[1]), aabt.dtype))
+        scratch_shapes.append(pltpu.SemaphoreType.DMA)
+        if not mxu3:
+            scratch_shapes.append(pltpu.SemaphoreType.DMA)
     else:
-        table_specs = [const(a32t.shape), const(aabt.shape)]
-        table_args = (a32t, aabt)
+        table_specs = [const(t.shape) for t in tables]
+        table_args = tables
         scratch_shapes = []
 
     # ONE packed ray operand, pre-laid in the kernel's B32 feature order

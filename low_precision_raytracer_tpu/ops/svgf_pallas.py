@@ -36,7 +36,10 @@ from jax.experimental.pallas import tpu as pltpu
 from low_precision_raytracer_tpu.config import SVGFConfig
 
 PAD = 32  # >= 2 * max stride (strides 1..16); multiple of RT
-RT = 16  # output rows per tile
+RT = 32  # output rows per tile.  DMA amplification is (RT + 2*PAD) / RT:
+# 5x at RT=16, 3x at RT=32 — the halo is fixed, so taller center tiles
+# read each HBM row fewer times.  RT > PAD would need element-offset out
+# blocks (PAD must stay a multiple of RT for the center-row index map).
 
 GAUSS_G = (1.0 / 2.0, 1.0 / 4.0)
 WAVELET_H = (3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)

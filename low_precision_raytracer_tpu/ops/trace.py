@@ -50,6 +50,17 @@ def resolve_cfg(scene, frame, cfg: RenderConfig) -> RenderConfig:
     return cfg
 
 
+def resolve_fallback(fb: str, prec: Precision, impl: str) -> str:
+    """Per-backend triangle-fallback resolution: 'mxu3' exists only in the
+    dense Pallas kernel and only for sub-fp32 dtypes (see config.py); every
+    other (mode, backend) combination gets the exact-reference 'both'."""
+    if fb == "auto":
+        fb = "mxu3"
+    if fb == "mxu3" and (impl != "dense_pallas" or prec.is_f32):
+        return "both"
+    return fb
+
+
 def trace(
     scene,
     frame,
@@ -157,6 +168,7 @@ def trace(
         interpret = jax.default_backend() == "cpu"
         ti = _instance_tris(frame)
         stream = ti > cfg.dense_pallas_max_tris  # table too big for VMEM
+        fb = resolve_fallback(cfg.triangle_fallback, prec, "dense_pallas")
         # sorting pays only when there are chunks to cull
         if not coherent and len(frame.obj_layout) > 1 and ti > 4 * TC:
             return trace_rays_dense_pallas_sorted(
@@ -165,7 +177,7 @@ def trace(
                 origins,
                 directions,
                 prec=prec,
-                fallback=cfg.triangle_fallback,
+                fallback=fb,
                 skip_tri=skip_tri,
                 min_dist=min_dist,
                 max_dist=max_dist,
@@ -179,7 +191,7 @@ def trace(
             origins,
             directions,
             prec=prec,
-            fallback=cfg.triangle_fallback,
+            fallback=fb,
             skip_tri=skip_tri,
             min_dist=min_dist,
             max_dist=max_dist,
@@ -195,7 +207,7 @@ def trace(
             origins,
             directions,
             prec=prec,
-            fallback=cfg.triangle_fallback,
+            fallback=resolve_fallback(cfg.triangle_fallback, prec, "dense"),
             skip_tri=skip_tri,
             min_dist=min_dist,
             max_dist=max_dist,
@@ -216,7 +228,7 @@ def trace(
             directions,
             prec=prec,
             find_any=find_any,
-            fallback=cfg.triangle_fallback,
+            fallback=resolve_fallback(cfg.triangle_fallback, prec, "pallas"),
             skip_tri=skip_tri,
             min_dist=min_dist,
             max_dist=max_dist,
@@ -231,7 +243,7 @@ def trace(
         directions,
         prec=prec,
         find_any=find_any,
-        fallback=cfg.triangle_fallback,
+        fallback=resolve_fallback(cfg.triangle_fallback, prec, "jax"),
         leaf_size=cfg.bvh_leaf_size,
         skip_tri=skip_tri,
         min_dist=min_dist,

@@ -397,7 +397,9 @@ class Renderer:
         self.cfg = resolve_cfg(self.scene, frame0, cfg)  # bake 'auto' backend
         self.state = init_frame_state(self.cfg, len(frame0.obj_layout))
         self.frame_index = 0
-        self.key = jax.random.PRNGKey(0)
+        from low_precision_raytracer_tpu.utils.rng import render_key
+
+        self.key = render_key(0)
 
     def render(self, time: float = 0.0):
         """Flatten the scene at `time` (TLAS rebuild on host, like the

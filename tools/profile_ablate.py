@@ -31,7 +31,8 @@ def run(cfg_kw, scene_name, frames=8, warmup=2):
                           width=cfg.width, height=cfg.height)
     cfg = resolve_cfg(scene, frame, cfg)
     state = init_frame_state(cfg, len(frame.obj_layout))
-    key = jax.random.PRNGKey(0)
+    from low_precision_raytracer_tpu.utils.rng import render_key
+    key = render_key(0)
     for _ in range(warmup):
         key, sub = jax.random.split(key)
         img, aux, state = render_frame(scene, frame, state, cfg, sub)
