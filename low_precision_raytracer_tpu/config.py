@@ -180,6 +180,10 @@ class RenderConfig:
     # 'auto' switches from the all-pairs dense kernel to the packet BVH
     # traversal (ops/traversal_pallas.py) above this instance-triangle count
     packet_bvh_min_tris: int = 8192
+    # ceiling for the packet BVH traversal under 'auto': its HBM-streamed
+    # coefficient table costs 512 B/instance-tri (4M tris = 2 GB); beyond
+    # this the lane-parallel XLA walk is the only (slow) option
+    packet_bvh_max_tris: int = 4 << 20
     # triangles per BVH leaf (reference uses 1, `rt/trace/object_bvh.hpp:75`;
     # >1 trades traversal steps for vectorized leaf tests — better on TPU)
     bvh_leaf_size: int = 4

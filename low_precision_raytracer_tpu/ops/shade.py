@@ -30,7 +30,7 @@ from low_precision_raytracer_tpu.ops.sampling import (
     pdf_ggx_reflect,
     sample_ggx,
     tangent_to_world,
-    uniform_hemisphere,
+    uniform_hemisphere_trig,
 )
 from low_precision_raytracer_tpu.ops.texture import sample_skybox, sample_texture
 
@@ -208,16 +208,15 @@ def shade(
     # ---- GI ray generation (`rt/rtrt/cuda.hpp:1898-1999`)
     if not no_gi:
         # ONE batched draw per kind: 7 separate threefry chains cost ~5 ms
-        # per shade pass at 1080p.  Draw FLAT and slice contiguously — a
-        # (R, 5) draw puts 5 on the 128-lane axis and wastes 96% of every
-        # op that touches it
-        us = jax.random.uniform(key, (5 * R,), dt)
-        gs = jax.random.normal(jax.random.fold_in(key, 1), (6 * R,), jnp.float32)
-        r_mirror, r_spec, r_metal, u_ggx1, u_ggx2 = (
-            jax.lax.slice(us, (i * R,), ((i + 1) * R,)) for i in range(5)
+        # per shade pass at 1080p, and `normal()` draws another ~5.6 ms
+        # (erfinv + 1.5x bits) — so everything is uniforms, ONE flat draw,
+        # sliced contiguously.  (A (R, 9) draw would put 9 on the 128-lane
+        # axis and waste 93% of every op that touches it.)
+        us = jax.random.uniform(key, (9 * R,), dt)
+        (r_mirror, r_spec, r_metal, u_ggx1, u_ggx2,
+         uh1_lo, uh2_lo, uh1_hi, uh2_hi) = (
+            jax.lax.slice(us, (i * R,), ((i + 1) * R,)) for i in range(9)
         )
-        g_lo = gs[0 : 3 * R].reshape(R, 3)
-        g_hi = gs[3 * R : 6 * R].reshape(R, 3)
 
         metallic = mat["metallic"]
         roughness = mat["roughness"]
@@ -241,8 +240,8 @@ def shade(
         else:
             mult_b = g_mirror.get_brdf(color) / pdf_b[:, None]
         # (c) uniform hemisphere diffuse
-        diff_dir_lo, cos_lo = uniform_hemisphere(
-            normal, g_lo[:, 0].astype(dt), g_lo[:, 1].astype(dt), g_lo[:, 2].astype(dt)
+        diff_dir_lo, cos_lo = uniform_hemisphere_trig(
+            normal, tangent, bitangent, uh1_lo, uh2_lo
         )
         brdf_c = material_brdf(metallic, roughness, view_dir, diff_dir_lo, normal)
         mult_c_scalar = cos_lo * jnp.asarray(2.0 * jnp.pi, dt)
@@ -272,8 +271,8 @@ def shade(
         ggx_cos = jnp.maximum(jnp.asarray(0.05, dt), dot(ggx_dir, h_w))
         pdf_ggx = pdf_ggx_reflect(h_t[..., 2], a2) * metallic / (4 * ggx_cos)
 
-        diff_dir_hi, cos_hi = uniform_hemisphere(
-            normal, g_hi[:, 0].astype(dt), g_hi[:, 1].astype(dt), g_hi[:, 2].astype(dt)
+        diff_dir_hi, cos_hi = uniform_hemisphere_trig(
+            normal, tangent, bitangent, uh1_hi, uh2_hi
         )
         pdf_diff = jnp.asarray(0.5 / jnp.pi, dt) * (one - metallic)
 

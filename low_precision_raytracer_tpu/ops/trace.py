@@ -31,13 +31,16 @@ def resolve_impl(scene, frame, cfg: RenderConfig) -> str:
         n_obj = len(frame.obj_layout)
         ti = _instance_tris(frame)
         on_tpu = jax.default_backend() == "tpu"
-        if on_tpu and 0 < n_obj <= 512 and ti <= cfg.dense_stream_max_tris:
+        if on_tpu and ti > 0:
             # small scenes: the all-pairs kernel has no per-leaf scheduling
-            # overhead; past packet_bvh_min_tris the packet BVH traversal
-            # (ordered early-terminating walk) wins
-            if ti > cfg.packet_bvh_min_tris:
+            # overhead (its per-OBJECT chunk predicates cap it at 512
+            # objects); past packet_bvh_min_tris the packet BVH traversal
+            # (two-level leaf cull + ordered early-terminating walk) wins,
+            # and it has no object-count limit — leaves are object-agnostic
+            if ti <= cfg.packet_bvh_min_tris and 0 < n_obj <= 512:
+                return "dense_pallas"
+            if ti <= cfg.packet_bvh_max_tris:
                 return "pallas"
-            return "dense_pallas"
         if 0 < n_obj <= 64 and ti <= cfg.dense_max_tris:
             return "dense"
         return "jax"
@@ -52,11 +55,14 @@ def resolve_cfg(scene, frame, cfg: RenderConfig) -> RenderConfig:
 
 def resolve_fallback(fb: str, prec: Precision, impl: str) -> str:
     """Per-backend triangle-fallback resolution: 'mxu3' exists only in the
-    dense Pallas kernel and only for sub-fp32 dtypes (see config.py); every
-    other (mode, backend) combination gets the exact-reference 'both'."""
+    Pallas kernels (dense + packet) and only for sub-fp32 dtypes (see
+    config.py); every other (mode, backend) combination gets the
+    exact-reference 'both'."""
     if fb == "auto":
         fb = "mxu3"
-    if fb == "mxu3" and (impl != "dense_pallas" or prec.is_f32):
+    if fb == "mxu3" and (
+        impl not in ("dense_pallas", "pallas") or prec.is_f32
+    ):
         return "both"
     return fb
 

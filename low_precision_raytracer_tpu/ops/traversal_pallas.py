@@ -6,13 +6,20 @@ A CUDA GPU walks the BVH per thread; a TPU has no per-lane divergence model,
 so the walk is restructured around 512-ray *packets* (SURVEY.md §7 hard part
 #1, "sorted ray-packet x subtree scheduling"):
 
-1. **Hierarchy phase (XLA)**: every ray packet is tested against the
-   world-space AABBs of BVH *leaves* (LC = 32 consecutive instance
-   triangles) with conservative interval arithmetic — the packet analogue
-   of `ray_aabb_intersection_scene`.  Active leaves are compacted into a
-   per-packet list ordered **front-to-back** (by distance from the launch
-   origin centroid), the vectorized equivalent of the reference's ordered
-   descent.
+1. **Hierarchy phase (XLA)**: a TWO-LEVEL cull.  Every ray packet first
+   slab-tests the AABBs of *blocks* of SB consecutive leaves (a leaf =
+   LC = 32 consecutive instance triangles); only the K1 nearest active
+   blocks' leaves get the exact leaf-level test — conservative interval
+   arithmetic throughout, the packet analogue of
+   `ray_aabb_intersection_scene` run over an implicit 2-level tree.  Work
+   is O(G * sqrt(NL * K1)) in the leaf count, and leaf ids carry 24 bits
+   (~536M instance tris).  Surviving leaves are compacted into a
+   per-packet list ordered **front-to-back** (by conservative packet entry
+   distance), the vectorized equivalent of the reference's ordered
+   descent; packets whose active set overflows the list walk every leaf
+   front-to-back instead (correct, slow, rare).  The lists live in HBM
+   and stream through a 2-row SMEM pipeline, so list capacity (1024) is
+   not bound by the global scalar-prefetch budget.
 2. **Traversal phase (Pallas)**: each packet walks its leaf list with a
    `while_loop` that **early-terminates** like a real closest-hit BVH
    traversal: a monotone suffix-minimum of leaf entry distances is
@@ -50,13 +57,18 @@ from low_precision_raytracer_tpu.ops.traversal import Hit
 F32 = jnp.float32
 
 TR = 512  # rays per packet (lane axis)
-MAXL = 1024  # hard cap on compacted leaf ids per packet
+LIST_WORDS = 1024  # per-packet list row stride in the flat HBM lists array:
+# i32 HBM->SMEM DMA slices must align to the 1024-element 1-D tile, so every
+# row is exactly one tile: [count | qcap | keys...]
+MAXL = LIST_WORDS - 2  # hard cap on compacted leaf ids per packet
+GSZ = 4  # leaves fetched + tested per traversal-loop iteration (4 x 32 =
+# 128 triangles): a single 32-tri leaf is too little work to carry the
+# per-iteration costs (cond's cross-lane reduce, dot issue, bookkeeping)
 
 
 def _kernel(
-    lists_ref,  # (2G + G*maxc,) i32: [counts (G,) | qcaps (G,) | packed
-    # (qtmin | leaf id) keys (G, maxc)] — see _leaf_schedule
-    rank2orig_ref,  # (NL,) i32: global front-to-back order -> leaf id
+    rank2orig_ref,  # (NL,) i32 global front-to-back order -> leaf id, or a
+    # (1,) dummy when global_order=False (overflow walks run in id order)
     tscale_ref,  # (1,) f32: dequantization step for the per-item t bounds
     *refs,
     n_leaves: int,
@@ -70,19 +82,30 @@ def _kernel(
     stream: bool,
     mxu: bool,
     dt,
+    global_order: bool = True,
 ):
+    # the per-packet leaf list rides in HBM (flat (G * LIST_WORDS,) i32,
+    # row i at [i*LIST_WORDS, (i+1)*LIST_WORDS): [count | qcap | packed
+    # words]) and is DMA'd into SMEM scratch with a one-row pipeline (wait
+    # row i, prefetch row i+1) — per-packet list length is bounded by HBM,
+    # not by the global SMEM prefetch budget that capped the old layout at
+    # ~50 words/packet at 1080p
+    # ONE packed coefficient table (build_stream_table layout) for both
+    # residency modes: HBM + per-group DMA (stream) or a VMEM-resident ref.
+    # (The old per-column resident refs lane-padded 9 -> 128, blowing VMEM
+    # to ~2.3 KB/instance-tri — 102 MB at 46k tris.)
     if stream:
-        (tbl_hbm, o_ref, d_ref, skip_ref, mind_ref, maxd_ref,
+        (lists_hbm, tbl_hbm, o_ref, d_ref, skip_ref, mind_ref, maxd_ref,
          t_out, u_out, v_out, tri_out, obj_out, *extra) = refs
-        if mxu:
-            scratch, sem, w_dt_ref, w_f32_ref = extra
-        else:
-            scratch, sem = extra
+        scratch, sem, *extra = extra
     else:
-        (n_dt_ref, n_f32_ref, e_ref, tri_ref, obj_ref,
-         o_ref, d_ref, skip_ref, mind_ref, maxd_ref,
+        (lists_hbm, tbl_ref, o_ref, d_ref, skip_ref, mind_ref, maxd_ref,
          t_out, u_out, v_out, tri_out, obj_out, *extra) = refs
-        if mxu:
+    lists_s, lsem, *extra = extra
+    if mxu:
+        if fallback == "mxu3" and not is_f32:
+            (w_f32_ref,) = extra
+        else:
             w_dt_ref, w_f32_ref = extra
     ox = o_ref[0:1, :]
     oy = o_ref[1:2, :]
@@ -105,22 +128,48 @@ def _kernel(
 
     i = pl.program_id(0)
     g_total = pl.num_programs(0)
-    count = lists_ref[i]
+    # one-row-deep DMA pipeline for the list rows: program 0 issues its own
+    # copy, every program issues the NEXT row's copy before waiting on its
+    # own — the ~us HBM->SMEM latency hides behind the previous packet's walk
+    slot = jax.lax.rem(i, 2)
+    base = slot * LIST_WORDS  # the scratch is flat (2*LIST_WORDS,): 2-D
+    # SMEM refs can't be row-sliced for DMA (sublane tiling), flat can
+
+    def row_copy(row, s):
+        return pltpu.make_async_copy(
+            lists_hbm.at[pl.ds(row * LIST_WORDS, LIST_WORDS)],
+            lists_s.at[pl.ds(s * LIST_WORDS, LIST_WORDS)], lsem.at[s],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        row_copy(0, 0).start()
+
+    @pl.when(i + 1 < g_total)
+    def _():
+        row_copy(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+    row_copy(i, slot).wait()
+
+    count = lists_s[base + 0]
     # per-packet exit cap (quantized up): no hit can lie beyond it;
     # a saturated quantization means "unbounded"
-    qcap = lists_ref[g_total + i]
+    qcap = lists_s[base + 1]
     t_cap = jnp.where(qcap >= 32767, 3e38, qcap.astype(F32) * tscale_ref[0])
     # count < 0 encodes list overflow: walk every leaf (global order)
     n_iter = jnp.where(count < 0, n_leaves, count)
-    ids_base = 2 * g_total + i * maxc
 
     def item(j):
         """-> (leaf id, conservative entry-t lower bound).  Bounds are
-        non-decreasing in j (the list is per-tile front-to-back)."""
+        non-decreasing in j (the list is per-tile front-to-back).  Word
+        layout: (0x7F - qt7) << 24 | leaf id (24 bits) — ids to 16.7M
+        leaves (~536M instance tris), bounds quantized DOWN to 7 bits."""
         j = jnp.clip(j, 0, n_iter - 1)
-        word = lists_ref[ids_base + jnp.minimum(j, maxc - 1)]
-        c = jnp.where(count < 0, rank2orig_ref[j], word & 0xFFFF)
-        qt = 0x7FFF - ((word >> 16) & 0x7FFF)
+        word = lists_s[base + 2 + jnp.minimum(j, maxc - 1)]
+        fallback_id = rank2orig_ref[jnp.minimum(j, rank2orig_ref.shape[0] - 1)] \
+            if global_order else j
+        c = jnp.where(count < 0, fallback_id, word & 0xFFFFFF)
+        qt = 0x7F - ((word >> 24) & 0x7F)
         bound = qt.astype(F32) * tscale_ref[0]
         bound = jnp.where(count < 0, 0.0, bound)  # overflow: never break
         return c, bound
@@ -137,29 +186,30 @@ def _kernel(
         return jnp.max(vals)
 
     def cond(j):
-        go = j < n_iter
+        # j counts GROUPS of GSZ leaves (see body)
+        go = j * GSZ < n_iter
         if ordered:
             # stop as soon as nothing that remains can beat any live lane
             # (covers closest-hit early termination, any-hit first-success,
-            # and shadow-ray max_t saturation in one bound)
-            _, bound = item(j)
+            # and shadow-ray max_t saturation in one bound); the group's
+            # NEAREST item bounds the whole group (list is front-to-back)
+            _, bound = item(j * GSZ)
             return go & (bound <= interest())
         if find_any:
             return go & (interest() >= 0)
         return go
 
-    def slot_dma(slot, c):
-        return pltpu.make_async_copy(
-            tbl_hbm.at[pl.ds(c * LC, LC), :], scratch.at[slot], sem.at[slot]
-        )
+    mxu3 = fallback == "mxu3" and not is_f32
 
     if mxu:
-        # the 14 per-triangle linear forms (O/D transforms, |.| error rows,
+        # the per-triangle linear forms (O/D transforms, |.| error rows,
         # fp32 shadow rows) are 3-term dot products — stage them on the MXU
-        # as two (rows, 13) x (13, TR) matmuls against a shared ray matrix
+        # as (rows, 13) x (13, TR) matmuls against a shared ray matrix
         # B = [o; d; |o|; |d|; 1].  dt rows take the MXU-native low-precision
         # path (dt inputs, fp32 accumulate — the kernel's dtype semantics);
         # the z/fp32 shadow rows keep full fp32 (`rt/rtrt/cuda.hpp:234-240`).
+        # In 'mxu3' the dt/error table is skipped entirely — the f32 rows
+        # are the only triangle test (see dense_pallas trace docstring).
         ones = jnp.ones((1, TR), F32)
         B = jnp.concatenate(
             [o_ref[:, :], d_ref[:, :], jnp.abs(o_ref[:, :]),
@@ -167,83 +217,102 @@ def _kernel(
             axis=0,
         )  # (13, TR) f32
         B_dt = B.astype(dt)
-        w_dt_ref[:, :] = jnp.zeros(w_dt_ref.shape, w_dt_ref.dtype)
+        if not mxu3:
+            w_dt_ref[:, :] = jnp.zeros(w_dt_ref.shape, w_dt_ref.dtype)
         w_f32_ref[:, :] = jnp.zeros(w_f32_ref.shape, F32)
 
+    # GSZ leaves are fetched and tested per loop iteration: a 32-triangle
+    # leaf is too little work to carry the per-iteration costs (cond's
+    # cross-lane reduction, dot issue, slice bookkeeping) — grouping ~3x'd
+    # the measured coherent rate on colonnade-46k
+    gl = GSZ * LC
+
     def body(j):
-        c, _ = item(j)
+        ids = [item(j * GSZ + k)[0] for k in range(GSZ)]
         if stream:
-            cp = slot_dma(0, c)
-            cp.start()
-            cp.wait()
-            # column layout (lane-padded f32): n_dt 0:9 (pre-rounded to the
-            # render dtype) | n_f32 9:18 | e 18:21 | tri 21 | obj 22
-            n_dt = scratch[0, :, 0:9]
-            n_f = scratch[0, :, 9:18]
-            e = scratch[0, :, 18:21]
-            tri = scratch[0, :, 21:22].astype(jnp.int32)  # (LC, 1)
-            obj = scratch[0, :, 22:23].astype(jnp.int32)
+            cps = [
+                pltpu.make_async_copy(
+                    tbl_hbm.at[pl.ds(ids[k] * LC, LC), :],
+                    scratch.at[pl.ds(k * LC, LC), :],
+                    sem.at[k],
+                )
+                for k in range(GSZ)
+            ]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+            g4 = scratch[:, :]
         else:
-            sl = pl.ds(c * LC, LC)
-            n_dt = n_dt_ref[sl, :].astype(F32)  # bf16 storage -> f32 math
-            n_f = n_f32_ref[sl, :]
-            e = e_ref[sl, :]
-            tri = tri_ref[sl, :]  # (LC, 1)
-            obj = obj_ref[sl, :]
+            g4 = jnp.concatenate(
+                [tbl_ref[pl.ds(ids[k] * LC, LC), :] for k in range(GSZ)],
+                axis=0,
+            )
+        # packed column layout (lane-padded f32, build_stream_table):
+        # n_dt 0:9 (pre-rounded to the render dtype) | n_f32 9:18 |
+        # e 18:21 | tri 21 | obj 22
+        n_dt = g4[:, 0:9]
+        n_f = g4[:, 9:18]
+        e = g4[:, 18:21]
+        tri = g4[:, 21:22].astype(jnp.int32)  # (gl, 1)
+        obj = g4[:, 22:23].astype(jnp.int32)
 
         if mxu:
-            n0, n1 = n_dt[:, 0:3], n_dt[:, 3:6]
-            a0, a1 = jnp.abs(n0), jnp.abs(n1)
-            wd = w_dt_ref
-            wd[0 * LC : 1 * LC, 0:3] = n0.astype(dt)  # Ox
-            wd[1 * LC : 2 * LC, 0:3] = n1.astype(dt)  # Oy
-            wd[2 * LC : 3 * LC, 3:6] = n0.astype(dt)  # Dx
-            wd[3 * LC : 4 * LC, 3:6] = n1.astype(dt)  # Dy
-            wd[4 * LC : 5 * LC, 6:9] = a0.astype(dt)  # s_ox
-            wd[5 * LC : 6 * LC, 6:9] = a1.astype(dt)  # s_oy
-            wd[6 * LC : 7 * LC, 9:12] = a0.astype(dt)  # s_dx
-            wd[7 * LC : 8 * LC, 9:12] = a1.astype(dt)  # s_dy
-            wd[0 * LC : 1 * LC, 12:13] = e[:, 0:1].astype(dt)
-            wd[1 * LC : 2 * LC, 12:13] = e[:, 1:2].astype(dt)
-            wd[4 * LC : 5 * LC, 12:13] = jnp.abs(e[:, 0:1]).astype(dt)
-            wd[5 * LC : 6 * LC, 12:13] = jnp.abs(e[:, 1:2]).astype(dt)
+            if not mxu3:
+                n0, n1 = n_dt[:, 0:3], n_dt[:, 3:6]
+                a0, a1 = jnp.abs(n0), jnp.abs(n1)
+                wd = w_dt_ref
+                wd[0 * gl : 1 * gl, 0:3] = n0.astype(dt)  # Ox
+                wd[1 * gl : 2 * gl, 0:3] = n1.astype(dt)  # Oy
+                wd[2 * gl : 3 * gl, 3:6] = n0.astype(dt)  # Dx
+                wd[3 * gl : 4 * gl, 3:6] = n1.astype(dt)  # Dy
+                wd[4 * gl : 5 * gl, 6:9] = a0.astype(dt)  # s_ox
+                wd[5 * gl : 6 * gl, 6:9] = a1.astype(dt)  # s_oy
+                wd[6 * gl : 7 * gl, 9:12] = a0.astype(dt)  # s_dx
+                wd[7 * gl : 8 * gl, 9:12] = a1.astype(dt)  # s_dy
+                wd[0 * gl : 1 * gl, 12:13] = e[:, 0:1].astype(dt)
+                wd[1 * gl : 2 * gl, 12:13] = e[:, 1:2].astype(dt)
+                wd[4 * gl : 5 * gl, 12:13] = jnp.abs(e[:, 0:1]).astype(dt)
+                wd[5 * gl : 6 * gl, 12:13] = jnp.abs(e[:, 1:2]).astype(dt)
             wf = w_f32_ref
             f0, f1, f2 = n_f[:, 0:3], n_f[:, 3:6], n_f[:, 6:9]
-            wf[0 * LC : 1 * LC, 0:3] = f2  # Oz
-            wf[0 * LC : 1 * LC, 12:13] = e[:, 2:3]
-            wf[1 * LC : 2 * LC, 3:6] = f2  # Dz
-            wf[2 * LC : 3 * LC, 0:3] = f0  # Ox32
-            wf[2 * LC : 3 * LC, 12:13] = e[:, 0:1]
-            wf[3 * LC : 4 * LC, 0:3] = f1  # Oy32
-            wf[3 * LC : 4 * LC, 12:13] = e[:, 1:2]
-            wf[4 * LC : 5 * LC, 3:6] = f0  # Dx32
-            wf[5 * LC : 6 * LC, 3:6] = f1  # Dy32
-            out_dt = jnp.dot(
-                w_dt_ref[:, :], B_dt, preferred_element_type=F32,
-                # true fp32 when the render dtype IS fp32; narrow dtypes MUST
-                # name DEFAULT explicitly — the framework sets the global
-                # jax_default_matmul_precision to 'highest' (config.py), and
-                # Mosaic rejects HIGHEST on bf16 operands
-                precision=(
-                    jax.lax.Precision.HIGHEST
-                    if dt == F32
-                    else jax.lax.Precision.DEFAULT
-                ),
-            )  # (8*LC, TR)
+            wf[0 * gl : 1 * gl, 0:3] = f2  # Oz
+            wf[0 * gl : 1 * gl, 12:13] = e[:, 2:3]
+            wf[1 * gl : 2 * gl, 3:6] = f2  # Dz
+            wf[2 * gl : 3 * gl, 0:3] = f0  # Ox32
+            wf[2 * gl : 3 * gl, 12:13] = e[:, 0:1]
+            wf[3 * gl : 4 * gl, 0:3] = f1  # Oy32
+            wf[3 * gl : 4 * gl, 12:13] = e[:, 1:2]
+            wf[4 * gl : 5 * gl, 3:6] = f0  # Dx32
+            wf[5 * gl : 6 * gl, 3:6] = f1  # Dy32
+            if not mxu3:
+                out_dt = jnp.dot(
+                    w_dt_ref[:, :], B_dt, preferred_element_type=F32,
+                    # true fp32 when the render dtype IS fp32; narrow dtypes
+                    # MUST name DEFAULT explicitly — the framework sets the
+                    # global jax_default_matmul_precision to 'highest'
+                    # (config.py), and Mosaic rejects HIGHEST on bf16
+                    precision=(
+                        jax.lax.Precision.HIGHEST
+                        if dt == F32
+                        else jax.lax.Precision.DEFAULT
+                    ),
+                )  # (8*gl, TR)
             out_f = jnp.dot(
                 w_f32_ref[:, :], B, preferred_element_type=F32,
                 precision=jax.lax.Precision.HIGHEST,
-            )  # (6*LC, TR)
-            Ox = out_dt[0 * LC : 1 * LC]
-            Oy = out_dt[1 * LC : 2 * LC]
-            Dx = out_dt[2 * LC : 3 * LC]
-            Dy = out_dt[3 * LC : 4 * LC]
-            s_ox = out_dt[4 * LC : 5 * LC]
-            s_oy = out_dt[5 * LC : 6 * LC]
-            s_dx = out_dt[6 * LC : 7 * LC]
-            s_dy = out_dt[7 * LC : 8 * LC]
-            Oz = out_f[0 * LC : 1 * LC]
-            Dz = out_f[1 * LC : 2 * LC]
+            )  # (6*gl, TR)
+            if not mxu3:
+                Ox = out_dt[0 * gl : 1 * gl]
+                Oy = out_dt[1 * gl : 2 * gl]
+                Dx = out_dt[2 * gl : 3 * gl]
+                Dy = out_dt[3 * gl : 4 * gl]
+                s_ox = out_dt[4 * gl : 5 * gl]
+                s_oy = out_dt[5 * gl : 6 * gl]
+                s_dx = out_dt[6 * gl : 7 * gl]
+                s_dy = out_dt[7 * gl : 8 * gl]
+            Oz = out_f[0 * gl : 1 * gl]
+            Dz = out_f[1 * gl : 2 * gl]
         else:
             def row(nmat, k, e_col):
                 o_val = (
@@ -273,48 +342,59 @@ def _kernel(
                 )
                 return a, b
 
-            Ox, Dx = row(n_dt, 0, e[:, 0:1])
-            Oy, Dy = row(n_dt, 1, e[:, 1:2])
+            if not mxu3:
+                Ox, Dx = row(n_dt, 0, e[:, 0:1])
+                Oy, Dy = row(n_dt, 1, e[:, 1:2])
+                s_ox, s_dx = arow(n_dt, 0, e[:, 0:1])
+                s_oy, s_dy = arow(n_dt, 1, e[:, 1:2])
             Oz, Dz = row(n_f, 2, e[:, 2:3])  # z row always fp32
-            s_ox, s_dx = arow(n_dt, 0, e[:, 0:1])
-            s_oy, s_dy = arow(n_dt, 1, e[:, 1:2])
 
-        t = -Oz / Dz  # (LC, TR)
-        t_dx = t * Dx
-        t_dy = t * Dy
-        u = Ox + t_dx
-        v = Oy + t_dy
+        t = -Oz / Dz  # (gl, TR)
 
-        error_u = (d12 * s_ox + t * d12 * s_dx + d1f * (jnp.abs(Ox) + 3 * jnp.abs(t_dx))) * 0.2
-        error_v = (d12 * s_oy + t * d12 * s_dy + d1f * (jnp.abs(Oy) + 3 * jnp.abs(t_dy))) * 0.2
-
-        w = 1.0 - u - v
-        in_band = lambda x, err: (x >= -err) & (x <= 0)
-        ambiguous = in_band(u, error_u) | in_band(v, error_v) | in_band(w, error_u + error_v)
-        dtype_accept = (u > -error_u) & (v > -error_v) & (u + v < 1 + error_u + error_v)
-
-        if fallback == "both" and not is_f32:
+        def f32_rows():
             if mxu:
-                Ox32 = out_f[2 * LC : 3 * LC]
-                Oy32 = out_f[3 * LC : 4 * LC]
-                Dx32 = out_f[4 * LC : 5 * LC]
-                Dy32 = out_f[5 * LC : 6 * LC]
-            else:
-                Ox32, Dx32 = row(n_f, 0, e[:, 0:1])
-                Oy32, Dy32 = row(n_f, 1, e[:, 1:2])
-            u32 = Ox32 + t * Dx32
-            v32 = Oy32 + t * Dy32
-            ok32 = (u32 > 0) & (v32 > 0) & (u32 + v32 < 1)
-            u_sel = jnp.where(ambiguous, u32, u)
-            v_sel = jnp.where(ambiguous, v32, v)
-            accept_geom = (ambiguous & ok32) | (~ambiguous & dtype_accept)
-        elif fallback == "both":
-            strict = (u > 0) & (v > 0) & (u + v < 1)
-            u_sel, v_sel = u, v
-            accept_geom = (ambiguous & strict) | (~ambiguous & dtype_accept)
+                return (out_f[2 * gl : 3 * gl], out_f[3 * gl : 4 * gl],
+                        out_f[4 * gl : 5 * gl], out_f[5 * gl : 6 * gl])
+            ox32, dx32 = row(n_f, 0, e[:, 0:1])
+            oy32, dy32 = row(n_f, 1, e[:, 1:2])
+            return ox32, oy32, dx32, dy32
+
+        if mxu3:
+            # single f32-grade test: no dtype pass, no band (see
+            # dense_pallas.trace_rays_dense_pallas / config triangle_fallback)
+            Ox32, Oy32, Dx32, Dy32 = f32_rows()
+            u_sel = Ox32 + t * Dx32
+            v_sel = Oy32 + t * Dy32
+            accept_geom = (u_sel > 0) & (v_sel > 0) & (u_sel + v_sel < 1)
         else:
-            u_sel, v_sel = u, v
-            accept_geom = dtype_accept
+            t_dx = t * Dx
+            t_dy = t * Dy
+            u = Ox + t_dx
+            v = Oy + t_dy
+
+            error_u = (d12 * s_ox + t * d12 * s_dx + d1f * (jnp.abs(Ox) + 3 * jnp.abs(t_dx))) * 0.2
+            error_v = (d12 * s_oy + t * d12 * s_dy + d1f * (jnp.abs(Oy) + 3 * jnp.abs(t_dy))) * 0.2
+
+            w = 1.0 - u - v
+            in_band = lambda x, err: (x >= -err) & (x <= 0)
+            ambiguous = in_band(u, error_u) | in_band(v, error_v) | in_band(w, error_u + error_v)
+            dtype_accept = (u > -error_u) & (v > -error_v) & (u + v < 1 + error_u + error_v)
+
+            if fallback == "both" and not is_f32:
+                Ox32, Oy32, Dx32, Dy32 = f32_rows()
+                u32 = Ox32 + t * Dx32
+                v32 = Oy32 + t * Dy32
+                ok32 = (u32 > 0) & (v32 > 0) & (u32 + v32 < 1)
+                u_sel = jnp.where(ambiguous, u32, u)
+                v_sel = jnp.where(ambiguous, v32, v)
+                accept_geom = (ambiguous & ok32) | (~ambiguous & dtype_accept)
+            elif fallback == "both":
+                strict = (u > 0) & (v > 0) & (u + v < 1)
+                u_sel, v_sel = u, v
+                accept_geom = (ambiguous & strict) | (~ambiguous & dtype_accept)
+            else:
+                u_sel, v_sel = u, v
+                accept_geom = dtype_accept
 
         accept = (
             accept_geom
@@ -346,54 +426,127 @@ def _kernel(
     jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
+L1_MIN_LEAVES = 1024  # single-level schedule below this (all-leaves test is
+# cheap); above it the two-level cull bounds both the test tensor and the
+# top_k to O(G * sqrt(NL)) instead of O(G * NL)
+K1_BLOCKS = 64  # max level-1 blocks per packet (static); more -> overflow
+
+
+def _block_size(nl: int) -> int:
+    """Level-1 block size (consecutive leaves): balances the level-1 sweep
+    (NL / SB blocks) against the level-2 candidate set (K1 * SB leaves)."""
+    import math
+
+    return max(8, min(128, int(math.sqrt(nl / K1_BLOCKS)) + 1))
+
+
 def _leaf_schedule(lo, hi, o_f32, d_f32, min_dist, max_dist, grid, maxc):
     """XLA hierarchy phase: per-packet compacted leaf lists in EXACT per-tile
     front-to-back order, each item carrying a conservative (quantized-down)
     lower bound of the packet's entry t into the leaf.  All in world space
     (the kernel's recentered ray frame only affects the coefficient math).
 
-    One `top_k` does compaction + ordering + bound transport at once: the
-    sort key packs (15-bit negated quantized tmin | 16-bit leaf id) into a
-    positive i32, so the k largest keys are the k nearest active leaves and
-    the kernel can decode both fields from the prefetched word.
+    Two-level cull above L1_MIN_LEAVES leaves (the 'two-level cull' fix of
+    round-2 verdict item 3): packets first slab-test the AABBs of SB-leaf
+    *blocks* (NL/SB of them), keep the K1_BLOCKS nearest active blocks, and
+    only those blocks' leaves get the exact leaf-level test — total work
+    O(G * sqrt(NL * K1)) instead of the old all-leaves O(G * NL) sweep
+    (which at 1M tris materialized a ~1.5 GB (G, NL, 3) intermediate).
+    Packets with more than K1_BLOCKS active blocks (or more than `maxc`
+    active leaves) fall back conservatively: count = -1, walk every leaf
+    front-to-back.
 
-    -> (lists (2G + G*maxc,) i32: [counts (G,) | per-packet quantized exit
-       caps (G,) | keys (G, maxc)], rank2orig (NL,) i32 global front-to-back
-       order for list overflow, tscale (1,) f32 dequant step)
+    One `top_k` does compaction + ordering + bound transport at once: the
+    sort key packs (7-bit negated quantized tmin | 24-bit GLOBAL leaf id)
+    into a positive i32, so the k largest keys are the k nearest active
+    leaves and the kernel decodes both fields from one word.
+
+    -> (lists (G * LIST_WORDS,) i32, row i = [count | qcap | keys | pad],
+       rank2orig (NL,) i32 global front-to-back order for overflow walks,
+       tscale (1,) f32 dequant step)
     """
     nl = lo.shape[0]
-    assert nl <= 0xFFFF, "leaf id must fit 16 bits"
+    assert nl <= 0xFFFFFF, "leaf id must fit 24 bits (~536M instance tris)"
+    big = jnp.float32(3e38)
 
-    active, tmin, tmax = _packet_leaf_predicates(
-        lo, hi, o_f32, d_f32, min_dist, max_dist, grid
-    )
+    if nl > L1_MIN_LEAVES:
+        sb = _block_size(nl)
+        nb = -(-nl // sb)
+        pad = nb * sb - nl
+        lo_p = jnp.pad(lo, ((0, pad), (0, 0)), constant_values=1e30)
+        hi_p = jnp.pad(hi, ((0, pad), (0, 0)), constant_values=1e30)
+        blk_lo = lo_p.reshape(nb, sb, 3).min(axis=1)
+        blk_hi = hi_p.reshape(nb, sb, 3).max(axis=1)
+        act_b, tmin_b, _ = _packet_leaf_predicates(
+            blk_lo[None], blk_hi[None], o_f32, d_f32, min_dist, max_dist, grid
+        )
+        k1 = min(K1_BLOCKS, nb)
+        bvals, bidx = jax.lax.top_k(
+            jnp.where(act_b > 0, -tmin_b, -big), k1
+        )  # (G, k1) nearest active blocks
+        blk_ok = bvals > -big
+        # candidate leaves: the chosen blocks' consecutive leaf ranges
+        cand = (
+            bidx[:, :, None] * sb
+            + jnp.arange(sb, dtype=jnp.int32)[None, None, :]
+        ).reshape(grid, k1 * sb)  # (G, M) global leaf ids (may exceed nl-1
+        # inside padded blocks; those gather the far-away pad boxes)
+        cand = jnp.minimum(cand, nb * sb - 1)
+        lo_c = jnp.take(lo_p, cand.reshape(-1), axis=0).reshape(grid, k1 * sb, 3)
+        hi_c = jnp.take(hi_p, cand.reshape(-1), axis=0).reshape(grid, k1 * sb, 3)
+        active, tmin, tmax = _packet_leaf_predicates(
+            lo_c, hi_c, o_f32, d_f32, min_dist, max_dist, grid
+        )
+        active = active * jnp.repeat(blk_ok, sb, axis=1).astype(active.dtype)
+        active = active * (cand < nl).astype(active.dtype)
+        ids = cand
+        # block-level overflow: candidates no longer cover the active set
+        blk_over = jnp.sum(act_b, axis=1, dtype=jnp.int32) > k1
+    else:
+        active, tmin, tmax = _packet_leaf_predicates(
+            lo[None], hi[None], o_f32, d_f32, min_dist, max_dist, grid
+        )
+        ids = jnp.broadcast_to(
+            jnp.arange(nl, dtype=jnp.int32)[None], active.shape
+        )
+        blk_over = jnp.zeros((grid,), jnp.bool_)
+
     tmin = jnp.maximum(tmin, 0.0)
 
-    # quantize entry-t lower bounds to 15 bits, rounding DOWN (conservative)
+    # quantize entry-t lower bounds to 7 bits, rounding DOWN (conservative;
+    # coarse bins only soften the ordered early exit, never break it)
     finite = jnp.isfinite(tmin) & (active > 0)
     t_top = jnp.max(jnp.where(finite, tmin, 0.0))
-    tscale = jnp.maximum(t_top, 1e-6) / 0x7FF0
-    qt = jnp.clip((tmin / tscale).astype(jnp.int32), 0, 0x7FFE)
+    tscale = jnp.maximum(t_top, 1e-6) / 0x7C
+    qt = jnp.clip((tmin / tscale).astype(jnp.int32), 0, 0x7E)
 
-    take = min(maxc, nl)
-    col = jax.lax.broadcasted_iota(jnp.int32, (grid, nl), 1)
-    key = jnp.where(active > 0, ((0x7FFF - qt) << 16) | col, 0)
+    m = active.shape[1]
+    take = min(maxc, m)
+    key = jnp.where(active > 0, ((0x7F - qt) << 24) | ids, 0)
     keys, _ = jax.lax.top_k(key, take)  # (G, take) nearest-first
     if take < maxc:
         keys = jnp.pad(keys, ((0, 0), (0, maxc - take)))
     count = jnp.sum(active, axis=1, dtype=jnp.int32)
-    count = jnp.where(count > take, -1, count)  # overflow -> walk everything
+    count = jnp.where((count > take) | blk_over, -1, count)
 
     # per-packet EXIT CAP: no hit can lie beyond the farthest active-leaf
     # exit, so miss lanes (sky) stop gating the early break once every hit
-    # lane has converged.  Quantized UP to stay conservative.
-    big = jnp.float32(3e38)
+    # lane has converged.  Quantized UP to stay conservative; overflow
+    # packets don't know their true active set -> unbounded.
     t_cap = jnp.max(
         jnp.where(active > 0, jnp.minimum(tmax, big), 0.0), axis=1
     )  # (G,)
     # clip in float BEFORE the int cast (t_cap can be huge)
     qcap = jnp.clip(t_cap / tscale + 1.0, 0.0, 32767.0).astype(jnp.int32)
-    lists = jnp.concatenate([count, qcap, keys.reshape(-1)])
+    qcap = jnp.where(count < 0, 32767, qcap)
+    row = jnp.concatenate(
+        [count[:, None], qcap[:, None], keys], axis=1
+    )  # (G, 2 + maxc)
+    # flat 1024-word rows: i32 HBM->SMEM DMA slices must align to the 1-D
+    # tile, so each packet's row is padded to exactly LIST_WORDS
+    lists = jnp.pad(
+        row, ((0, 0), (0, LIST_WORDS - row.shape[1]))
+    ).reshape(-1)
 
     # global front-to-back order (launch origin centroid) for overflow walks
     live = (max_dist > min_dist)[:, None]
@@ -407,10 +560,13 @@ def _leaf_schedule(lo, hi, o_f32, d_f32, min_dist, max_dist, grid, maxc):
 
 
 def _packet_leaf_predicates(lo, hi, o, d, min_dist, max_dist, grid):
-    """Conservative (G, NL) packet-frustum vs leaf-AABB predicates AND entry
-    tmin lower bounds via interval arithmetic (same scheme as the dense
-    kernel's chunk culling: bound live-ray origins/directions componentwise
-    per packet, slab-test every leaf AABB against the interval bundle)."""
+    """Conservative (G, M) packet-frustum vs AABB predicates AND entry tmin
+    lower bounds via interval arithmetic (same scheme as the dense kernel's
+    chunk culling: bound live-ray origins/directions componentwise per
+    packet, slab-test every AABB against the interval bundle).
+
+    lo/hi: (B, M, 3) with B in {1 (shared boxes), G (per-packet boxes — the
+    two-level schedule's gathered candidates)}."""
     big = jnp.float32(3e38)
     live = (max_dist > min_dist).reshape(grid, TR, 1)
 
@@ -429,8 +585,8 @@ def _packet_leaf_predicates(lo, hi, o, d, min_dist, max_dist, grid):
     inv_a = 1.0 / jnp.where(straddle, 1.0, dlo)
     inv_b = 1.0 / jnp.where(straddle, 1.0, dhi)
 
-    n_lo = lo[None] - ohi[:, None]  # (G, NL, 3)
-    n_hi = hi[None] - olo[:, None]
+    n_lo = lo - ohi[:, None]  # (G, M, 3) (B = 1 broadcasts)
+    n_hi = hi - olo[:, None]
     p1 = n_lo * inv_a[:, None]
     p2 = n_lo * inv_b[:, None]
     p3 = n_hi * inv_a[:, None]
@@ -544,14 +700,25 @@ def trace_rays_packet(
     ti_pad = (-TI) % DENSE_CHUNK_TRIS
     n_leaves = (TI + ti_pad) // LC
 
-    # adaptive per-packet list length under the ~1MB SMEM prefetch budget
-    # (shared with rank2orig; one i32 key per item)
-    budget_words = (850 * 1024) // 4 - n_leaves
-    maxc = min(MAXL, max(8, budget_words // max(grid, 1) - 2))
+    # per-packet list capacity: the lists ride in HBM and stream through a
+    # 2-row SMEM scratch pipeline, so capacity is bounded by the candidate
+    # set (two-level: K1 blocks of SB leaves), not a global SMEM budget
+    if n_leaves > L1_MIN_LEAVES:
+        sb = _block_size(n_leaves)
+        m_cand = min(K1_BLOCKS, -(-n_leaves // sb)) * sb
+    else:
+        m_cand = n_leaves
+    maxc = max(8, min(MAXL, m_cand))
     lists, rank2orig, tscale = _leaf_schedule(
         frame.dense_leaf_lo, frame.dense_leaf_hi,
         o_f32, d_f32, min_dist, max_dist, grid, maxc,
     )
+    # global-order table for overflow walks; very large leaf sets skip it
+    # (SMEM prefetch budget) and walk in id order — mesh order is roughly
+    # spatial, and overflow packets are the slow path regardless
+    global_order = n_leaves <= 131072
+    if not global_order:
+        rank2orig = jnp.zeros((1,), jnp.int32)
 
     kernel = functools.partial(
         _kernel,
@@ -566,53 +733,44 @@ def trace_rays_packet(
         stream=stream,
         mxu=mxu,
         dt=dt,
+        global_order=global_order,
     )
 
     ray_block = lambda rows: pl.BlockSpec(
         (rows, TR), lambda i, *_: (0, i), memory_space=pltpu.VMEM
     )
 
-    mxu_scratch = (
-        [pltpu.VMEM((8 * LC, 13), dt), pltpu.VMEM((6 * LC, 13), F32)]
-        if mxu
-        else []
-    )
+    gl = GSZ * LC
+    mxu3k = fallback == "mxu3" and not prec.is_f32
+    mxu_scratch = []
+    if mxu:
+        if not mxu3k:
+            mxu_scratch.append(pltpu.VMEM((8 * gl, 13), dt))
+        mxu_scratch.append(pltpu.VMEM((6 * gl, 13), F32))
+    list_scratch = [
+        pltpu.SMEM((2 * LIST_WORDS,), jnp.int32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    # ONE packed (TIp, 128) f32 table either way (the old per-column
+    # resident refs lane-padded 9 -> 128 and OOM'd VMEM at ~45k tris)
+    table_args = (build_stream_table(frame, dt),)
     if stream:
-        table_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # HBM, DMA'd per leaf
-        table_args = (build_stream_table(frame, dt),)
+        table_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # HBM, DMA'd per group
         scratch_shapes = [
-            pltpu.VMEM((2, LC, 128), F32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ] + mxu_scratch
+            pltpu.VMEM((gl, 128), F32),
+            pltpu.SemaphoreType.DMA((GSZ,)),
+        ] + list_scratch + mxu_scratch
     else:
-        # VMEM-resident coefficient tables, reused across every packet
-        n_dt = frame.dense_n.reshape(TI, 9).astype(dt)
-        n_f32 = frame.dense_n_f32.reshape(TI, 9)
-        e = frame.dense_e
-        if ti_pad:
-            # degenerate padding: Dz = 0, Oz = 1 -> t = -inf, isfinite-rejected
-            n_dt = jnp.pad(n_dt, ((0, ti_pad), (0, 0)))
-            n_f32 = jnp.pad(n_f32, ((0, ti_pad), (0, 0)))
-            e = jnp.pad(e, ((0, ti_pad), (0, 0)), constant_values=1.0)
-        tri_ids = jnp.pad(frame.dense_tri, (0, ti_pad), constant_values=-2)[:, None]
-        obj_ids = jnp.pad(frame.dense_obj, (0, ti_pad), constant_values=-1)[:, None]
         const = lambda shape: pl.BlockSpec(
             shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM
         )
-        table_specs = [
-            const(n_dt.shape),
-            const(n_f32.shape),
-            const(e.shape),
-            const(tri_ids.shape),
-            const(obj_ids.shape),
-        ]
-        table_args = (n_dt, n_f32, e, tri_ids, obj_ids)
-        scratch_shapes = mxu_scratch
+        table_specs = [const(table_args[0].shape)]
+        scratch_shapes = list_scratch + mxu_scratch
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(grid,),
-        in_specs=table_specs + [
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + table_specs + [
             ray_block(3),
             ray_block(3),
             ray_block(1),
@@ -637,9 +795,9 @@ def trace_rays_packet(
         ),
         interpret=interpret,
     )(
-        lists,
         rank2orig,
         tscale,
+        lists,
         *table_args,
         o,
         d,

@@ -1,17 +1,24 @@
 """Production RNG keys.
 
-The reference draws its per-pixel randoms from curand XORWOW states seeded
-once at startup (`rt/rtrt/cuda.hpp:1901-1916`) — generator choice is a
-throughput decision there, not a reproducibility contract.  Same here: on
-TPU the default threefry key costs real frame time (measured ~5.6 ms/frame
-at 1080p just for the shade stage's gaussian draws; the hardware-backed
-'rbg' generator makes the same draws ~free), so production entry points
-(Renderer, bench, viewer, CLI) take their keys from :func:`render_key`,
-which picks `rbg` on TPU and threefry elsewhere.
+One helper so every production entry point (Renderer, bench, viewer, CLI)
+draws from the same generator — and so the generator choice stays a
+measured decision.  Round-3 measurements on TPU v5e, Cornell 1080p bf16,
+full frame:
 
-Tests keep constructing `jax.random.PRNGKey` directly — threefry is
+- threefry + gaussian draws: 78.1 ms  (erfinv chains + 1.5x the bits)
+- rbg      + gaussian draws: 86.1 ms  (!) — XLA's stateful RngBitGenerator
+  did not fuse with the erfinv chains; every draw site materialized buffers
+- threefry + uniforms-only (trig hemisphere sampler): 68.2 ms
+- rbg      + uniforms-only:                           67.3 ms  <- current
+
+So: the big win was removing `normal()` draws from the shade stage
+(ops/sampling.py `uniform_hemisphere_trig`); generator choice is then a
+~1 ms edge to hardware rbg.  Re-measure the FULL FRAME before changing
+either half — the standalone draw micro-bench points the wrong way.
+
+Tests keep constructing `jax.random.PRNGKey` (threefry) directly —
 deterministic across backends, so golden images and cross-backend oracles
-stay byte-stable regardless of this switch.
+are unaffected by this switch.
 """
 
 from __future__ import annotations

@@ -143,3 +143,43 @@ def test_packet_bf16_parity_with_dense():
     hp = trace_rays_packet(scene, frame, o, d, prec=prec, tile_hw=hw, interpret=True)
     same = np.asarray(hx.tri) == np.asarray(hp.tri)
     assert same.mean() > 0.99, f"tri agreement {same.mean()}"
+
+
+def test_packet_two_level_schedule_large_scene():
+    """Two-level cull path (NL > L1_MIN_LEAVES): colonnade-46k has ~1450
+    leaves, so the schedule goes block AABBs -> per-packet candidate leaves
+    (the round-2 verdict item-3 fix).  Oracle: the XLA dense path."""
+    from low_precision_raytracer_tpu.models.scene import BVH_LEAF_TRIS
+    from low_precision_raytracer_tpu.ops.traversal_pallas import L1_MIN_LEAVES
+
+    host = sponza_like_scene(pillar_grid=6, sphere_subdiv=3, with_skybox=False)
+    prec, scene, frame, flat, o, d, hw = _setup(host, res=(8, 128))
+    n_leaves = -(-frame.dense_n.shape[0] // BVH_LEAF_TRIS)
+    assert n_leaves > L1_MIN_LEAVES, "scene too small to exercise level 1"
+    hx = trace_rays_dense(scene, frame, o, d, prec=prec)
+    hp = trace_rays_packet(
+        scene, frame, o, d, prec=prec, tile_hw=hw, interpret=True
+    )
+    same = np.asarray(hx.tri) == np.asarray(hp.tri)
+    assert same.mean() > 0.995, f"tri agreement {same.mean()}"
+    np.testing.assert_array_equal(np.asarray(hx.tri) >= 0, np.asarray(hp.tri) >= 0)
+    both = same & (np.asarray(hx.tri) >= 0)
+    np.testing.assert_allclose(
+        np.asarray(hx.t)[both], np.asarray(hp.t)[both], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_packet_mxu3_matches_fp32_oracle():
+    """'mxu3' in the packet kernel (bf16, f32-rows-only test, no band):
+    hits agree with the fp32 XLA dense path on the same quantized rays."""
+    host = sponza_like_scene(pillar_grid=2, sphere_subdiv=1, with_skybox=False)
+    prec, scene, frame, flat, o, d, hw = _setup(host, prec_name="bf16")
+    h3 = trace_rays_packet(
+        scene, frame, o, d, prec=prec, fallback="mxu3", tile_hw=hw,
+        interpret=True,
+    )
+    p32, s32, f32, _, _, _, _ = _setup(host)
+    h32 = trace_rays_dense(
+        s32, f32, o.astype(jnp.float32), d.astype(jnp.float32), prec=p32
+    )
+    assert np.mean(np.asarray(h3.tri) == np.asarray(h32.tri)) > 0.999
