@@ -10,6 +10,7 @@ import numpy as np
 from low_precision_raytracer_tpu.config import RenderConfig
 from low_precision_raytracer_tpu.ops.svgf import wavelet_filter
 from low_precision_raytracer_tpu.ops.svgf_pallas import (
+    geometry_valid2,
     pack_cv_pair,
     pack_geometry_pair,
     unpack_cv_pair,
@@ -41,8 +42,8 @@ def test_pallas_iter_matches_xla():
     color2, var2, depth, normal, grad, illum2 = _data()
     H, W = depth.shape
     for stride in (1, 4, 16):
-        geo = pack_geometry_pair(depth, grad, normal, illum2)
-        cv = pack_cv_pair(color2, var2)
+        geo = pack_geometry_pair(depth, grad, normal, illum2, cfg)
+        cv = pack_cv_pair(color2, var2, geometry_valid2(depth, normal, illum2))
         out = wavelet_iter_pallas(geo, cv, stride, cfg, H=H, W=W, interpret=True)
         c_p, v_p = unpack_cv_pair(out, H, W)
         for i in range(2):
@@ -65,8 +66,8 @@ def test_pallas_chain_packed_reuse():
     cfg = RenderConfig(width=96, height=40, precision="fp32").svgf
     color2, var2, depth, normal, grad, illum2 = _data(seed=3)
     H, W = depth.shape
-    geo = pack_geometry_pair(depth, grad, normal, illum2)
-    cv = pack_cv_pair(color2, var2)
+    geo = pack_geometry_pair(depth, grad, normal, illum2, cfg)
+    cv = pack_cv_pair(color2, var2, geometry_valid2(depth, normal, illum2))
     c_x2, v_x2 = color2, var2
     for stride in (1, 2, 4):
         cv = wavelet_iter_pallas(geo, cv, stride, cfg, H=H, W=W, interpret=True)
