@@ -178,8 +178,12 @@ class RenderConfig:
     dense_pallas_max_tris: int = 65536
     dense_stream_max_tris: int = 1 << 20
     # 'auto' switches from the all-pairs dense kernel to the packet BVH
-    # traversal (ops/traversal_pallas.py) above this instance-triangle count
-    packet_bvh_min_tris: int = 8192
+    # traversal (ops/traversal_pallas.py) above this instance-triangle
+    # count.  Default = the dense kernel's HBM-streaming ceiling: in-frame
+    # A/B measured dense faster at every size below it (5.3k tris: 625 vs
+    # 882 ms; 46.5k tris: 2510 vs 2894 ms, tools/bench_large_scene.py), so
+    # the packet walk only takes over where dense cannot go
+    packet_bvh_min_tris: int = 1 << 20
     # ceiling for the packet BVH traversal under 'auto': its HBM-streamed
     # coefficient table costs 512 B/instance-tri (4M tris = 2 GB); beyond
     # this the lane-parallel XLA walk is the only (slow) option

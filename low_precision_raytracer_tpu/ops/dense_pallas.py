@@ -465,7 +465,8 @@ def _chunk_object_matrix(obj_layout, ti_padded: int):
     return m
 
 
-def _chunk_predicates(frame, origins_f32, dirs_f32, min_dist, max_dist, grid, r_pad):
+def _chunk_predicates(frame, origins_f32, dirs_f32, min_dist, max_dist, grid, r_pad,
+                      obj_test: bool | None = None):
     """XLA-side tile-granular chunk predicates: (grid, NCp) i32.
 
     A chunk is active for a ray tile iff ANY ray in the tile enters the
@@ -494,17 +495,30 @@ def _chunk_predicates(frame, origins_f32, dirs_f32, min_dist, max_dist, grid, r_
         )  # (Rp,)
         return jnp.any(hit.reshape(grid, TR), axis=1)  # (G,)
 
-    tile_obj = jax.lax.map(
-        obj_hit, (frame.obj_aabb_lo, frame.obj_aabb_hi)
-    ).T.astype(jnp.float32)  # (G, O)
+    n_obj = len(frame.obj_layout)
+    # the serial per-object lax.map only *tightens* the per-chunk slab
+    # test below; past a few hundred objects its O(n_obj) sweep costs more
+    # than it culls, so big-object-count scenes rely on the chunk AABBs
+    # alone (this is what retires the old 512-object routing cliff)
+    use_obj_test = (
+        obj_test
+        if obj_test is not None
+        else (n_obj <= 512 or frame.dense_chunk_lo is None)
+    )
+    if use_obj_test:
+        tile_obj = jax.lax.map(
+            obj_hit, (frame.obj_aabb_lo, frame.obj_aabb_hi)
+        ).T.astype(jnp.float32)  # (G, O)
 
-    m = _chunk_object_matrix(frame.obj_layout, r_pad)
-    chunk_obj = jnp.asarray(m)  # (NC, O) static constant
-    active = jnp.dot(tile_obj, chunk_obj.T, preferred_element_type=F32) > 0
+        m = _chunk_object_matrix(frame.obj_layout, r_pad)
+        chunk_obj = jnp.asarray(m)  # (NC, O) static constant
+        active = jnp.dot(tile_obj, chunk_obj.T, preferred_element_type=F32) > 0
+    else:
+        active = None
 
     if frame.dense_chunk_lo is not None:
         hit, tmin = _tile_chunk_predicates(frame, o, d, min_dist, max_dist, grid)
-        active = active & hit
+        active = hit if active is None else (active & hit)
     else:
         tmin = jnp.zeros(active.shape, jnp.float32)
     return active.astype(jnp.int32), tmin
@@ -921,35 +935,63 @@ def trace_rays_dense_pallas(
                tri=cut(ids[0]), obj=cut(ids[1]))
 
 
-def _morton_key(origins, directions, live=None):
+def _spread3(x):  # 7 bits -> every 3rd bit
+    x = (x | (x << 8)) & 0x0100F00F
+    x = (x | (x << 4)) & 0x010C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _morton_key(origins, directions, live=None, mode: str = "beam"):
     """Sort key for ray coherence recovery: liveness (top bit — dead lanes
     cluster into packets that terminate immediately, the stream-compaction
     effect of the reference's wavefront queues), then direction octant
-    (3 bits), then a 21-bit morton code of the origin quantized to the
-    launch's own bounding box.  Rays sharing a key prefix start near each
-    other and head the same way — their 512-ray kernel tile sees few
-    object AABBs."""
+    (3 bits), then a 6-D position+direction code.
+
+    The tile-level chunk cull is an interval-bundle slab test
+    (`_tile_chunk_predicates`): its tightness is the PRODUCT of the tile's
+    origin extent and direction cone.  Position-only keys (mode='origin',
+    the round-2 key) leave bounce tiles with a ~90-degree cone (full
+    octant) and the cull collapses on multi-chunk scenes; interleaving
+    quantized |direction| bits with the origin bits (mode='beam') makes
+    each 512-ray tile a narrow BEAM."""
     of = origins.astype(F32)
     df = directions.astype(F32)
     lo = jnp.min(of, axis=0)
     hi = jnp.max(of, axis=0)
-    q = jnp.clip((of - lo) / jnp.maximum(hi - lo, 1e-6) * 127, 0, 127).astype(jnp.int32)
-
-    def spread(x):  # 7 bits -> every 3rd bit
-        x = (x | (x << 8)) & 0x0100F00F
-        x = (x | (x << 4)) & 0x010C30C3
-        x = (x | (x << 2)) & 0x09249249
-        return x
-
-    m = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
     octant = (
         (df[:, 0] > 0).astype(jnp.int32)
         | ((df[:, 1] > 0).astype(jnp.int32) << 1)
         | ((df[:, 2] > 0).astype(jnp.int32) << 2)
     )
-    key = (octant << 21) | m
+    if mode == "origin":
+        q = jnp.clip(
+            (of - lo) / jnp.maximum(hi - lo, 1e-6) * 127, 0, 127
+        ).astype(jnp.int32)
+        m = _spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1) | (_spread3(q[:, 2]) << 2)
+        key = (octant << 21) | m
+    else:  # 'beam': [oct | (o,d) interleaved 4+4 bits/axis, origin-major]
+        qo = jnp.clip(
+            (of - lo) / jnp.maximum(hi - lo, 1e-6) * 15, 0, 15
+        ).astype(jnp.int32)
+        qd = jnp.clip(jnp.abs(df) * 15, 0, 15).astype(jnp.int32)
+
+        def spread6(x):  # 4 bits -> bits 0, 6, 12, 18
+            x = (x | (x << 10)) & 0x00003003  # b0,b1 @ 0,1; b2,b3 @ 12,13
+            x = (x | (x << 5)) & 0x00041041  # -> 0, 6, 12, 18
+            return x
+
+        m = (
+            (spread6(qo[:, 0]) << 5)
+            | (spread6(qo[:, 1]) << 4)
+            | (spread6(qo[:, 2]) << 3)
+            | (spread6(qd[:, 0]) << 2)
+            | (spread6(qd[:, 1]) << 1)
+            | spread6(qd[:, 2])
+        )
+        key = (octant << 24) | m
     if live is not None:
-        key = key | jnp.where(live, 0, jnp.int32(1 << 24))
+        key = key | jnp.where(live, 0, jnp.int32(1 << 28))
     return key
 
 

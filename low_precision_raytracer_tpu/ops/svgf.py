@@ -173,9 +173,15 @@ def temporal_accumulation_moments(
     cfg: SVGFConfig,
     m1_vals=None,
     m2_vals=None,
+    unroll: bool = False,
 ):
     """Spatial (bilateral 5x5, <4 valid frames) or temporal moments
     (`temporal_accumulation_moments`, `rt/rtrt/cuda.hpp:1245-1337`).
+
+    `unroll` replaces the fori_loop taps with 25 statically shifted slices:
+    bigger program, but GSPMD can see the bounded halo and partition the
+    stencil with ppermutes instead of all-gathering the padded arrays
+    (use under a device mesh; single-chip keeps the small looped program).
 
     -> (miu1, miu2, variance)."""
     dt = illum.dtype
@@ -185,15 +191,9 @@ def temporal_accumulation_moments(
     ip = _pad_nan(illum, 2)
     h_tab, di_tab, dj_tab = _tap_tables(1, dt)
 
-    def tap(idx, acc):
+    def tap_body(acc, h, di, dj, depth_q, normal_q, illum_q):
         m1, m2, wsum = acc
-        di = di_tab[idx]
-        dj = dj_tab[idx]
-        h = h_tab[idx]
-        depth_q = jax.lax.dynamic_slice(dp, (2 + di, 2 + dj), (H, W))
-        normal_q = jax.lax.dynamic_slice(npad, (2 + di, 2 + dj, 0), (H, W, 3))
-        illum_q = jax.lax.dynamic_slice(ip, (2 + di, 2 + dj), (H, W))
-        d_dot = grad[..., 0] * di.astype(dt) + grad[..., 1] * dj.astype(dt)
+        d_dot = grad[..., 0] * jnp.asarray(di, dt) + grad[..., 1] * jnp.asarray(dj, dt)
         ndot = jnp.sum(normal * normal_q, axis=-1)
         hw = h * _edge_weights(
             jnp.abs(depth - depth_q),
@@ -207,7 +207,30 @@ def temporal_accumulation_moments(
         return (m1 + hw * iq, m2 + hw * iq * iq, wsum + hw)
 
     zero = jnp.zeros_like(illum)
-    m1, m2, wsum = jax.lax.fori_loop(0, 25, tap, (zero, zero, zero))
+    if unroll:
+        acc = (zero, zero, zero)
+        for i in range(-2, 3):
+            for j in range(-2, 3):
+                h = jnp.asarray(WAVELET_H[abs(i)] * WAVELET_H[abs(j)], dt)
+                acc = tap_body(
+                    acc, h, i, j,
+                    _shift(dp, i, j, H, W),
+                    _shift(npad, i, j, H, W),
+                    _shift(ip, i, j, H, W),
+                )
+        m1, m2, wsum = acc
+    else:
+        def tap(idx, acc):
+            di = di_tab[idx]
+            dj = dj_tab[idx]
+            return tap_body(
+                acc, h_tab[idx], di.astype(dt), dj.astype(dt),
+                jax.lax.dynamic_slice(dp, (2 + di, 2 + dj), (H, W)),
+                jax.lax.dynamic_slice(npad, (2 + di, 2 + dj, 0), (H, W, 3)),
+                jax.lax.dynamic_slice(ip, (2 + di, 2 + dj), (H, W)),
+            )
+
+        m1, m2, wsum = jax.lax.fori_loop(0, 25, tap, (zero, zero, zero))
     m1_spatial = m1 / wsum
     m2_spatial = m2 / wsum
 
@@ -230,9 +253,14 @@ def temporal_accumulation_moments(
     return miu1, miu2, miu2 - miu1 * miu1
 
 
-def wavelet_filter(color_in, var_in, depth, grad, normal, illum, stride, cfg: SVGFConfig):
+def wavelet_filter(color_in, var_in, depth, grad, normal, illum, stride, cfg: SVGFConfig,
+                   unroll: bool = False):
     """One variance-guided a-trous iteration
     (`wavelet_filter<stride>`, `rt/rtrt/cuda.hpp:1339-1440`).
+
+    `unroll`: static-slice taps for GSPMD halo partitioning (see
+    temporal_accumulation_moments).
+
     -> (color_out, var_out)."""
     dt = illum.dtype
     H, W = illum.shape
@@ -260,18 +288,9 @@ def wavelet_filter(color_in, var_in, depth, grad, normal, illum, stride, cfg: SV
     eps = jnp.asarray(cfg.eps, dt)
     h_tab, di_tab, dj_tab = _tap_tables(stride, dt)
 
-    def tap(idx, acc):
+    def tap_body(acc, h, di, dj, depth_q, normal_q, illum_q, color_q, var_q):
         num_c, den_c, num_v, den_v = acc
-        di = di_tab[idx]
-        dj = dj_tab[idx]
-        h = h_tab[idx]
-        depth_q = jax.lax.dynamic_slice(dpad, (k + di, k + dj), (H, W))
-        normal_q = jax.lax.dynamic_slice(npad, (k + di, k + dj, 0), (H, W, 3))
-        illum_q = jax.lax.dynamic_slice(ip, (k + di, k + dj), (H, W))
-        color_q = jax.lax.dynamic_slice(cp, (k + di, k + dj, 0), (H, W, 3))
-        var_q = jax.lax.dynamic_slice(vp, (k + di, k + dj), (H, W))
-
-        d_dot = grad[..., 0] * di.astype(dt) + grad[..., 1] * dj.astype(dt)
+        d_dot = grad[..., 0] * jnp.asarray(di, dt) + grad[..., 1] * jnp.asarray(dj, dt)
         ndot = jnp.sum(normal * normal_q, axis=-1)
         hw = h * _edge_weights(
             jnp.abs(depth - depth_q),
@@ -294,9 +313,36 @@ def wavelet_filter(color_in, var_in, depth, grad, normal, illum, stride, cfg: SV
         return (num_c, den_c, num_v, den_v)
 
     zero1 = jnp.zeros_like(illum)
-    num_c, den_c, num_v, den_v = jax.lax.fori_loop(
-        0, 25, tap, (jnp.zeros_like(color_in), zero1, zero1, zero1)
-    )
+    acc0 = (jnp.zeros_like(color_in), zero1, zero1, zero1)
+    if unroll:
+        acc = acc0
+        for i in range(-2, 3):
+            for j in range(-2, 3):
+                di, dj = i * stride, j * stride
+                h = jnp.asarray(WAVELET_H[abs(i)] * WAVELET_H[abs(j)], dt)
+                acc = tap_body(
+                    acc, h, di, dj,
+                    _shift(dpad, di, dj, H, W),
+                    _shift(npad, di, dj, H, W),
+                    _shift(ip, di, dj, H, W),
+                    _shift(cp, di, dj, H, W),
+                    _shift(vp, di, dj, H, W),
+                )
+        num_c, den_c, num_v, den_v = acc
+    else:
+        def tap(idx, acc):
+            di = di_tab[idx]
+            dj = dj_tab[idx]
+            return tap_body(
+                acc, h_tab[idx], di.astype(dt), dj.astype(dt),
+                jax.lax.dynamic_slice(dpad, (k + di, k + dj), (H, W)),
+                jax.lax.dynamic_slice(npad, (k + di, k + dj, 0), (H, W, 3)),
+                jax.lax.dynamic_slice(ip, (k + di, k + dj), (H, W)),
+                jax.lax.dynamic_slice(cp, (k + di, k + dj, 0), (H, W, 3)),
+                jax.lax.dynamic_slice(vp, (k + di, k + dj), (H, W)),
+            )
+
+        num_c, den_c, num_v, den_v = jax.lax.fori_loop(0, 25, tap, acc0)
 
     next_var = num_v / (den_v * den_v)
     next_color = num_c / den_c[..., None]
@@ -359,13 +405,17 @@ def svgf_denoise_pair(
     stacked-pair fused Pallas kernel — one launch per stride for BOTH
     instances, each HBM byte read once (ops/svgf_pallas.py).
 
-    `wavelet_impl`: 'pallas' | 'xla' | None -> cfg.wavelet_impl ('auto'
-    picks pallas on TPU)."""
+    `wavelet_impl`: 'pallas' | 'xla' | 'xla_halo' | None -> cfg.wavelet_impl
+    ('auto' picks pallas on TPU).  'xla_halo' unrolls the stencil taps into
+    static slices so GSPMD partitions them with bounded halo ppermutes —
+    the mode for sharded meshes (the looped taps' traced slice offsets
+    defeat XLA's halo analysis and all-gather the pixel arrays)."""
     impl = wavelet_impl or cfg.wavelet_impl
     if impl == "auto":
         import jax as _jax
 
         impl = "pallas" if _jax.default_backend() == "tpu" else "xla"
+    unroll = impl == "xla_halo"
 
     def temporal(color, state, pre):
         hist_vals = m1_vals = m2_vals = None
@@ -376,7 +426,7 @@ def svgf_denoise_pair(
         )
         miu1, miu2, var = temporal_accumulation_moments(
             svgf_map, depth, grad, normal, state.miu1, state.miu2, illum,
-            moments_taa_w, cfg, m1_vals=m1_vals, m2_vals=m2_vals,
+            moments_taa_w, cfg, m1_vals=m1_vals, m2_vals=m2_vals, unroll=unroll,
         )
         return integrated, illum, miu1, miu2, var
 
@@ -401,7 +451,8 @@ def svgf_denoise_pair(
         def chain(c, v, illum):
             hist = None
             for it, stride in enumerate(cfg.strides):
-                c, v = wavelet_filter(c, v, depth, grad, normal, illum, stride, cfg)
+                c, v = wavelet_filter(c, v, depth, grad, normal, illum, stride, cfg,
+                                      unroll=unroll)
                 if it == 0:
                     hist = c
             return c, hist

@@ -32,12 +32,17 @@ def resolve_impl(scene, frame, cfg: RenderConfig) -> str:
         ti = _instance_tris(frame)
         on_tpu = jax.default_backend() == "tpu"
         if on_tpu and ti > 0:
-            # small scenes: the all-pairs kernel has no per-leaf scheduling
-            # overhead (its per-OBJECT chunk predicates cap it at 512
-            # objects); past packet_bvh_min_tris the packet BVH traversal
-            # (two-level leaf cull + ordered early-terminating walk) wins,
-            # and it has no object-count limit — leaves are object-agnostic
-            if ti <= cfg.packet_bvh_min_tris and 0 < n_obj <= 512:
+            # The dense Pallas kernel wins IN-FRAME at every measured size
+            # (5.3k tris: dense 625 ms vs packet-routed 882 ms, round 2;
+            # 46.5k tris: dense 2510 ms vs packet 2894 ms, round 3 —
+            # tools/bench_large_scene.py), so 'auto' routes to it up to its
+            # HBM-streaming ceiling.  No object-count cap: scenes with >512
+            # objects skip the per-object lax.map predicate and cull on the
+            # per-chunk AABBs alone (ops/dense_pallas._chunk_predicates).
+            # The packet BVH traversal covers the band the dense streaming
+            # path can't reach; its standalone-coherent wins have never
+            # survived in-frame (docs/TPU_NOTES.md).
+            if ti <= cfg.packet_bvh_min_tris and n_obj > 0:
                 return "dense_pallas"
             if ti <= cfg.packet_bvh_max_tris:
                 return "pallas"

@@ -65,13 +65,18 @@ def render_frame_sharded(mesh: Mesh, scene, frame, state, cfg: RenderConfig, key
     GSPMD propagation, where the cross-tile reads (reprojection history
     taps, SVGF wavelet halos) lower to XLA-inserted collectives.
 
-    Verified from the compiled HLO (8-device mesh, 128x128, bf16): the
-    optimized sharded step contains 1063 collective-permutes (stencil /
-    wavelet halo exchanges along the row axis — the a-trous strides up
-    to 16 dominate), 117 all-gathers (the temporal-fetch fallback path
-    gathers whole history rows), and 19 all-reduces (gather fast-path
-    predicate + n_rays).  All ride ICI; nothing re-replicates the pixel
-    arrays.
+    Verified from the compiled HLO (8-device mesh, 128x128, bf16,
+    tools/hlo_collectives.py): the optimized sharded step contains ZERO
+    all-gathers and zero all-reduces — every cross-tile read is a
+    bounded-halo collective-permute riding ICI (1532 of them: the
+    unrolled-tap 'xla_halo' wavelet/moments stencils emit one small
+    row-halo exchange per statically shifted slice; the temporal fetch
+    uses the K-halo ppermute exchange in ops/reproject.py).  Nothing
+    re-replicates the pixel arrays.  History: round 2 had 117
+    all-gathers (whole history rows, temporal fetch), round 3 interim
+    27 (fori_loop wavelet taps whose traced slice offsets defeat XLA's
+    halo analysis).  The Pallas wavelet chain is not shard_map-wrapped;
+    render_frame routes meshes to 'xla_halo' automatically.
 
     cfg.height must be divisible by the mesh size."""
     assert cfg.height % mesh.devices.size == 0, (

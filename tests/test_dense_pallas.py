@@ -181,3 +181,41 @@ def test_mxu3_multichunk_sponza():
         s32, f32, o.astype(jnp.float32), d.astype(jnp.float32), prec=p32
     )
     assert np.mean(np.asarray(h3.tri) == np.asarray(h32.tri)) > 0.999
+
+
+def test_chunk_predicates_without_object_test_are_superset():
+    """Scenes with >512 objects skip the serial per-object lax.map and cull
+    on chunk AABBs alone; that set must be a conservative superset of the
+    combined (object & chunk) predicate set with identical entry
+    distances, so the kernel walk stays correct (just less tightly
+    culled)."""
+    import jax.numpy as jnp
+
+    from low_precision_raytracer_tpu.ops.dense_pallas import (
+        TR,
+        _chunk_predicates,
+        to_blocks,
+    )
+
+    host = sponza_like_scene(pillar_grid=2, sphere_subdiv=1, with_skybox=False)
+    prec, scene, frame, o, d, hw = _setup(host)
+    r = o.shape[0]
+    pad = (-r) % TR
+    o = jnp.pad(to_blocks(o, *hw), ((0, pad), (0, 0)))
+    d = jnp.pad(to_blocks(d, *hw), ((0, pad), (0, 0)), constant_values=1.0)
+    grid = (r + pad) // TR
+    mind = jnp.zeros((r + pad,), jnp.float32)
+    maxd = jnp.where(jnp.arange(r + pad) < r, 1e5, 0.0).astype(jnp.float32)
+    from low_precision_raytracer_tpu.ops.dense_pallas import TC
+
+    r_pad = frame.dense_chunk_lo.shape[0] * TC
+    both_act, both_t = _chunk_predicates(
+        frame, o, d, mind, maxd, grid, r_pad, obj_test=True
+    )
+    chunk_act, chunk_t = _chunk_predicates(
+        frame, o, d, mind, maxd, grid, r_pad, obj_test=False
+    )
+    both_act = np.asarray(both_act).astype(bool)
+    chunk_act = np.asarray(chunk_act).astype(bool)
+    assert (chunk_act | ~both_act).all(), "chunk-only set must cover obj&chunk"
+    np.testing.assert_array_equal(np.asarray(both_t), np.asarray(chunk_t))
