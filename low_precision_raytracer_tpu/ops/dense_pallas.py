@@ -571,11 +571,30 @@ def _tile_chunk_predicates(frame, o, d, min_dist, max_dist, grid):
     t_hi_ax = jnp.where(straddle[:, None], big, t_hi_ax)
     tmin = jnp.max(t_lo, axis=-1)  # (G, NC)
     tmax = jnp.min(t_hi_ax, axis=-1)
+
+    # box-to-box DISTANCE lower bound: any unit-direction ray starting in
+    # the tile's origin box reaches the chunk box no earlier than the
+    # euclidean gap between the boxes.  On INCOHERENT tiles the slab
+    # bundle degenerates (all direction axes straddle -> tmin == 0 for
+    # every chunk: no active-set cut, no ordering, so the kernel's ordered
+    # early exit dies exactly where it is needed most); the distance bound
+    # is direction-free, restoring both.  0.98 covers render-dtype
+    # direction normalization error (bf16 |d| = 1 +- 2^-8).
+    gap = jnp.maximum(
+        jnp.maximum(lo[None] - ohi[:, None], olo[:, None] - hi[None]), 0.0
+    )  # (G, NC, 3)
+    dist = jnp.sqrt(jnp.sum(gap * gap, axis=-1)) * jnp.float32(0.98)
+
     slop = jnp.float32(0.02)  # scene-level slab slop, like the object test
-    hit = (tmin <= tmax + slop) & (tmax + slop >= 0) & (tmin < t_hi[:, None])
+    entry = jnp.maximum(jnp.maximum(tmin - slop, 0.0), dist)
+    hit = (
+        (tmin <= tmax + slop)
+        & (tmax + slop >= 0)
+        & (entry < t_hi[:, None])
+    )
     # conservative non-negative entry distance per (tile, chunk): feeds the
     # kernel's ordered early termination (slop keeps it a lower bound)
-    return hit & any_live[:, None], jnp.maximum(tmin - slop, 0.0)
+    return hit & any_live[:, None], entry
 
 
 def _pad128(x: int) -> int:

@@ -170,7 +170,28 @@ def _gather2x2_halo(a, base_y, base_x, mesh):
     )(a, base_y, base_x)
 
 
-def gather2x2(arr, base_y, base_x, care=None, mesh=None):
+def _residuals(base_y, base_x, care):
+    """Global integer motion estimate + per-pixel residuals of the anchor
+    field: (my, mx, res_y, res_x, all_ok) where all_ok means every caring
+    anchor sits within RES_K of pixel + (my, mx)."""
+    H, W = base_y.shape
+    row = jnp.arange(H, dtype=jnp.int32)[:, None]
+    col = jnp.arange(W, dtype=jnp.int32)[None, :]
+    dy = base_y - (row + 1)
+    dx = base_x - (col + 1)
+    cf = care.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(cf), 1.0)
+    my = jnp.round(jnp.sum(dy * cf) / n).astype(jnp.int32)
+    mx = jnp.round(jnp.sum(dx * cf) / n).astype(jnp.int32)
+    res_y = dy - my
+    res_x = dx - mx
+    K = RES_K
+    in_win = (jnp.abs(res_y) <= K) & (jnp.abs(res_x) <= K)
+    all_ok = jnp.all(in_win | ~care)
+    return my, mx, res_y, res_x, all_ok
+
+
+def gather2x2(arr, base_y, base_x, care=None, mesh=None, residuals=None):
     """Fetch the 2x2 window anchored at (base_y, base_x) for every pixel.
 
     arr: (H, W) or (H, W, C); base_*: (H, W) i32 PRE-SHIFTED for a 1-pixel
@@ -185,39 +206,89 @@ def gather2x2(arr, base_y, base_x, care=None, mesh=None):
     shifted-select instead of the flat gather (`lax.cond` picks per
     frame; fast-moving content falls back to the general take path).
 
+    `residuals`: optional precomputed _residuals(base_y, base_x, care)
+    (shared between the validation fetch and the weighted payload fetch).
+
     `mesh` (optional jax.sharding.Mesh, pixel-row axis): route the fetch
     through the shard-local halo path (_gather2x2_halo) — bounded ICI
     communication instead of GSPMD all-gathers."""
-    H, W = arr.shape[:2]
     chan = arr.ndim == 3
     a = arr if chan else arr[..., None]
     if mesh is not None and int(mesh.devices.size) > 1:
         out = _gather2x2_halo(a, base_y, base_x, mesh)
         return out if chan else out[..., 0]
-    if care is None:
+    if care is None and residuals is None:
         out = _gather2x2_take(a, base_y, base_x)
         return out if chan else out[..., 0]
 
-    row = jnp.arange(H, dtype=jnp.int32)[:, None]
-    col = jnp.arange(W, dtype=jnp.int32)[None, :]
-    dy = base_y - (row + 1)
-    dx = base_x - (col + 1)
-    cf = care.astype(jnp.float32)
-    n = jnp.maximum(jnp.sum(cf), 1.0)
-    my = jnp.round(jnp.sum(dy * cf) / n).astype(jnp.int32)
-    mx = jnp.round(jnp.sum(dx * cf) / n).astype(jnp.int32)
-    res_y = dy - my
-    res_x = dx - mx
-    K = RES_K
-    in_win = (jnp.abs(res_y) <= K) & (jnp.abs(res_x) <= K)
-    all_ok = jnp.all(in_win | ~care)
-
+    my, mx, res_y, res_x, all_ok = (
+        residuals if residuals is not None else _residuals(base_y, base_x, care)
+    )
     out = jax.lax.cond(
         all_ok,
         lambda: _gather2x2_shifted(a, base_y, base_x, my, mx, res_y, res_x),
         lambda: _gather2x2_take(a, base_y, base_x),
     )
     return out if chan else out[..., 0]
+
+
+def _fetch_weighted_shifted(a, wgt, my, mx, res_y, res_x):
+    """Weighted 2x2 fetch on the shifted-select fast path, contracted over
+    COEFFICIENT PLANES: the per-view coefficient coeff(v) = sum_k w_k *
+    [res == v - tap_k] is channel-free, so the payload sees 16 fused
+    multiply-adds total instead of 36 masked tap selects + a downstream
+    4-tap weighted reduce — ~2.5x fewer (H, W, C) passes.
+    -> num (H, W, C) f32 = sum_k w_k * tap_k (same pad/wrap semantics as
+    _gather2x2_shifted + weights)."""
+    H, W = a.shape[:2]
+    K = RES_K
+    f32 = jnp.float32
+    P = jnp.pad(a, ((1, 1), (1, 1), (0, 0)))
+    Pr = jnp.roll(P, shift=(-my, -mx), axis=(0, 1))
+    E = jnp.pad(Pr, ((K, K), (K, K), (0, 0)), mode="wrap")
+    view = lambda sy, sx: jax.lax.slice(
+        E, (1 + K + sy, 1 + K + sx, 0), (1 + K + sy + H, 1 + K + sx + W, E.shape[2])
+    )
+    taps = ((0, 0), (0, 1), (1, 0), (1, 1))
+    w32 = wgt.astype(f32)
+    num = jnp.zeros((H, W, a.shape[2]), f32)
+    for vy in range(-K, K + 2):
+        for vx in range(-K, K + 2):
+            coeff = None
+            for k, (dy, dx) in enumerate(taps):
+                sy, sx = vy - dy, vx - dx
+                if -K <= sy <= K and -K <= sx <= K:
+                    term = jnp.where(
+                        (res_y == sy) & (res_x == sx), w32[..., k], 0.0
+                    )
+                    coeff = term if coeff is None else coeff + term
+            if coeff is not None:
+                num = num + coeff[..., None] * view(vy, vx).astype(f32)
+    return num
+
+
+def fetch_weighted(arr, base_y, base_x, wgt, residuals, mesh=None):
+    """Weighted payload fetch: -> num (H, W, C) f32 = sum_k w_k * tap_k.
+    Callers divide by den = sum_k w_k (and apply their validity default).
+    Fast path = coefficient-plane contraction (_fetch_weighted_shifted);
+    fallback/meshed paths weight the raw taps."""
+    chan = arr.ndim == 3
+    a = arr if chan else arr[..., None]
+    w32 = wgt.astype(jnp.float32)
+
+    def weight_raw(taps):
+        return jnp.sum(taps.astype(jnp.float32) * w32[..., None], axis=2)
+
+    if mesh is not None and int(mesh.devices.size) > 1:
+        num = weight_raw(_gather2x2_halo(a, base_y, base_x, mesh))
+        return num if chan else num[..., 0]
+    my, mx, res_y, res_x, all_ok = residuals
+    num = jax.lax.cond(
+        all_ok,
+        lambda: _fetch_weighted_shifted(a, wgt, my, mx, res_y, res_x),
+        lambda: weight_raw(_gather2x2_take(a, base_y, base_x)),
+    )
+    return num if chan else num[..., 0]
 
 
 def gather_taps(tmap, arr):
@@ -295,16 +366,18 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
     """`generate_temporal_map_step1/2` (`rt/rtrt/cuda.hpp:2265-2416`).
     -> (svgf_map, taa_map, svgf_taps, taa_taps).
 
-    svgf_payload/taa_payload: optional (H, W, C) history channels to fetch
-    WITH the validation data in the same gather (one gather per tap set for
-    the whole temporal pipeline); their taps are returned as (H, W, 4, C)
-    f32 (or None).
+    svgf_payload/taa_payload: optional (H, W, C) history channels; their
+    FINISHED weighted fetches are returned as (H, W, C) f32 (or None):
+    per-pixel sum_k w_k * tap_k / sum_k w_k with the map's frame-count
+    gating already applied (default 0).  Fetching payload AFTER the
+    validation weights are known lets the fast path contract over
+    channel-free coefficient planes (fetch_weighted) instead of gathering
+    raw 4-tap sets — consumers skip their weighted_taps reduce entirely.
 
     With `n_meshes` <= 254 (static), the per-tap validation data — mesh id
     and SVGF frame count, both small integers that bf16 represents exactly —
-    rides as extra payload channels instead of a separate f32 gather,
-    saving one take per tap set (gather index count is the dominant cost of
-    this stage)."""
+    packs into bf16 channels; otherwise both pack into one f32 channel:
+    (mesh+1) * 512 + count stays < 2^24, exact in f32."""
     dt = dtype
     H, W = height, width
     valid = g["valid"]
@@ -346,38 +419,41 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
     count_ch = jnp.clip(state.svgf_frame_count, 0, 255).astype(jnp.float32)
     packed_val = mesh_ch * 512 + count_ch
 
-    def fetch(by, bx, payload, want_count, care):
-        """-> (tap_mesh (H,W,4) i32, tap_count i32 | None, payload taps)."""
-        if payload is not None and fold:
-            extra = [mesh_ch.astype(payload.dtype)[..., None]]
+    def fetch_validation(by, bx, want_count, care, residuals):
+        """-> (tap_mesh (H,W,4) i32, tap_count i32 | None)."""
+        if fold:
+            chans = [mesh_ch.astype(dt)[..., None]]
             if want_count:
-                extra.append(count_ch.astype(payload.dtype)[..., None])
+                chans.append(count_ch.astype(dt)[..., None])
             taps = gather2x2(
-                jnp.concatenate([payload] + extra, axis=-1), by, bx, care=care,
-                mesh=mesh,
+                jnp.concatenate(chans, axis=-1), by, bx, care=care,
+                mesh=mesh, residuals=residuals,
             ).astype(jnp.float32)
-            n_extra = len(extra)
-            tap_mesh = jnp.round(taps[..., -n_extra]).astype(jnp.int32) - 1
+            tap_mesh = jnp.round(taps[..., 0]).astype(jnp.int32) - 1
             tap_count = (
-                jnp.round(taps[..., -1]).astype(jnp.int32) if want_count else None
+                jnp.round(taps[..., 1]).astype(jnp.int32) if want_count else None
             )
-            return tap_mesh, tap_count, taps[..., :-n_extra]
-        # separate packed-f32 validation gather (no payload, or many meshes)
+            return tap_mesh, tap_count
         pk = jnp.round(
-            gather2x2(packed_val, by, bx, care=care, mesh=mesh)
+            gather2x2(packed_val, by, bx, care=care, mesh=mesh,
+                      residuals=residuals)
         ).astype(jnp.int32)
-        taps = None
-        if payload is not None:
-            taps = gather2x2(
-                payload, by, bx, care=care, mesh=mesh
-            ).astype(jnp.float32)
-        return pk // 512 - 1, pk % 512, taps
+        return pk // 512 - 1, pk % 512
+
+    def fetch_payload(payload, by, bx, wgt, count, residuals):
+        """Finished weighted fetch: (H, W, C) f32, 0 where no history."""
+        if payload is None:
+            return None
+        num = fetch_weighted(payload, by, bx, wgt, residuals, mesh=mesh)
+        den = jnp.sum(wgt.astype(jnp.float32), axis=-1)
+        out = num / jnp.where(den > 0, den, 1.0)[..., None]
+        return jnp.where((count > 0)[..., None], out, 0.0)
 
     # ---- SVGF map (strict same-object validation)
     by, bx, w, inb = _footprint(g_fx - jnp.asarray(0.5, dt), g_fy - jnp.asarray(0.5, dt), H, W, dt)
-    tap_mesh, tap_count, svgf_taps = fetch(
-        by, bx, svgf_payload, True, valid & jnp.any(inb, axis=-1)
-    )
+    care_s = valid & jnp.any(inb, axis=-1)
+    res_s = None if mesh is not None else _residuals(by, bx, care_s)
+    tap_mesh, tap_count = fetch_validation(by, bx, True, care_s, res_s)
     tap_ok = inb & (tap_mesh == mesh_p[..., None]) & valid[..., None]
     w_s = jnp.where(tap_ok, w, 0).astype(dt)
     total = jnp.sum(w_s, axis=-1)
@@ -386,6 +462,7 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
     fc = jnp.max(jnp.where(tap_ok, tap_count, 0), axis=-1)
     new_count = jnp.where(any_ok & valid, jnp.minimum(fc + 1, 255), 0).astype(jnp.int32)
     svgf_map = dict(frame_count=new_count, weights=w_s, base_y=by, base_x=bx)
+    svgf_pre = fetch_payload(svgf_payload, by, bx, w_s, new_count, res_s)
 
     # ---- TAA map (jittered bilinear, loose validation)
     # one bits draw, 16 bits per jitter axis (bf16 keeps ~8 of them anyway)
@@ -393,9 +470,9 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
     jx = ((bits & 0xFFFF).astype(jnp.float32) * (1.0 / 65536.0)).astype(dt)
     jy = ((bits >> 16).astype(jnp.float32) * (1.0 / 65536.0)).astype(dt)
     by2, bx2, w2, inb2 = _footprint(g_fx - jx, g_fy - jy, H, W, dt)
-    tap_mesh2, _, taa_taps = fetch(
-        by2, bx2, taa_payload, False, valid & jnp.any(inb2, axis=-1)
-    )
+    care_t = valid & jnp.any(inb2, axis=-1)
+    res_t = None if mesh is not None else _residuals(by2, bx2, care_t)
+    tap_mesh2, _ = fetch_validation(by2, bx2, False, care_t, res_t)
     w_t = jnp.where(inb2, w2, 0).astype(dt)
     total2 = jnp.sum(w_t, axis=-1)
     any2 = total2 > 0
@@ -403,8 +480,9 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
     same_obj = jnp.any(inb2 & (tap_mesh2 == mesh_p[..., None]), axis=-1)
     taa_count = jnp.where(same_obj & valid & any2, 1, 0).astype(jnp.int32)
     taa_map = dict(frame_count=taa_count, weights=w_t, base_y=by2, base_x=bx2)
+    taa_pre = fetch_payload(taa_payload, by2, bx2, w_t, taa_count, res_t)
 
-    return svgf_map, taa_map, svgf_taps, taa_taps
+    return svgf_map, taa_map, svgf_pre, taa_pre
 
 
 def backup_temporal_data(g, frame, state, clean_w2c):

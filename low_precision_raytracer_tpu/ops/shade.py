@@ -212,10 +212,9 @@ def shade(
         # (erfinv + 1.5x bits) — so everything is uniforms, ONE flat draw,
         # sliced contiguously.  (A (R, 9) draw would put 9 on the 128-lane
         # axis and waste 93% of every op that touches it.)
-        us = jax.random.uniform(key, (9 * R,), dt)
-        (r_mirror, r_spec, r_metal, u_ggx1, u_ggx2,
-         uh1_lo, uh2_lo, uh1_hi, uh2_hi) = (
-            jax.lax.slice(us, (i * R,), ((i + 1) * R,)) for i in range(9)
+        us = jax.random.uniform(key, (7 * R,), dt)
+        (r_mirror, r_spec, r_metal, u_ggx1, u_ggx2, uh1, uh2) = (
+            jax.lax.slice(us, (i * R,), ((i + 1) * R,)) for i in range(7)
         )
 
         metallic = mat["metallic"]
@@ -224,45 +223,28 @@ def shade(
 
         mirror_dir = normalize(reflect(view_dir, normal))
 
-        # --- low-roughness branch (roughness < 0.1)
         lo_rough = roughness < jnp.asarray(0.1, dt)
+
+        # ONE cosine-free hemisphere draw serves both roughness branches:
+        # each ray takes exactly one branch, so sharing the uniforms is
+        # statistically identical to the reference's two per-branch draws
+        # (`rt/rtrt/cuda.hpp:1951-1996`) while halving the trig chains
+        diff_dir, cos_diff = uniform_hemisphere_trig(
+            normal, tangent, bitangent, uh1, uh2
+        )
+
+        # --- low-roughness lobes (roughness < 0.1)
         # (a) metallic russian-roulette mirror: multiplier includes base colour
         #     directly even on round 0 (no demodulation tag, `:1905-1920`)
         g_mirror = glassy_brdf(metallic, view_dir, mirror_dir, normal)
         mult_a = g_mirror.get_brdf(color) / metallic[:, None]
         # (b) glassy specular at p = 0.6
         pdf_b = (one - metallic) * jnp.asarray(0.6, dt)
-        if first_round:
-            mult_b = jnp.stack(
-                [g_mirror.colored / pdf_b, g_mirror.white / pdf_b, jnp.full((R,), jnp.nan, dt)],
-                axis=-1,
-            )
-        else:
-            mult_b = g_mirror.get_brdf(color) / pdf_b[:, None]
-        # (c) uniform hemisphere diffuse
-        diff_dir_lo, cos_lo = uniform_hemisphere_trig(
-            normal, tangent, bitangent, uh1_lo, uh2_lo
-        )
-        brdf_c = material_brdf(metallic, roughness, view_dir, diff_dir_lo, normal)
-        mult_c_scalar = cos_lo * jnp.asarray(2.0 * jnp.pi, dt)
-        if first_round:
-            mult_c = jnp.stack(
-                [brdf_c.colored * mult_c_scalar, brdf_c.white * mult_c_scalar, jnp.full((R,), jnp.nan, dt)],
-                axis=-1,
-            )
-        else:
-            mult_c = brdf_c.get_brdf(color) * mult_c_scalar[:, None]
 
         take_a = r_mirror < metallic
         take_b = ~take_a & (r_spec < jnp.asarray(0.6, dt))
-        dir_lo = jnp.where(
-            take_a[:, None] | take_b[:, None], mirror_dir, diff_dir_lo
-        )
-        mult_lo = jnp.where(
-            take_a[:, None], mult_a, jnp.where(take_b[:, None], mult_b, mult_c)
-        )
 
-        # --- high-roughness branch (GGX importance / uniform hemisphere mix)
+        # --- high-roughness lobes (GGX importance / uniform hemisphere mix)
         a = roughness * roughness
         a2 = a * a
         h_t = sample_ggx(a2, u_ggx1, u_ggx2)
@@ -270,32 +252,47 @@ def shade(
         ggx_dir = reflect(view_dir, h_w)
         ggx_cos = jnp.maximum(jnp.asarray(0.05, dt), dot(ggx_dir, h_w))
         pdf_ggx = pdf_ggx_reflect(h_t[..., 2], a2) * metallic / (4 * ggx_cos)
-
-        diff_dir_hi, cos_hi = uniform_hemisphere_trig(
-            normal, tangent, bitangent, uh1_hi, uh2_hi
-        )
         pdf_diff = jnp.asarray(0.5 / jnp.pi, dt) * (one - metallic)
 
         take_ggx = r_metal < metallic
-        dir_hi = normalize(jnp.where(take_ggx[:, None], ggx_dir, diff_dir_hi))
-        cos_sel = jnp.where(take_ggx, ggx_cos, cos_hi)
+        dir_hi = normalize(jnp.where(take_ggx[:, None], ggx_dir, diff_dir))
+        cos_sel = jnp.where(take_ggx, ggx_cos, cos_diff)
         pdf_sel = jnp.where(take_ggx, pdf_ggx, pdf_diff)
-        brdf_hi = material_brdf(metallic, roughness, view_dir, dir_hi, normal)
+
+        # ONE shared material_brdf chain: the low branch only reads it at
+        # the diffuse direction (its mirror/glassy lobes use glassy_brdf),
+        # the high branch at dir_hi — disjoint per ray, so evaluate once at
+        # the per-ray selected direction
+        eval_dir = jnp.where(lo_rough[:, None], diff_dir, dir_hi)
+        brdf_e = material_brdf(metallic, roughness, view_dir, eval_dir, normal)
+
+        mult_c_scalar = cos_diff * jnp.asarray(2.0 * jnp.pi, dt)
         mult_hi_scalar = cos_sel / pdf_sel
+        # low-branch lobe-c and the whole high branch share the BRDF value;
+        # only the scalar in front differs
+        e_scalar = jnp.where(lo_rough, mult_c_scalar, mult_hi_scalar)
         if first_round:
-            mult_hi = jnp.stack(
-                [
-                    brdf_hi.colored * mult_hi_scalar,
-                    brdf_hi.white * mult_hi_scalar,
-                    jnp.full((R,), jnp.nan, dt),
-                ],
+            mult_b = jnp.stack(
+                [g_mirror.colored / pdf_b, g_mirror.white / pdf_b, jnp.full((R,), jnp.nan, dt)],
+                axis=-1,
+            )
+            mult_e = jnp.stack(
+                [brdf_e.colored * e_scalar, brdf_e.white * e_scalar, jnp.full((R,), jnp.nan, dt)],
                 axis=-1,
             )
         else:
-            mult_hi = brdf_hi.get_brdf(color) * mult_hi_scalar[:, None]
+            mult_b = g_mirror.get_brdf(color) / pdf_b[:, None]
+            mult_e = brdf_e.get_brdf(color) * e_scalar[:, None]
+
+        dir_lo = jnp.where(
+            take_a[:, None] | take_b[:, None], mirror_dir, diff_dir
+        )
+        mult_lo = jnp.where(
+            take_a[:, None], mult_a, jnp.where(take_b[:, None], mult_b, mult_e)
+        )
 
         gi_direction = jnp.where(lo_rough[:, None], dir_lo, dir_hi)
-        gi_multiplier = jnp.where(lo_rough[:, None], mult_lo, mult_hi)
+        gi_multiplier = jnp.where(lo_rough[:, None], mult_lo, mult_e)
         gi_valid = valid
         gi_multiplier = jnp.where(valid[:, None], gi_multiplier, zero3)
     else:

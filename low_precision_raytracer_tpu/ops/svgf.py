@@ -113,7 +113,7 @@ def preprocess_normal_depth(normal, depth):
 
 
 def temporal_accumulation_color(input_color, history_color, svgf_map, color_taa_w,
-                                hist_vals=None):
+                                hist_pre=None):
     """Outlier clamp (9x9 finite mean +-0.5 sigma, GAMES-202 style) + history
     lerp (`temporal_accumulation_color`, `rt/rtrt/cuda.hpp:1187-1243`).
 
@@ -151,9 +151,12 @@ def temporal_accumulation_color(input_color, history_color, svgf_map, color_taa_
     # (`rt/rtrt/cuda.hpp:919-926`: NaN comparisons are false)
     p_color = jnp.where(jnp.isfinite(std), clamped, p_color)
 
-    if hist_vals is None:
+    if hist_pre is None:
         hist_vals = gather_taps(svgf_map, history_color)
-    h = weighted_taps(svgf_map, hist_vals, 0.0, channel=True).astype(dt)
+        h = weighted_taps(svgf_map, hist_vals, 0.0, channel=True).astype(dt)
+    else:
+        # finished weighted fetch (reproject.fetch_weighted semantics)
+        h = hist_pre.astype(dt)
     hist = jnp.where((svgf_map["frame_count"] > 0)[..., None], h, p_color)
     hist = value_or(hist, p_color)
     w = jnp.asarray(color_taa_w, dt)
@@ -171,8 +174,8 @@ def temporal_accumulation_moments(
     illum,
     moments_taa_w,
     cfg: SVGFConfig,
-    m1_vals=None,
-    m2_vals=None,
+    m1_pre=None,
+    m2_pre=None,
     unroll: bool = False,
 ):
     """Spatial (bilateral 5x5, <4 valid frames) or temporal moments
@@ -236,12 +239,16 @@ def temporal_accumulation_moments(
 
     w = jnp.asarray(moments_taa_w, dt)
     illum2 = illum * illum
-    if m1_vals is None:
+    if m1_pre is None:
         m1_vals = gather_taps(svgf_map, miu1_prev)
-    if m2_vals is None:
+        m1_fetch = weighted_taps(svgf_map, m1_vals, 0.0, channel=False).astype(dt)
+    else:
+        m1_fetch = m1_pre.astype(dt)
+    if m2_pre is None:
         m2_vals = gather_taps(svgf_map, miu2_prev)
-    m1_fetch = weighted_taps(svgf_map, m1_vals, 0.0, channel=False).astype(dt)
-    m2_fetch = weighted_taps(svgf_map, m2_vals, 0.0, channel=False).astype(dt)
+        m2_fetch = weighted_taps(svgf_map, m2_vals, 0.0, channel=False).astype(dt)
+    else:
+        m2_fetch = m2_pre.astype(dt)
     m1_t = (1 - w) * m1_fetch + illum * w
     m2_t = (1 - w) * m2_fetch + illum2 * w
     m1_t = value_or(m1_t, illum)
@@ -367,15 +374,15 @@ def svgf_denoise(
 
     -> (denoised_color, new_state).  Iteration #1's output doubles as next
     frame's color history (`:1676-1688`)."""
-    hist_vals = m1_vals = m2_vals = None
+    hist_pre = m1_pre = m2_pre = None
     if prefetch is not None:
-        hist_vals, m1_vals, m2_vals = prefetch
+        hist_pre, m1_pre, m2_pre = prefetch
     integrated, illum = temporal_accumulation_color(
-        color, state.color_history, svgf_map, color_taa_w, hist_vals=hist_vals
+        color, state.color_history, svgf_map, color_taa_w, hist_pre=hist_pre
     )
     miu1, miu2, var = temporal_accumulation_moments(
         svgf_map, depth, grad, normal, state.miu1, state.miu2, illum, moments_taa_w,
-        cfg, m1_vals=m1_vals, m2_vals=m2_vals,
+        cfg, m1_pre=m1_pre, m2_pre=m2_pre,
     )
     c, v = integrated, var
     new_history = state.color_history
@@ -418,15 +425,15 @@ def svgf_denoise_pair(
     unroll = impl == "xla_halo"
 
     def temporal(color, state, pre):
-        hist_vals = m1_vals = m2_vals = None
+        hist_pre = m1_pre = m2_pre = None
         if pre is not None:
-            hist_vals, m1_vals, m2_vals = pre
+            hist_pre, m1_pre, m2_pre = pre
         integrated, illum = temporal_accumulation_color(
-            color, state.color_history, svgf_map, color_taa_w, hist_vals=hist_vals
+            color, state.color_history, svgf_map, color_taa_w, hist_pre=hist_pre
         )
         miu1, miu2, var = temporal_accumulation_moments(
             svgf_map, depth, grad, normal, state.miu1, state.miu2, illum,
-            moments_taa_w, cfg, m1_vals=m1_vals, m2_vals=m2_vals, unroll=unroll,
+            moments_taa_w, cfg, m1_pre=m1_pre, m2_pre=m2_pre, unroll=unroll,
         )
         return integrated, illum, miu1, miu2, var
 

@@ -7,13 +7,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from low_precision_raytracer_tpu.math.vec import value_or
-from low_precision_raytracer_tpu.ops.reproject import sample_linear, weighted_taps
+from low_precision_raytracer_tpu.ops.reproject import sample_linear
 
 
-def temporal_anti_aliasing(color, history, taa_map, taa_weight, hist_taps=None):
+def temporal_anti_aliasing(color, history, taa_map, taa_weight, hist_pre=None):
     dt = color.dtype
-    if hist_taps is not None:
-        h = weighted_taps(taa_map, hist_taps, 0.0, channel=True).astype(dt)
+    if hist_pre is not None:
+        # finished weighted fetch (reproject.fetch_weighted semantics)
+        h = hist_pre.astype(dt)
         hist = jnp.where((taa_map["frame_count"] > 0)[..., None], h, color)
     else:
         hist = sample_linear(taa_map, history, color)

@@ -349,7 +349,7 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
     if cfg.taa_on:
         color = temporal_anti_aliasing(
             color, state.taa_history, taa_map, cfg.taa_mix_weight,
-            hist_taps=taa_taps,
+            hist_pre=taa_taps,
         )
     new_taa_history = color
 
