@@ -117,6 +117,63 @@ class SceneExplorer:
             "precision": self.cfg.precision,
         }
 
+    # inspect-panel knobs (reference `rt/gui/imgui_window.cu:502-590`):
+    # booleans toggle pipeline stages / displayed terms, floats are the
+    # SVGF/TAA mix weights.  Each distinct config jit-compiles once and is
+    # cached — flipping a toggle costs one compile the first time only.
+    _BOOL_KEYS = (
+        "gi_on", "taa_on", "svgf", "add_direct_out", "add_gi_colored",
+        "add_gi_white", "demodulate",
+    )
+    _FLOAT_KEYS = ("svgf_color_w", "svgf_moments_w", "taa_w")
+
+    def settings(self) -> dict:
+        cfg = self.renderer.cfg
+        return {
+            "gi_on": cfg.gi_on,
+            "taa_on": cfg.taa_on,
+            "svgf": cfg.demo.svgf,
+            "add_direct_out": cfg.demo.add_direct_out,
+            "add_gi_colored": cfg.demo.add_gi_colored,
+            "add_gi_white": cfg.demo.add_gi_white,
+            "demodulate": cfg.demo.demodulate,
+            "svgf_color_w": cfg.svgf.color_mix_weight,
+            "svgf_moments_w": cfg.svgf.moments_mix_weight,
+            "taa_w": cfg.taa_mix_weight,
+            "play_animation": self.play_animation,
+        }
+
+    def apply_settings(self, upd: dict) -> None:
+        """Apply a (partial) settings dict from the UI."""
+        import dataclasses
+
+        cfg = self.renderer.cfg
+        demo_kw, cfg_kw, svgf_kw = {}, {}, {}
+        for k in self._BOOL_KEYS:
+            if k not in upd:
+                continue
+            v = bool(upd[k])
+            if k in ("gi_on", "taa_on"):
+                cfg_kw[k] = v
+            else:
+                demo_kw[k] = v
+        if "svgf_color_w" in upd:
+            svgf_kw["color_mix_weight"] = float(upd["svgf_color_w"])
+        if "svgf_moments_w" in upd:
+            svgf_kw["moments_mix_weight"] = float(upd["svgf_moments_w"])
+        if "taa_w" in upd:
+            cfg_kw["taa_mix_weight"] = float(upd["taa_w"])
+        if "play_animation" in upd:
+            self.play_animation = bool(upd["play_animation"])
+        if demo_kw:
+            cfg_kw["demo"] = dataclasses.replace(cfg.demo, **demo_kw)
+        if svgf_kw:
+            cfg_kw["svgf"] = dataclasses.replace(cfg.svgf, **svgf_kw)
+        if cfg_kw:
+            new = cfg.replace(**cfg_kw)
+            self.renderer.cfg = new
+            self.cfg = new
+
 
 def _quat_mul(a, b):
     ax, ay, az, aw = a
@@ -136,12 +193,30 @@ _PAGE = """<!doctype html>
 <html><head><title>lprt explorer</title><style>
 body { background:#111; color:#ccc; font-family:monospace; margin:12px }
 img  { image-rendering:pixelated; border:1px solid #333; outline:none }
+#panel { margin-top:8px } #panel label { margin-right:12px; user-select:none }
+#panel input[type=range] { vertical-align:middle; width:90px }
+.note { color:#777; font-size:11px }
 </style></head><body>
 <div>lprt explorer — WASD+E/C move, hold RIGHT mouse to look, wheel = FOV</div>
 <img id=v width=%W% height=%H% tabindex=0 draggable=false>
 <div id=s></div>
+<div id=panel>
+<label><input type=checkbox data-k=gi_on> GI</label>
+<label><input type=checkbox data-k=svgf> SVGF</label>
+<label><input type=checkbox data-k=taa_on> TAA</label>
+<label><input type=checkbox data-k=add_direct_out> direct</label>
+<label><input type=checkbox data-k=add_gi_colored> GI-colored</label>
+<label><input type=checkbox data-k=add_gi_white> GI-white</label>
+<label><input type=checkbox data-k=demodulate> demodulate</label>
+<label><input type=checkbox data-k=play_animation> animate</label>
+<br>
+<label>svgf color w <input type=range data-k=svgf_color_w min=0 max=1 step=0.05></label>
+<label>moments w <input type=range data-k=svgf_moments_w min=0 max=1 step=0.05></label>
+<label>taa w <input type=range data-k=taa_w min=0 max=1 step=0.05></label>
+<div class=note>first flip of a toggle jit-compiles that pipeline variant once</div>
+</div>
 <script>
-const keys = new Set(); let right=false, wheel=0, mx=0, my=0;
+const keys = new Set(); let right=false, wheel=0, mx=0, my=0, upd=null;
 const img = document.getElementById('v');
 img.oncontextmenu = e => e.preventDefault();
 addEventListener('keydown', e => keys.add(e.key.toLowerCase()));
@@ -150,12 +225,30 @@ img.onmousedown = e => { if (e.button === 2) right = true; };
 addEventListener('mouseup', e => { if (e.button === 2) right = false; });
 img.onmousemove = e => { mx = e.offsetX; my = e.offsetY; };
 img.onwheel = e => { wheel += Math.sign(e.deltaY); e.preventDefault(); };
+let synced = false;
+for (const el of document.querySelectorAll('#panel input')) {
+  el.onchange = () => {
+    upd = upd || {};
+    upd[el.dataset.k] = el.type === 'checkbox' ? el.checked : parseFloat(el.value);
+  };
+}
+function syncPanel(settings) {
+  if (synced) return; synced = true;
+  for (const el of document.querySelectorAll('#panel input')) {
+    const v = settings[el.dataset.k];
+    if (v === undefined) continue;
+    if (el.type === 'checkbox') el.checked = v; else el.value = v;
+  }
+}
 async function loop() {
   const inp = {keys: [...keys], mouse: [mx, my], right, wheel};
+  if (upd) { inp.settings = upd; upd = null; }
   wheel = 0;
   const r = await fetch('/frame', {method:'POST', body: JSON.stringify(inp)});
   const stats = JSON.parse(r.headers.get('x-stats'));
-  document.getElementById('s').textContent = JSON.stringify(stats);
+  syncPanel(stats.settings || {});
+  const {settings, ...rest} = stats;
+  document.getElementById('s').textContent = JSON.stringify(rest);
   const blob = await r.blob();
   const url = URL.createObjectURL(blob);
   img.onload = () => { URL.revokeObjectURL(url); requestAnimationFrame(loop); };
@@ -194,6 +287,8 @@ def serve(explorer: SceneExplorer, host: str = "127.0.0.1", port: int = 8008):
                 now = time.monotonic()
                 dt = min(now - last_t[0], 0.25)
                 last_t[0] = now
+                if inp.get("settings"):
+                    explorer.apply_settings(inp["settings"])
                 explorer.handle_events(
                     dt,
                     set(inp.get("keys", [])),
@@ -203,6 +298,7 @@ def serve(explorer: SceneExplorer, host: str = "127.0.0.1", port: int = 8008):
                 )
                 frame = explorer.render_frame()
                 stats = explorer.stats()
+                stats["settings"] = explorer.settings()
             from PIL import Image
 
             buf = io.BytesIO()

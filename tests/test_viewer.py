@@ -59,3 +59,37 @@ def test_explorer_http_loop():
         assert stats["frame"] == 1 and stats["ms"] > 0
     finally:
         srv.shutdown()
+
+
+def test_explorer_inspect_panel():
+    """apply_settings flips pipeline toggles / weights like the reference's
+    Inspect panel (`rt/gui/imgui_window.cu:502-590`); settings() reflects
+    them and the frame actually changes."""
+    ex = SceneExplorer(cornell_box_scene(), _small_cfg())
+    s0 = ex.settings()
+    assert s0["gi_on"] is False and s0["svgf"] is False
+    img0 = ex.render_frame()
+    ex.apply_settings({"add_direct_out": False, "taa_w": 0.5})
+    s1 = ex.settings()
+    assert s1["add_direct_out"] is False and s1["taa_w"] == 0.5
+    img1 = ex.render_frame()
+    assert not np.array_equal(img0, img1)  # direct term removed
+    # unknown keys are ignored, partial updates keep the rest
+    ex.apply_settings({"nonsense": 1})
+    assert ex.settings()["add_direct_out"] is False
+
+
+def test_explorer_http_settings_roundtrip():
+    ex = SceneExplorer(cornell_box_scene(), _small_cfg())
+    srv = serve(ex, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        body = json.dumps({"keys": [], "settings": {"add_gi_white": False}}).encode()
+        req = urllib.request.Request(base + "/frame", data=body, method="POST")
+        resp = urllib.request.urlopen(req, timeout=120)
+        stats = json.loads(resp.headers["x-stats"])
+        assert stats["settings"]["add_gi_white"] is False
+    finally:
+        srv.shutdown()
