@@ -146,3 +146,36 @@ def test_static_camera_residuals_stay_in_window():
     dx = np.asarray(bx) - (col + 1)
     bad = ((np.abs(dy) > rp.RES_K) | (np.abs(dx) > rp.RES_K)) & care
     assert bad.sum() == 0, f"{bad.sum()} caring pixels outside the K window"
+
+
+def test_fetch_weighted_matches_raw_paths():
+    """fetch_weighted (coefficient-plane fast path AND take fallback) must
+    equal sum_k w_k * tap_k of the raw gather wherever taps matter."""
+    from low_precision_raytracer_tpu.ops.reproject import (
+        _residuals,
+        fetch_weighted,
+    )
+
+    arr, by, bx, care = _mk()
+    H, W, C = arr.shape
+    wgt = jax.random.uniform(jax.random.PRNGKey(9), (H, W, 4), jnp.float32)
+    ref = jnp.sum(
+        _gather2x2_take(arr, by, bx).astype(jnp.float32) * wgt[..., None], axis=2
+    )
+    res = _residuals(by, bx, care)
+    # anchor clipping at the borders can push residuals out of the window;
+    # force the fast path and compare only where it guarantees parity
+    my, mx, res_y, res_x, _ = res
+    in_win = (jnp.abs(res_y) <= RES_K) & (jnp.abs(res_x) <= RES_K)
+    res_fast = (my, mx, res_y, res_x, jnp.asarray(True))
+    out = fetch_weighted(arr, by, bx, wgt, res_fast)
+    m = np.asarray(care & in_win)[..., None]
+    np.testing.assert_allclose(
+        np.asarray(out) * m, np.asarray(ref) * m, rtol=1e-5, atol=1e-5
+    )
+    # force the take fallback (all_ok=False) — must agree EVERYWHERE
+    res_fb = (*res[:4], jnp.asarray(False))
+    out_fb = fetch_weighted(arr, by, bx, wgt, res_fb)
+    np.testing.assert_allclose(
+        np.asarray(out_fb), np.asarray(ref), rtol=1e-6, atol=1e-6
+    )
