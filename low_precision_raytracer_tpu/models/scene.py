@@ -541,11 +541,18 @@ def frame_input_from_flat(
     )
 
 
-# hard cap on the dense backend's instance-triangle precompute (the Pallas
-# kernel streams the table from HBM past its VMEM-resident cap, so this is
-# bounded by host precompute time + HBM, not VMEM)
-DENSE_COEFF_MAX_TRIS = 1 << 20
-DENSE_COEFF_MAX_OBJECTS = 512
+# hard cap on the Pallas backends' instance-triangle precompute (BOTH the
+# dense kernel and the packet BVH traversal consume this table; both stream
+# it from HBM past the VMEM-resident cap, so the bound is host precompute
+# time + HBM — ~512 B/instance-tri, and the world-space rebuild runs per
+# flatten).  Must cover cfg.packet_bvh_max_tris or scenes in that band
+# silently fall to the slow lax.while_loop walk.
+DENSE_COEFF_MAX_TRIS = 4 << 20
+# object cap: the per-object world-transform fold below is a host Python
+# loop (seconds at several thousand objects); >512 objects skip the
+# per-object cull matmul (ops/dense_pallas._chunk_predicates) but the
+# chunk-AABB cull needs no object structure
+DENSE_COEFF_MAX_OBJECTS = 4096
 # triangles per culling chunk — MUST match the Pallas kernel's sublane
 # chunk size (ops/dense_pallas.py imports this as TC)
 DENSE_CHUNK_TRIS = 128
