@@ -349,9 +349,12 @@ def _kernel(
     i = pl.program_id(0)
     g_total = pl.num_programs(0)
     count = active_ref[i]
-    # count < 0 encodes overflow: run every chunk
-    n_iter = jnp.where(count < 0, n_chunks, count)
-    ids_base = g_total + i * maxc
+    # t_cut: the entry bound (f32 bits) of the nearest ACTIVE chunk that
+    # did NOT fit on this tile's list; +inf bits when the list holds the
+    # whole active set.  After the ordered prefix, a lane whose best t (or
+    # maxd) is <= t_cut cannot be improved by any off-list chunk.
+    tcut_bits = active_ref[g_total + i]
+    ids_base = 2 * g_total + i * maxc
     # word layout: low id_bits = chunk id, high bits = truncated f32 bit
     # pattern of the tile's conservative slab-entry distance to the chunk
     # (positive floats compare like their bit patterns; truncation rounds
@@ -364,17 +367,10 @@ def _kernel(
 
     def chunk_tmin_bits(j):
         """Truncated f32 BIT PATTERN of the conservative entry distance of
-        the j-th nearest active chunk (0 on overflow tiles — no early
-        exit).  Comparisons happen in the integer bit domain: positive
-        floats order like their bit patterns, and Mosaic has no scalar
-        i32->f32 bitcast."""
-        return jnp.where(count < 0, 0, word_at(j) & ~id_mask)
-
-    def chunk_body(j, _):
-        decoded = word_at(j) & id_mask
-        c = jnp.where(count < 0, j, decoded)
-        run_chunk(c)
-        return 0
+        the j-th nearest active chunk.  Comparisons happen in the integer
+        bit domain: positive floats order like their bit patterns, and
+        Mosaic has no scalar i32->f32 bitcast."""
+        return word_at(j) & ~id_mask
 
     # branchless sparse iteration with ORDERED early termination: the
     # per-tile chunk list arrives sorted by conservative entry distance, so
@@ -385,7 +381,7 @@ def _kernel(
     # per-chunk @pl.when branching costs ~1us/branch; one while_loop
     # condition per chunk does not.)
     def w_body(j):
-        chunk_body(j, 0)
+        run_chunk(word_at(j) & id_mask)
         return j + 1
 
     as_bits = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)
@@ -398,16 +394,38 @@ def _kernel(
                 & (maxd > mind)
                 & (chunk_tmin_bits(j) < as_bits(jnp.maximum(maxd, 0.0)))
             )
-            return (j < n_iter) & jnp.any(live)
+            return (j < count) & jnp.any(live)
 
-        jax.lax.while_loop(w_cond, w_body, jnp.int32(0))
+        def unresolved():
+            # a blocker may hide in an off-list chunk only if the ray
+            # interval extends past t_cut
+            return (
+                (ids_ref[0:1, :] < 0)
+                & (maxd > mind)
+                & (as_bits(jnp.maximum(maxd, 0.0)) > tcut_bits)
+            )
     else:
         def w_cond(j):
             cap = jnp.maximum(jnp.minimum(outf_ref[0:1, :], maxd), 0.0)
             improvable = (maxd > mind) & (chunk_tmin_bits(j) < as_bits(cap))
-            return (j < n_iter) & jnp.any(improvable)
+            return (j < count) & jnp.any(improvable)
 
-        jax.lax.while_loop(w_cond, w_body, jnp.int32(0))
+        def unresolved():
+            cap = jnp.maximum(jnp.minimum(outf_ref[0:1, :], maxd), 0.0)
+            return (maxd > mind) & (as_bits(cap) > tcut_bits)
+
+    jax.lax.while_loop(w_cond, w_body, jnp.int32(0))
+
+    # overflow sweep: runs bodies only while a lane could still improve
+    # beyond t_cut (never on tiles whose active set fit the list)
+    def s_body(j):
+        run_chunk(j)
+        return j + 1
+
+    def s_cond(j):
+        return (j < n_chunks) & jnp.any(unresolved())
+
+    jax.lax.while_loop(s_cond, s_body, jnp.int32(0))
 
 
 BLOCK_H, BLOCK_W = 8, 64  # screen-space ray tile (= TR rays), keeps tiles
@@ -836,31 +854,43 @@ def trace_rays_dense_pallas(
             active = jnp.ones((grid, n_chunks), jnp.int32)
             chunk_tmin = jnp.zeros((grid, n_chunks), jnp.float32)
         # compact the active-chunk ids per tile, NEAREST FIRST: [counts (G,)
-        # | words (G, maxc)], each word = truncated f32 bits of the tile's
-        # conservative entry distance (high bits) | chunk id (low id_bits)
-        # — positive-float bit patterns order like the floats, and
-        # truncating the low mantissa bits only rounds the bound DOWN.  The
-        # kernel walks the list in this near-to-far order and stops when no
-        # live lane can improve (ordered-traversal early exit).  SMEM
-        # prefetch capacity is ~1MB, so the per-tile list length adapts to
-        # the tile count; tiles whose active set overflows it fall back to
-        # iterating every chunk unordered (count = -1).
+        # | t_cut bits (G,) | words (G, maxc)], each word = truncated f32
+        # bits of the tile's conservative entry distance (high bits) |
+        # chunk id (low id_bits) — positive-float bit patterns order like
+        # the floats, and truncating the low mantissa bits only rounds the
+        # bound DOWN.  The kernel walks the list in this near-to-far order
+        # and stops when no live lane can improve (ordered-traversal early
+        # exit).  SMEM prefetch capacity is ~1MB, so the per-tile list
+        # length adapts to the tile count.
+        #
+        # OVERFLOW (active set larger than the list): t_cut = the entry
+        # bound of the nearest chunk NOT on the list (+inf otherwise).
+        # Every off-list chunk enters at >= t_cut, so after the ordered
+        # prefix a lane is RESOLVED iff its best t (or maxd) is <= t_cut;
+        # the kernel then sweeps all chunks only while some lane is still
+        # unresolved — on big scenes the nearest-512 prefix resolves whole
+        # tiles and the sweep never runs a body (the old encoding ran every
+        # chunk UNORDERED for every overflow tile, the large-scene cliff).
         budget_words = (900 * 1024) // 4
-        maxc = min(MAXC, max(8, budget_words // max(grid, 1) - 1))
+        maxc = min(MAXC, max(8, budget_words // max(grid, 1) - 2))
         id_bits = max(1, (n_chunks - 1).bit_length())
         big = jnp.float32(3e38)
         tkey = jnp.where(active > 0, jnp.maximum(chunk_tmin, 0.0), big)
         order = jnp.argsort(tkey, axis=1)
         take = min(maxc, n_chunks)
         ids = order[:, :take].astype(jnp.int32)
-        tnear = jnp.take_along_axis(tkey, order, axis=1)[:, :take]
-        tbits = jax.lax.bitcast_convert_type(tnear, jnp.int32)
+        t_sorted = jnp.take_along_axis(tkey, order, axis=1)
+        tbits = jax.lax.bitcast_convert_type(t_sorted[:, :take], jnp.int32)
         words = (tbits & ~((1 << id_bits) - 1)) | ids
         if take < maxc:
             words = jnp.pad(words, ((0, 0), (0, maxc - take)))
-        count = jnp.sum(active, axis=1, dtype=jnp.int32)
-        count = jnp.where(count > maxc, -1, count)  # overflow: run all
-        active = jnp.concatenate([count, words.reshape(-1)])
+        if n_chunks > take:
+            t_cut = t_sorted[:, take]  # big where the active set fits
+        else:
+            t_cut = jnp.full((grid,), big, jnp.float32)
+        tcut_bits = jax.lax.bitcast_convert_type(t_cut, jnp.int32)
+        count = jnp.minimum(jnp.sum(active, axis=1, dtype=jnp.int32), take)
+        active = jnp.concatenate([count, tcut_bits, words.reshape(-1)])
 
     kernel = functools.partial(
         _kernel,

@@ -219,3 +219,26 @@ def test_chunk_predicates_without_object_test_are_superset():
     chunk_act = np.asarray(chunk_act).astype(bool)
     assert (chunk_act | ~both_act).all(), "chunk-only set must cover obj&chunk"
     np.testing.assert_array_equal(np.asarray(both_t), np.asarray(chunk_t))
+
+
+def test_overflow_sweep_matches_xla(monkeypatch):
+    """Tiles whose active-chunk set exceeds the list cap must still find
+    every hit: the ordered prefix + t_cut-gated sweep replaces the old
+    run-everything overflow encoding."""
+    import low_precision_raytracer_tpu.ops.dense_pallas as DP
+
+    host = sponza_like_scene(pillar_grid=2, sphere_subdiv=1, with_skybox=False)
+    prec, scene, frame, o, d, hw = _setup(host)
+    n_chunks = frame.dense_chunk_lo.shape[0]
+    assert n_chunks > 1  # the cap below must actually overflow
+    monkeypatch.setattr(DP, "MAXC", 1)
+    hx = trace_rays_dense_pallas(
+        scene, frame, o, d, prec=prec, cull=True, tile_hw=hw, interpret=True
+    )
+    monkeypatch.undo()
+    href = trace_rays_dense(scene, frame, o, d, prec=prec)
+    np.testing.assert_array_equal(
+        np.asarray(hx.tri) >= 0, np.asarray(href.tri) >= 0
+    )
+    same = np.asarray(hx.tri) == np.asarray(href.tri)
+    assert same.mean() > 0.99, f"tri agreement {same.mean()}"
