@@ -424,6 +424,35 @@ def svgf_denoise_pair(
         impl = "pallas" if _jax.default_backend() == "tpu" else "xla"
     unroll = impl == "xla_halo"
 
+    if impl == "pallas":
+        # fully fused path: temporal accumulation + wavelet chain in packed
+        # channel-major Pallas kernels (one pack, one unpack).  Finished
+        # weighted history fetches are required; compute them here when the
+        # caller did not prefetch.
+        from low_precision_raytracer_tpu.ops.svgf_pallas import (
+            svgf_pallas_pair_full,
+        )
+
+        if prefetch2 is None:
+            def fetch(state):
+                h = weighted_taps(
+                    svgf_map, gather_taps(svgf_map, state.color_history),
+                    0.0, channel=True,
+                )
+                m1 = weighted_taps(
+                    svgf_map, gather_taps(svgf_map, state.miu1), 0.0, channel=False
+                )
+                m2 = weighted_taps(
+                    svgf_map, gather_taps(svgf_map, state.miu2), 0.0, channel=False
+                )
+                return h, m1, m2
+
+            prefetch2 = jax.vmap(fetch)(state2)
+        return svgf_pallas_pair_full(
+            color2, state2, svgf_map, depth, grad, normal, cfg,
+            color_taa_w, moments_taa_w, prefetch2, cfg.strides,
+        )
+
     def temporal(color, state, pre):
         hist_pre = m1_pre = m2_pre = None
         if pre is not None:
@@ -446,24 +475,15 @@ def svgf_denoise_pair(
             color2, state2, prefetch2
         )
 
-    if impl == "pallas":
-        from low_precision_raytracer_tpu.ops.svgf_pallas import (
-            wavelet_chain_pallas_pair,
-        )
+    def chain(c, v, illum):
+        hist = None
+        for it, stride in enumerate(cfg.strides):
+            c, v = wavelet_filter(c, v, depth, grad, normal, illum, stride, cfg,
+                                  unroll=unroll)
+            if it == 0:
+                hist = c
+        return c, hist
 
-        out2, hist2 = wavelet_chain_pallas_pair(
-            integrated2, var2, depth, grad, normal, illum2, cfg.strides, cfg
-        )
-    else:
-        def chain(c, v, illum):
-            hist = None
-            for it, stride in enumerate(cfg.strides):
-                c, v = wavelet_filter(c, v, depth, grad, normal, illum, stride, cfg,
-                                      unroll=unroll)
-                if it == 0:
-                    hist = c
-            return c, hist
-
-        out2, hist2 = jax.vmap(chain)(integrated2, var2, illum2)
+    out2, hist2 = jax.vmap(chain)(integrated2, var2, illum2)
     new_state2 = SVGFState(miu1=miu1_2, miu2=miu2_2, color_history=hist2)
     return out2, new_state2

@@ -281,19 +281,19 @@ def _pad0(chans, H, W, hp, wp):
     return jnp.pad(chans, ((0, 0), (PAD, hp - H - PAD), (PAD, wp - W - PAD)))
 
 
-def pack_geometry_pair(depth, grad, normal, illum2, cfg: SVGFConfig):
-    """Shared geometry + per-instance illuminance/penalty: (N_GEO, hp, wp)
-    f32.  Depth is sanitised to BIG (kills the tap via the depth term),
-    normal/illum to 0; grad keeps NaN (reference semantics: NaN gradient ->
-    NaN arg -> all taps dead -> fallback) and is pre-scaled by sigma_z."""
+def pack_geometry_base(depth, grad, normal, cfg: SVGFConfig):
+    """The illum-independent geometry channels (7, hp, wp) f32:
+    [depth_s, gx*sigma_z, gy*sigma_z, nx, ny, nz, one] plus the (H, W)
+    depth&normal-finite mask.  Depth is sanitised to BIG (kills the tap
+    via the depth term), normal to 0; grad keeps NaN (reference semantics:
+    NaN gradient -> NaN arg -> all taps dead -> fallback) and is
+    pre-scaled by sigma_z."""
     H, W = depth.shape
     f32 = jnp.float32
     tiles, hp, wp = _padded_dims(H, W)
     depth = depth.astype(f32)
     normal = normal.astype(f32)
     grad = grad.astype(f32)
-    illum2 = illum2.astype(f32)
-
     fin_d = jnp.isfinite(depth)
     fin_n = jnp.all(jnp.isfinite(normal), axis=-1)
     depth_s = jnp.where(fin_d, depth, BIG)
@@ -301,12 +301,25 @@ def pack_geometry_pair(depth, grad, normal, illum2, cfg: SVGFConfig):
     sz = jnp.asarray(cfg.sigma_z, f32)
     chans = [depth_s, grad[..., 0] * sz, grad[..., 1] * sz,
              n_s[..., 0], n_s[..., 1], n_s[..., 2], jnp.ones((H, W), f32)]
-    pens = []
+    return _pad0(jnp.stack(chans), H, W, hp, wp), fin_d & fin_n
+
+
+def pack_geometry_pair(depth, grad, normal, illum2, cfg: SVGFConfig):
+    """Shared geometry + per-instance illuminance/penalty: (N_GEO, hp, wp)
+    f32 (channel layout above; see pack_geometry_base)."""
+    H, W = depth.shape
+    f32 = jnp.float32
+    tiles, hp, wp = _padded_dims(H, W)
+    base, fin_g = pack_geometry_base(depth, grad, normal, cfg)
+    illum2 = illum2.astype(f32)
+    chans, pens = [], []
     for i in (0, 1):
         fin_i = jnp.isfinite(illum2[i])
         chans.append(jnp.where(fin_i, illum2[i], 0.0))
-        pens.append(jnp.where(fin_d & fin_n & fin_i, 0.0, BIG))
-    return _pad0(jnp.stack(chans + pens), H, W, hp, wp)
+        pens.append(jnp.where(fin_g & fin_i, 0.0, BIG))
+    return jnp.concatenate(
+        [base, _pad0(jnp.stack(chans + pens), H, W, hp, wp)], axis=0
+    )
 
 
 def geometry_valid2(depth, normal, illum2):
@@ -410,3 +423,348 @@ def wavelet_chain_pallas_pair(color2, var2, depth, grad, normal, illum2,
     if history2 is None:
         history2 = out_color2
     return out_color2, history2
+
+
+# ---------------------------------------------------------------------------
+# Fused temporal accumulation (both instances): 9x9 outlier clamp + history
+# lerp + illuminance + 5x5 bilateral/temporal moments + variance in ONE
+# kernel, writing the wavelet chain's packed cv layout directly
+# (`temporal_accumulation_color` + `temporal_accumulation_moments`,
+# `rt/rtrt/cuda.hpp:1187-1337`).  The XLA form pays ~40 full-image passes
+# (18 shifted adds per box9 sum x 3 sums x 6 channels + a 25-tap fori
+# stencil); here every pass is VMEM-resident per row tile.
+# ---------------------------------------------------------------------------
+
+# ctr slab channels: finished weighted history fetches + moment fetches +
+# the SVGF frame count (reproject.fetch_weighted semantics: 0 where no
+# history)
+(T_H0R, T_H0G, T_H0B, T_H1R, T_H1G, T_H1B,
+ T_M1_0, T_M1_1, T_M2_0, T_M2_1, T_FC) = range(11)
+N_CTR = 11
+_TROWS = 12  # slab halo rows: box9 (4) + moments reach (2) on each side
+
+
+def _temporal_kernel(
+    col_hbm,  # (6, hp, wp) f32 ANY: RAW colour [inst0 rgb | inst1 rgb]
+    geo_hbm,  # (7, hp, wp) f32 ANY: pack_geometry_base channels
+    ctr_hbm,  # (N_CTR, hp, wp) f32 ANY
+    cv_ref,  # out (N_CV, RT, wp)
+    ext_ref,  # out (4, RT, wp): [IL0, IL1, PEN0, PEN1] (geo channels 7..10)
+    mst_ref,  # out (4, RT, wp): [miu1_0, miu1_1, miu2_0, miu2_1]
+    col_s,  # scratch (6, RT + _TROWS, wp)
+    geo_s,  # scratch (7, RT + _TROWS, wp)
+    ctr_s,  # scratch (N_CTR, RT + 4, wp)
+    sems,
+    *,
+    H: int,
+    W: int,
+    color_w: float,
+    moments_w: float,
+    below: int,
+    cfg_sigma_n: float,
+    cfg_eps_z: float,
+):
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    is_pad_tile = (i == 0) | (i == n_tiles - 1)
+
+    @pl.when(is_pad_tile)
+    def _zero_pads():
+        cv_ref[...] = jnp.zeros_like(cv_ref)
+        ext_ref[...] = jnp.zeros_like(ext_ref)
+        mst_ref[...] = jnp.zeros_like(mst_ref)
+
+    @pl.when(~is_pad_tile)
+    def _body():
+        _temporal_tile_body(
+            col_hbm, geo_hbm, ctr_hbm, cv_ref, ext_ref, mst_ref,
+            col_s, geo_s, ctr_s, sems, j=i - 1, H=H, W=W,
+            color_w=color_w, moments_w=moments_w, below=below,
+            cfg_sigma_n=cfg_sigma_n, cfg_eps_z=cfg_eps_z,
+        )
+
+
+def _temporal_tile_body(
+    col_hbm, geo_hbm, ctr_hbm, cv_ref, ext_ref, mst_ref,
+    col_s, geo_s, ctr_s, sems, *,
+    j, H, W, color_w, moments_w, below, cfg_sigma_n, cfg_eps_z,
+):
+    dt = jnp.float32
+    zero = jnp.asarray(0.0, dt)
+    half = _TROWS // 2  # 6
+    slab0 = j * RT + PAD - half
+    cs = [
+        pltpu.make_async_copy(
+            col_hbm.at[:, pl.ds(slab0, RT + _TROWS), :], col_s, sems.at[0]
+        ),
+        pltpu.make_async_copy(
+            geo_hbm.at[:, pl.ds(slab0, RT + _TROWS), :], geo_s, sems.at[1]
+        ),
+        pltpu.make_async_copy(
+            ctr_hbm.at[:, pl.ds(j * RT + PAD - 2, RT + 4), :], ctr_s, sems.at[2]
+        ),
+    ]
+    for c in cs:
+        c.start()
+    for c in cs:
+        c.wait()
+
+    We = W + 4  # stage-1 column range: image +- the moments' 2-tap reach
+
+    def rotw(ch, dj):  # (rows, We) view at column offset dj
+        return ch[:, PAD - 2 + dj : PAD - 2 + dj + We]
+
+    def rot(ch, dj):  # (rows, W) image-column view
+        return ch[:, PAD + dj : PAD + dj + W]
+
+    one_full = geo_s[6]  # in-image indicator (0 in every pad)
+
+    # ---- stage 1 on (RT + 4, We): box9 moments, outlier clamp, history
+    # lerp, illuminance — computed 2 rows/cols beyond the centre so the
+    # 5x5 moments taps read locally
+    s1 = lambda x: x[2 : 2 + RT + 4 + 4 - 4, :]  # noqa: E731 (unused helper)
+
+    def box9(x_full):
+        """x_full: (RT+_TROWS, wp) -> (RT+4, We) 9x9 box sum."""
+        csum = rotw(x_full, -4)
+        for dj in range(-3, 5):
+            csum = csum + rotw(x_full, dj)
+        out = csum[0 : RT + 4, :]
+        for di in range(1, 9):
+            out = out + csum[di : di + RT + 4, :]
+        return out
+
+    w_c = jnp.asarray(color_w, dt)
+    integ = [[None] * 3 for _ in (0, 1)]  # (RT+4, We) each
+    il = [None, None]
+    fil = [None, None]
+    fin_il = [None, None]
+    # ctr_s rows already span exactly the stage-1 range (RT + 4 rows at
+    # centre - 2); col/geo slabs carry the extra box9 halo and need r1()
+    fc_s1 = rotw(ctr_s[T_FC], 0)  # (RT+4, We)
+    r1 = lambda x: x[half - 2 : half - 2 + RT + 4, :]  # (RT+_TROWS, .) -> (RT+4, .)
+    one_s1 = r1(rotw(one_full, 0))
+
+    lum_w = (0.2126, 0.7152, 0.0722)
+    for inst in (0, 1):
+        acc_il = None
+        for c in range(3):
+            raw_full = col_s[3 * inst + c]
+            finv = jnp.where(jnp.isfinite(raw_full), 1.0, 0.0) * one_full
+            safe = jnp.where(jnp.isfinite(raw_full), raw_full, zero) * one_full
+            rs_f = box9(finv)
+            rs_s = box9(safe)
+            rs_s2 = box9(safe * safe)
+            m1c = rs_s / rs_f
+            m2c = rs_s2 / rs_f
+            raw = r1(rotw(raw_full, 0))
+            p = jnp.where(jnp.isfinite(raw), raw, m1c)
+            stdc = jnp.sqrt(m2c - m1c * m1c)
+            clamped = jnp.clip(p, m1c - 0.5 * stdc, m1c + 0.5 * stdc)
+            p = jnp.where(jnp.isfinite(stdc), clamped, p)
+            h = rotw(ctr_s[3 * inst + c], 0)
+            hist = jnp.where(fc_s1 > 0, h, p)
+            hist = jnp.where(jnp.isfinite(hist), hist, p)
+            ic = w_c * p + (1.0 - w_c) * hist
+            integ[inst][c] = ic
+            term = jnp.asarray(lum_w[c], dt) * ic
+            acc_il = term if acc_il is None else acc_il + term
+        fin_il[inst] = jnp.isfinite(acc_il)
+        il[inst] = jnp.where(fin_il[inst], acc_il, zero)
+        fil[inst] = jnp.where(fin_il[inst], 1.0, 0.0) * one_s1
+
+    # ---- 5x5 bilateral moments on the centre rows (RT, W)
+    ctr = lambda x: x[2 : 2 + RT, 2 : 2 + W]  # (RT+4, We) -> (RT, W)
+    grow = lambda x, di: x[2 + di : 2 + di + RT, :]  # slab-S1 row views
+    depth_p = rot(geo_s[0], 0)[half : half + RT, :]
+    gx = rot(geo_s[1], 0)[half : half + RT, :]
+    gy = rot(geo_s[2], 0)[half : half + RT, :]
+    nx_p = rot(geo_s[3], 0)[half : half + RT, :]
+    ny_p = rot(geo_s[4], 0)[half : half + RT, :]
+    nz_p = rot(geo_s[5], 0)[half : half + RT, :]
+    eps1 = jnp.asarray(cfg_eps_z, dt)
+    sn_int = float(cfg_sigma_n).is_integer()
+
+    num = [jnp.zeros((RT, W), dt) for _ in (0, 1)]
+    num2 = [jnp.zeros((RT, W), dt) for _ in (0, 1)]
+    wsum = [jnp.zeros((RT, W), dt) for _ in (0, 1)]
+    for tj in (-2, -1, 0, 1, 2):
+        dep_r = rot(geo_s[0], tj)
+        nx_r = rot(geo_s[3], tj)
+        ny_r = rot(geo_s[4], tj)
+        nz_r = rot(geo_s[5], tj)
+        il_j = [il[i][:, 2 + tj : 2 + tj + W] for i in (0, 1)]
+        fil_j = [fil[i][:, 2 + tj : 2 + tj + W] for i in (0, 1)]
+        for ti in (-2, -1, 0, 1, 2):
+            hval = jnp.asarray(WAVELET_H[abs(ti)] * WAVELET_H[abs(tj)], dt)
+            srow = half + ti  # geometry tap rows in the raw slab
+            dd = gx * jnp.asarray(float(ti), dt) + gy * jnp.asarray(float(tj), dt)
+            t1 = jnp.abs(depth_p - dep_r[srow : srow + RT, :]) / jnp.abs(dd + eps1)
+            ndot = (
+                nx_p * nx_r[srow : srow + RT, :]
+                + ny_p * ny_r[srow : srow + RT, :]
+                + nz_p * nz_r[srow : srow + RT, :]
+            )
+            w_n = (
+                _pow_int(jnp.maximum(zero, ndot), int(cfg_sigma_n))
+                if sn_int
+                else jnp.maximum(zero, ndot) ** jnp.asarray(cfg_sigma_n, dt)
+            )
+            hw = hval * jnp.exp(-t1) * w_n
+            for i in (0, 1):
+                hm = hw * grow(fil_j[i], ti)
+                iq = grow(il_j[i], ti)
+                num[i] = num[i] + hm * iq
+                num2[i] = num2[i] + hm * iq * iq
+                wsum[i] = wsum[i] + hm
+
+    # ---- write-out
+    row_ok = (j * RT + jax.lax.broadcasted_iota(jnp.int32, (RT, 1), 0)) < H
+    Wp = cv_ref.shape[2]
+    col_img = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1) - PAD
+    inb = row_ok & (col_img >= 0) & (col_img < W)
+
+    def wide(val):
+        full = jnp.concatenate(
+            [jnp.zeros((RT, PAD), dt), val, jnp.zeros((RT, Wp - W - PAD), dt)],
+            axis=1,
+        )
+        return jnp.where(inb, full, zero)
+
+    mw = jnp.asarray(moments_w, dt)
+    fc_c = ctr(fc_s1)
+    spatial = fc_c < jnp.asarray(float(below), dt)
+    n2 = nx_p * nx_p + ny_p * ny_p + nz_p * nz_p
+    geo_ok_base = (depth_p < jnp.asarray(BIG * 0.5, dt)) & (n2 > 0.5)
+    one_f = jnp.asarray(1.0, dt)
+    for i, b in enumerate((0, N_CVI)):
+        ic = [ctr(integ[i][c]) for c in range(3)]
+        ilc = ctr(il[i])
+        m1_sp = num[i] / wsum[i]
+        m2_sp = num2[i] / wsum[i]
+        m1_pre = ctr(rotw(ctr_s[T_M1_0 + i], 0))
+        m2_pre = ctr(rotw(ctr_s[T_M2_0 + i], 0))
+        m1_t = (1.0 - mw) * m1_pre + mw * ilc
+        m1_t = jnp.where(jnp.isfinite(m1_t), m1_t, ilc)
+        il2 = ilc * ilc
+        m2_t = (1.0 - mw) * m2_pre + mw * il2
+        m2_t = jnp.where(jnp.isfinite(m2_t), m2_t, il2)
+        miu1 = jnp.where(spatial, m1_sp, m1_t)
+        miu2 = jnp.where(spatial, m2_sp, m2_t)
+        var = miu2 - miu1 * miu1
+
+        fin_ic = jnp.isfinite(ic[0]) & jnp.isfinite(ic[1]) & jnp.isfinite(ic[2])
+        geo_ok = geo_ok_base & ctr(fin_il[i])
+        fc_m = jnp.where(fin_ic & geo_ok, one_f, zero)
+        fv_m = jnp.where(jnp.isfinite(var) & geo_ok, one_f, zero)
+        for c in range(3):
+            cv_ref[b + c, :, :] = wide(ic[c])
+        cv_ref[b + C_VAR, :, :] = wide(var)
+        cv_ref[b + C_FC, :, :] = wide(fc_m)
+        cv_ref[b + C_FV, :, :] = wide(fv_m)
+        ext_ref[i, :, :] = wide(ilc)
+        ext_ref[2 + i, :, :] = wide(jnp.where(geo_ok, zero, jnp.asarray(BIG, dt)))
+        mst_ref[i, :, :] = wide(miu1)
+        mst_ref[2 + i, :, :] = wide(miu2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "H", "W", "color_w", "moments_w", "interpret")
+)
+def temporal_accum_pallas_pair(col6, geo7, ctr11, cfg: SVGFConfig,
+                               H: int, W: int, color_w: float,
+                               moments_w: float, interpret: bool = False):
+    """-> (cv (N_CV, hp, wp), extra_geo (4, hp, wp), mstate (4, hp, wp)).
+    geo_full for the wavelet chain = concat([geo7, extra_geo])."""
+    tiles, hp, wp = _padded_dims(H, W)
+    kernel = functools.partial(
+        _temporal_kernel,
+        H=H,
+        W=W,
+        color_w=float(color_w),
+        moments_w=float(moments_w),
+        below=int(cfg.spatial_moments_below),
+        cfg_sigma_n=cfg.sigma_n,
+        cfg_eps_z=cfg.sigma_z * cfg.eps,
+    )
+    out_spec = lambda n: pl.BlockSpec((n, RT, wp), lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(tiles + 2,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=[out_spec(N_CV), out_spec(4), out_spec(4)],
+        out_shape=[
+            jax.ShapeDtypeStruct((N_CV, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((6, RT + _TROWS, wp), jnp.float32),
+            pltpu.VMEM((7, RT + _TROWS, wp), jnp.float32),
+            pltpu.VMEM((N_CTR, RT + 4, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(col6, geo7, ctr11)
+
+
+def svgf_pallas_pair_full(color2, state2, svgf_map, depth, grad, normal,
+                          cfg: SVGFConfig, color_taa_w, moments_taa_w,
+                          prefetch2, strides, interpret: bool = False):
+    """The whole SVGF pair — fused temporal accumulation + the wavelet
+    chain — on the packed channel-major layout (ONE pack, one unpack).
+
+    prefetch2: finished weighted fetches, leaves stacked (2, ...):
+    (hist (2, H, W, 3) f32, m1 (2, H, W) f32, m2 (2, H, W) f32).
+    -> (out_color2 (2, H, W, 3) dt, new_state2 SVGFState with (2, ...)
+    leaves)."""
+    from low_precision_raytracer_tpu.ops.svgf import SVGFState
+
+    dt = color2.dtype
+    H, W = color2.shape[1:3]
+    tiles, hp, wp = _padded_dims(H, W)
+    f32 = jnp.float32
+    geo7, _fin_g = pack_geometry_base(depth, grad, normal, cfg)
+    c32 = color2.astype(f32)
+    col6 = _pad0(
+        jnp.stack([c32[0, ..., 0], c32[0, ..., 1], c32[0, ..., 2],
+                   c32[1, ..., 0], c32[1, ..., 1], c32[1, ..., 2]]),
+        H, W, hp, wp,
+    )
+    hist2, m1_2, m2_2 = prefetch2
+    h32 = hist2.astype(f32)
+    ctr11 = _pad0(
+        jnp.stack([
+            h32[0, ..., 0], h32[0, ..., 1], h32[0, ..., 2],
+            h32[1, ..., 0], h32[1, ..., 1], h32[1, ..., 2],
+            m1_2[0].astype(f32), m1_2[1].astype(f32),
+            m2_2[0].astype(f32), m2_2[1].astype(f32),
+            svgf_map["frame_count"].astype(f32),
+        ]),
+        H, W, hp, wp,
+    )
+    cv, extra, mst = temporal_accum_pallas_pair(
+        col6, geo7, ctr11, cfg, H=H, W=W,
+        color_w=float(color_taa_w), moments_w=float(moments_taa_w),
+        interpret=interpret,
+    )
+    geo = jnp.concatenate([geo7, extra], axis=0)
+    history2 = None
+    for it, s in enumerate(strides):
+        cv = wavelet_iter_pallas(geo, cv, s, cfg, H=H, W=W, interpret=interpret)
+        if it == 0:
+            history2, _ = unpack_cv_pair(cv, H, W)
+    out_color2, _ = unpack_cv_pair(cv, H, W)
+    if history2 is None:
+        history2 = out_color2
+    mimg = mst[:, PAD : PAD + H, PAD : PAD + W]
+    new_state2 = SVGFState(
+        miu1=jnp.stack([mimg[0], mimg[1]]).astype(dt),
+        miu2=jnp.stack([mimg[2], mimg[3]]).astype(dt),
+        color_history=jnp.stack([history2[0], history2[1]]).astype(dt),
+    )
+    return out_color2.astype(dt), new_state2

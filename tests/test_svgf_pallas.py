@@ -80,3 +80,105 @@ def test_pallas_chain_packed_reuse():
     c_p, v_p = unpack_cv_pair(cv, H, W)
     np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_x2), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x2), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_temporal_matches_xla():
+    """temporal_accum_pallas_pair (box9 clamp + history lerp + bilateral/
+    temporal moments) must match the XLA temporal stages on valid pixels
+    and produce the same validity masks."""
+    from low_precision_raytracer_tpu.ops.svgf import (
+        SVGFState,
+        temporal_accumulation_color,
+        temporal_accumulation_moments,
+    )
+    from low_precision_raytracer_tpu.ops.svgf_pallas import (
+        C_FC,
+        C_VAR,
+        N_CVI,
+        PAD,
+        pack_geometry_base,
+        svgf_pallas_pair_full,
+        temporal_accum_pallas_pair,
+        _pad0,
+        _padded_dims,
+    )
+
+    H, W = 40, 96
+    cfg = RenderConfig().svgf
+    color2, var2, depth, normal, grad, _ = _data(H=H, W=W)
+    k = jax.random.PRNGKey(7)
+    ks = jax.random.split(k, 5)
+    f32 = jnp.float32
+    hist2 = jax.random.uniform(ks[0], (2, H, W, 3), f32)
+    m1_2 = jax.random.uniform(ks[1], (2, H, W), f32)
+    m2_2 = jax.random.uniform(ks[2], (2, H, W), f32) + 1.0
+    fc = jax.random.randint(ks[3], (H, W), 0, 8)
+    svgf_map = {"frame_count": fc}
+    w_c, w_m = 0.1, 0.1
+
+    # ---- XLA reference
+    def temporal(color, h, m1p, m2p):
+        integ, illum = temporal_accumulation_color(
+            color, None, svgf_map, w_c, hist_pre=h
+        )
+        miu1, miu2, var = temporal_accumulation_moments(
+            svgf_map, depth, grad, normal, None, None, illum, w_m, cfg,
+            m1_pre=m1p, m2_pre=m2p,
+        )
+        return integ, illum, miu1, miu2, var
+
+    integ_r, illum_r, miu1_r, miu2_r, var_r = jax.vmap(temporal)(
+        color2, hist2, m1_2, m2_2
+    )
+
+    # ---- fused kernel
+    tiles, hp, wp = _padded_dims(H, W)
+    geo7, _ = pack_geometry_base(depth, grad, normal, cfg)
+    col6 = _pad0(
+        jnp.stack([color2[i, ..., c] for i in (0, 1) for c in range(3)]),
+        H, W, hp, wp,
+    )
+    ctr11 = _pad0(
+        jnp.stack(
+            [hist2[i, ..., c] for i in (0, 1) for c in range(3)]
+            + [m1_2[0], m1_2[1], m2_2[0], m2_2[1], fc.astype(f32)]
+        ),
+        H, W, hp, wp,
+    )
+    cv, extra, mst = temporal_accum_pallas_pair(
+        col6, geo7, ctr11, cfg, H=H, W=W, color_w=w_c, moments_w=w_m,
+        interpret=True,
+    )
+    img = lambda a: np.asarray(a[:, PAD : PAD + H, PAD : PAD + W])
+    cvi, exti, msti = img(cv), img(extra), img(mst)
+
+    def close(a, b, name, atol=2e-4):
+        a, b = np.asarray(a), np.asarray(b)
+        fin = np.isfinite(a) & np.isfinite(b)
+        assert np.isfinite(a).mean() > 0.5, f"{name}: mostly NaN"
+        np.testing.assert_allclose(a[fin], b[fin], rtol=2e-4, atol=atol,
+                                   err_msg=name)
+
+    for i, b in enumerate((0, N_CVI)):
+        for c in range(3):
+            close(cvi[b + c], integ_r[i, ..., c], f"integ[{i}][{c}]")
+        close(cvi[b + C_VAR], var_r[i], f"var[{i}]")
+        close(exti[i], jnp.where(jnp.isfinite(illum_r[i]), illum_r[i], 0.0),
+              f"illum[{i}]")
+        close(msti[i], miu1_r[i], f"miu1[{i}]")
+        close(msti[2 + i], miu2_r[i], f"miu2[{i}]")
+    # masks: 0/1 and zero wherever geometry/colour is invalid
+    fcm = cvi[C_FC]
+    assert set(np.unique(fcm)).issubset({0.0, 1.0})
+
+    # ---- end-to-end wrapper smoke test (full chain, both instances)
+    state2 = SVGFState(
+        miu1=m1_2, miu2=m2_2, color_history=hist2.astype(color2.dtype)
+    )
+    out2, new_state2 = svgf_pallas_pair_full(
+        color2, state2, svgf_map, depth, grad, normal, cfg, w_c, w_m,
+        (hist2, m1_2, m2_2), (1, 2), interpret=True,
+    )
+    assert out2.shape == (2, H, W, 3)
+    assert new_state2.miu1.shape == (2, H, W)
+    assert np.isfinite(np.asarray(out2)).mean() > 0.5
