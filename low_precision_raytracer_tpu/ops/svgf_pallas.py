@@ -522,8 +522,6 @@ def _temporal_tile_body(
     # ---- stage 1 on (RT + 4, We): box9 moments, outlier clamp, history
     # lerp, illuminance — computed 2 rows/cols beyond the centre so the
     # 5x5 moments taps read locally
-    s1 = lambda x: x[2 : 2 + RT + 4 + 4 - 4, :]  # noqa: E731 (unused helper)
-
     def box9(x_full):
         """x_full: (RT+_TROWS, wp) -> (RT+4, We) 9x9 box sum."""
         csum = rotw(x_full, -4)
