@@ -405,6 +405,7 @@ def svgf_denoise_pair(
     moments_taa_w,
     prefetch2=None,
     wavelet_impl: str | None = None,
+    interpret: bool = False,
 ):
     """Both denoiser instances (GI-colored + GI-white,
     `rt/gui/imgui_window.cu:231-239`) in one pass: the temporal stages run
@@ -451,6 +452,7 @@ def svgf_denoise_pair(
         return svgf_pallas_pair_full(
             color2, state2, svgf_map, depth, grad, normal, cfg,
             color_taa_w, moments_taa_w, prefetch2, cfg.strides,
+            interpret=interpret,
         )
 
     def temporal(color, state, pre):

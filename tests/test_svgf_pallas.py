@@ -182,3 +182,39 @@ def test_fused_temporal_matches_xla():
     assert out2.shape == (2, H, W, 3)
     assert new_state2.miu1.shape == (2, H, W)
     assert np.isfinite(np.asarray(out2)).mean() > 0.5
+
+
+def test_denoise_pair_pallas_no_prefetch():
+    """svgf_denoise_pair(impl='pallas') without a prefetch must compute its
+    own finished fetches and roughly agree with the XLA implementation."""
+    from low_precision_raytracer_tpu.ops.svgf import SVGFState, svgf_denoise_pair
+
+    H, W = 40, 96
+    cfg = RenderConfig().svgf
+    color2, var2, depth, normal, grad, _ = _data(H=H, W=W, with_nans=False)
+    k = jax.random.PRNGKey(3)
+    ks = jax.random.split(k, 4)
+    f32 = jnp.float32
+    state2 = SVGFState(
+        miu1=jax.random.uniform(ks[0], (2, H, W), f32),
+        miu2=jax.random.uniform(ks[1], (2, H, W), f32) + 1.0,
+        color_history=jax.random.uniform(ks[2], (2, H, W, 3), f32),
+    )
+    row = jnp.arange(H, dtype=jnp.int32)[:, None]
+    col = jnp.arange(W, dtype=jnp.int32)[None, :]
+    svgf_map = {
+        "frame_count": jax.random.randint(ks[3], (H, W), 0, 8),
+        "weights": jnp.full((H, W, 4), 0.25, f32),
+        "base_y": jnp.broadcast_to(row + 1, (H, W)),
+        "base_x": jnp.broadcast_to(col + 1, (H, W)),
+    }
+    args = (color2, state2, svgf_map, normal, depth, grad, cfg, 0.1, 0.1)
+    out_p, st_p = svgf_denoise_pair(*args, wavelet_impl="pallas", interpret=True)
+    out_x, st_x = svgf_denoise_pair(*args, wavelet_impl="xla")
+    a, b = np.asarray(out_p), np.asarray(out_x)
+    fin = np.isfinite(a) & np.isfinite(b)
+    assert fin.mean() > 0.9
+    np.testing.assert_allclose(a[fin], b[fin], rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(st_p.miu1), np.asarray(st_x.miu1), rtol=5e-3, atol=5e-3
+    )
