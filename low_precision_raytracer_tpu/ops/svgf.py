@@ -434,6 +434,10 @@ def svgf_denoise_pair(
             svgf_pallas_pair_full,
         )
 
+        import jax as _jax
+
+        interpret = interpret or _jax.default_backend() == "cpu"
+
         if prefetch2 is None:
             def fetch(state):
                 h = weighted_taps(

@@ -102,3 +102,27 @@ def test_demo_toggles():
     ).render()
     # removing GI terms cannot brighten the image
     assert np.asarray(img_direct).mean() <= np.asarray(img_all).mean() + 1e-4
+
+
+def test_full_frame_pallas_svgf_matches_xla():
+    """The TPU-default fused SVGF path (temporal kernel + wavelet chain,
+    interpret mode on CPU) must render a full frame close to the XLA
+    implementation — the guard for the path the driver's blind TPU bench
+    exercises."""
+    from low_precision_raytracer_tpu.config import SVGFConfig
+
+    def render(impl):
+        cfg = RenderConfig(
+            width=48, height=48, precision="fp32", gi_on=True,
+            svgf=SVGFConfig(wavelet_impl=impl),
+        )
+        r = Renderer(cornell_box_scene(), cfg)
+        for _ in range(2):  # frame 2 exercises real temporal history
+            img, _aux = r.render()
+        return np.asarray(img)
+
+    a = render("xla")
+    b = render("pallas")
+    assert np.isfinite(b).all()
+    p = psnr(a, b)
+    assert p > 35, f"pallas-vs-xla full frame PSNR {p:.1f} dB"
