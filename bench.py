@@ -37,14 +37,16 @@ def parity_at_spec(width=1920, height=1080, precision="bf16", frames=8):
     return psnr(imgs["fp32"], imgs[precision]), ssim(imgs["fp32"], imgs[precision])
 
 
-def bench(width=1920, height=1080, precision="bf16", frames=20, warmup=3):
-    from low_precision_raytracer_tpu.config import RenderConfig
+def bench(width=1920, height=1080, precision="bf16", frames=20, warmup=3,
+          wavelet_impl="auto"):
+    from low_precision_raytracer_tpu.config import RenderConfig, SVGFConfig
     from low_precision_raytracer_tpu.models.procedural import cornell_box_scene
     from low_precision_raytracer_tpu.models.scene import build_scene_arrays, flatten_frame
     from low_precision_raytracer_tpu.render.framestate import init_frame_state
     from low_precision_raytracer_tpu.render.renderer import render_frame
 
-    cfg = RenderConfig(width=width, height=height, precision=precision, gi_on=True)
+    cfg = RenderConfig(width=width, height=height, precision=precision, gi_on=True,
+                       svgf=SVGFConfig(wavelet_impl=wavelet_impl))
     host = cornell_box_scene()
     scene = build_scene_arrays(host, cfg.prec, leaf_size=cfg.bvh_leaf_size)
     frame = flatten_frame(
@@ -101,7 +103,14 @@ def main():
             )
         except Exception as e:  # noqa: BLE001
             print(f"[bench] parity failed: {e}", file=sys.stderr)
-        mrays, dt, n_rays = bench()
+        try:
+            mrays, dt, n_rays = bench()
+        except Exception as e:  # noqa: BLE001
+            # safety net: if the fused Pallas denoiser path fails to compile
+            # on this toolchain, still report a real number on the XLA path
+            print(f"[bench] default path failed ({e}); retrying with "
+                  "wavelet_impl='xla'", file=sys.stderr)
+            mrays, dt, n_rays = bench(wavelet_impl="xla")
         print(
             json.dumps(
                 {
