@@ -103,14 +103,17 @@ def main():
             )
         except Exception as e:  # noqa: BLE001
             print(f"[bench] parity failed: {e}", file=sys.stderr)
-        try:
-            mrays, dt, n_rays = bench()
-        except Exception as e:  # noqa: BLE001
-            # safety net: if the fused Pallas denoiser path fails to compile
-            # on this toolchain, still report a real number on the XLA path
-            print(f"[bench] default path failed ({e}); retrying with "
-                  "wavelet_impl='xla'", file=sys.stderr)
-            mrays, dt, n_rays = bench(wavelet_impl="xla")
+        # safety ladder: if the fused Pallas denoiser path fails to compile
+        # on this toolchain, still report a real number on a proven path
+        mrays = None
+        for impl in ("auto", "pallas_wavelet", "xla"):
+            try:
+                mrays, dt, n_rays = bench(wavelet_impl=impl)
+                break
+            except Exception as e:  # noqa: BLE001
+                print(f"[bench] wavelet_impl={impl} failed: {e}", file=sys.stderr)
+        if mrays is None:
+            raise RuntimeError("all denoiser paths failed")
         print(
             json.dumps(
                 {

@@ -110,8 +110,11 @@ class SVGFConfig:
     # frames below this use the spatial (bilateral) moments estimate
     # (`rt/rtrt/cuda.hpp:1271`)
     spatial_moments_below: int = 4
-    # wavelet backend: 'auto' (fused Pallas kernel on TPU, XLA elsewhere),
-    # 'pallas', or 'xla'
+    # denoiser backend: 'auto' (fully fused Pallas pipeline on TPU — the
+    # temporal-accumulation kernel + wavelet chain — XLA elsewhere),
+    # 'pallas' (same, explicit), 'pallas_wavelet' (XLA temporal stages +
+    # Pallas wavelet chain), 'xla' (stencils), or 'xla_halo' (unrolled-tap
+    # stencils for GSPMD halo partitioning under device meshes)
     wavelet_impl: str = "auto"
 
 

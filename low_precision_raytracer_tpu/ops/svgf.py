@@ -481,6 +481,19 @@ def svgf_denoise_pair(
             color2, state2, prefetch2
         )
 
+    if impl == "pallas_wavelet":
+        # XLA temporal stages + the Pallas wavelet chain (the pre-fusion
+        # TPU path, kept as the measured-safe fallback tier)
+        from low_precision_raytracer_tpu.ops.svgf_pallas import (
+            wavelet_chain_pallas_pair,
+        )
+
+        out2, hist2 = wavelet_chain_pallas_pair(
+            integrated2, var2, depth, grad, normal, illum2, cfg.strides, cfg,
+            interpret=interpret or jax.default_backend() == "cpu",
+        )
+        return out2, SVGFState(miu1=miu1_2, miu2=miu2_2, color_history=hist2)
+
     def chain(c, v, illum):
         hist = None
         for it, stride in enumerate(cfg.strides):
