@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from low_precision_raytracer_tpu.config import SVGFConfig
 from low_precision_raytracer_tpu.math.vec import luminance, value_or
-from low_precision_raytracer_tpu.ops.reproject import gather_taps, sample_linear, weighted_taps
+from low_precision_raytracer_tpu.ops.reproject import gather_taps, weighted_taps
 
 WAVELET_H = (3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
 GAUSS_G = (1.0 / 2.0, 1.0 / 4.0)
