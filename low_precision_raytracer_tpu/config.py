@@ -194,6 +194,13 @@ class RenderConfig:
     # triangles per BVH leaf (reference uses 1, `rt/trace/object_bvh.hpp:75`;
     # >1 trades traversal steps for vectorized leaf tests — better on TPU)
     bvh_leaf_size: int = 4
+    # incoherent-launch coherence recovery (GI bounces, secondary shadows):
+    # 'beam'   - morton sort on interleaved origin+|direction| bits
+    # 'origin' - morton sort on origin bits only (the round-2 key)
+    # 'none'   - no sort; keep pixel-order screen-block tiles and rely on
+    #            the box-distance ordered early exit
+    # (tools/bench_incoherent_ab.py measures the three on real scenes)
+    incoherent_sort: str = "beam"
     # device mesh for multi-chip rendering (parallel/tiling.py sets this):
     # when present, the Pallas trace kernels run under shard_map with rays
     # partitioned over the mesh's pixel axis — per-shard by construction,
@@ -205,6 +212,7 @@ class RenderConfig:
         assert self.precision in _PRECISIONS
         assert self.triangle_fallback in ("auto", "both", "dtype", "mxu3")
         assert self.traversal_impl in ("auto", "jax", "dense", "dense_pallas", "pallas")
+        assert self.incoherent_sort in ("beam", "origin", "none")
         assert self.max_bounces >= 1, "max_bounces counts the primary shade round"
 
     @property

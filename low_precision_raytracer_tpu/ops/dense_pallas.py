@@ -1045,7 +1045,10 @@ def _morton_key(origins, directions, live=None, mode: str = "beam"):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("prec", "fallback", "find_any", "interpret", "stream")
+    jax.jit,
+    static_argnames=(
+        "prec", "fallback", "find_any", "interpret", "stream", "key_mode"
+    ),
 )
 def trace_rays_dense_pallas_sorted(
     scene,
@@ -1061,6 +1064,7 @@ def trace_rays_dense_pallas_sorted(
     find_any: bool = False,
     interpret: bool = False,
     stream: bool = False,
+    key_mode: str = "beam",
 ) -> Hit:
     """Coherence-recovering launch for INCOHERENT rays (GI bounces,
     secondary shadow rays): a key-value `lax.sort` groups rays by
@@ -1076,7 +1080,7 @@ def trace_rays_dense_pallas_sorted(
         skip_tri = jnp.full((R,), -1, jnp.int32)
     min_dist = jnp.broadcast_to(jnp.asarray(min_dist, F32), (R,))
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, F32), (R,))
-    key = _morton_key(origins, directions, live=max_dist > min_dist)
+    key = _morton_key(origins, directions, live=max_dist > min_dist, mode=key_mode)
     of = origins.astype(F32)
     df = directions.astype(F32)
     idx = jnp.arange(R, dtype=jnp.int32)

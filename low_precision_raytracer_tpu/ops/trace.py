@@ -180,8 +180,15 @@ def trace(
         ti = _instance_tris(frame)
         stream = ti > cfg.dense_pallas_max_tris  # table too big for VMEM
         fb = resolve_fallback(cfg.triangle_fallback, prec, "dense_pallas")
-        # sorting pays only when there are chunks to cull
-        if not coherent and len(frame.obj_layout) > 1 and ti > 4 * TC:
+        # sorting pays only when there are chunks to cull; cfg.incoherent_sort
+        # picks the recovery strategy ('none' keeps pixel-order screen
+        # blocks and relies on the box-distance ordered early exit)
+        if (
+            not coherent
+            and len(frame.obj_layout) > 1
+            and ti > 4 * TC
+            and cfg.incoherent_sort != "none"
+        ):
             return trace_rays_dense_pallas_sorted(
                 scene,
                 frame,
@@ -195,6 +202,7 @@ def trace(
                 find_any=find_any,
                 interpret=interpret,
                 stream=stream,
+                key_mode=cfg.incoherent_sort,
             )
         return trace_rays_dense_pallas(
             scene,
