@@ -242,3 +242,52 @@ def test_overflow_sweep_matches_xla(monkeypatch):
     )
     same = np.asarray(hx.tri) == np.asarray(href.tri)
     assert same.mean() > 0.99, f"tri agreement {same.mean()}"
+
+
+def test_many_objects_route_and_trace():
+    """>512-object scenes must route to the dense Pallas backend (the old
+    cliff fell to the 0.006 Mrays/s walk) and trace correctly with the
+    chunk-only cull."""
+    import numpy as np2
+
+    from low_precision_raytracer_tpu.models.hierarchy import CameraObject
+    from low_precision_raytracer_tpu.models.materials import Material
+    from low_precision_raytracer_tpu.models.procedural import (
+        _mesh_node,
+        cube_mesh,
+    )
+    from low_precision_raytracer_tpu.models.scene import HostScene
+
+    scene_h = HostScene()
+    cube = scene_h.add_mesh(cube_mesh(0.4))
+    mat = scene_h.add_material(Material(color=np2.array([0.7, 0.7, 0.7], np2.float32)))
+    rng = np2.random.default_rng(0)
+    n_obj = 530
+    for k in range(n_obj):
+        t = rng.uniform(-6, 6, 3).astype(np2.float32)
+        t[2] -= 10
+        scene_h.root.add(_mesh_node(scene_h, cube, mat, f"cube{k}", t=t))
+    cam = CameraObject(name="cam", fov_y=np2.pi / 3)
+    scene_h.root.add(cam)
+    scene_h.active_camera = cam
+
+    prec, scene, frame, o, d, hw = _setup(scene_h)
+    assert len(frame.obj_layout) > 512
+    assert frame.dense_chunk_lo is not None  # tables built past 512 objects
+
+    from low_precision_raytracer_tpu.config import RenderConfig
+    from low_precision_raytracer_tpu.ops.trace import resolve_impl
+
+    cfg = RenderConfig(width=hw[1], height=hw[0])
+    # routing is TPU-gated; assert the CPU-visible invariant instead: the
+    # backend the TPU branch would pick must trace correctly here
+    assert resolve_impl(scene, frame, cfg) in ("dense", "jax")  # cpu fallback
+    hx = trace_rays_dense(scene, frame, o, d, prec=prec)
+    hp = trace_rays_dense_pallas(
+        scene, frame, o, d, prec=prec, cull=True, tile_hw=hw, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hx.tri) >= 0, np.asarray(hp.tri) >= 0
+    )
+    same = np.asarray(hx.tri) == np.asarray(hp.tri)
+    assert same.mean() > 0.99, f"tri agreement {same.mean()}"
