@@ -12,7 +12,6 @@ Usage: python tools/bench_incoherent_ab.py [pillar_grid] [sphere_subdiv]
   (2, 2) = 5.3k instance tris; (6, 3) = 46.5k; (8, 4) = 328k.
 """
 
-import functools
 import sys
 import time
 
@@ -84,7 +83,6 @@ def main():
     bd, _ = uniform_hemisphere_trig(n, t_axis, b_axis, u[:R], u[R:])
     maxd = jnp.where(live, 1e5, 0.0).astype(jnp.float32)
 
-    orig_key = DP._morton_key
     variants = [
         ("sorted beam", "beam", True),
         ("sorted origin", "origin", True),
@@ -94,11 +92,9 @@ def main():
     base = None
     for name, mode, do_sort in variants:
         if do_sort:
-            DP._morton_key = functools.partial(orig_key, mode=mode)
-            DP.trace_rays_dense_pallas_sorted.clear_cache()
             fn = lambda: DP.trace_rays_dense_pallas_sorted(
                 scene, frame, pos, bd, prec=prec, min_dist=0.1, max_dist=maxd,
-                stream=stream,
+                stream=stream, key_mode=mode,
             )
         else:
             fn = lambda: DP.trace_rays_dense_pallas(
@@ -106,7 +102,6 @@ def main():
                 cull=True, tile_hw=(H, W), stream=stream,
             )
         t, h = timeit(fn)
-        DP._morton_key = orig_key
         results[name] = t
         print(f"bounce launch [{name:16s}]: {t * 1e3:8.1f} ms = {R / t / 1e6:5.1f} Mrays/s")
         if base is None:
