@@ -126,3 +126,21 @@ def test_full_frame_pallas_svgf_matches_xla():
     assert np.isfinite(b).all()
     p = psnr(a, b)
     assert p > 35, f"pallas-vs-xla full frame PSNR {p:.1f} dB"
+
+
+def test_config5_large_colonnade_renders():
+    """BASELINE config 5 at genuinely large scale (colonnade-83k: 82,690
+    instance-tris / 129 objects): the full pipeline — scene build, 4M-band
+    coefficient tables, BVH walk routing, GI + SVGF + TAA — must produce a
+    finite, lit frame.  (Tiny res: large-scene THROUGHPUT is measured on
+    TPU, tools/bench_large_scene.py.)"""
+    from low_precision_raytracer_tpu.models.procedural import sponza_like_scene
+
+    cfg = RenderConfig(width=32, height=32, precision="fp32", gi_on=True)
+    r = Renderer(sponza_like_scene(pillar_grid=8, sphere_subdiv=3), cfg)
+    img, aux = r.render()
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.05  # lit
+    v = np.asarray(aux["valid"]).mean()
+    assert 0.3 < v < 0.95, f"hit coverage {v}"  # pillars + sky both visible
