@@ -91,6 +91,8 @@ def cmd_render(args) -> int:
         triangle_fallback=args.fallback,
         traversal_impl=args.impl,
         max_bounces=args.bounces,
+        dense_epilogue=getattr(args, "epilogue", "auto"),
+        incoherent_sort=getattr(args, "incoherent_sort", "beam"),
     )
     scene = _build_scene(args.scene)
     if args.skybox:
@@ -250,6 +252,11 @@ def main(argv=None) -> int:
                     choices=["auto", "jax", "dense", "dense_pallas", "pallas"],
                     help="trace backend (auto: dense kernel small scenes, "
                          "packet BVH traversal large)")
+    pr.add_argument("--epilogue", choices=["auto", "reduce5", "pack"],
+                    default="auto", help="dense-kernel chunk epilogue")
+    pr.add_argument("--incoherent-sort",
+                    choices=["anchor", "beam", "origin", "none"],
+                    default="beam", help="bounce-launch coherence recovery")
     pr.add_argument("--bounces", type=int, default=2,
                     help="max_bounces incl. the primary shade round")
     pr.add_argument("--skybox", default=None, help="equirectangular HDR path")

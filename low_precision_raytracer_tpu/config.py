@@ -195,12 +195,26 @@ class RenderConfig:
     # >1 trades traversal steps for vectorized leaf tests — better on TPU)
     bvh_leaf_size: int = 4
     # incoherent-launch coherence recovery (GI bounces, secondary shadows):
+    # 'anchor' - sort by EXACT per-ray nearest-chunk entry bound + direction
+    #            bits (ops/dense_pallas._anchor_key): tiles get chunk-tight
+    #            origin bundles AND narrow cones, so the kernel's candidate
+    #            lists and ordered early exit work at per-ray quality — the
+    #            collapsed form of the per-ray chunk-list wavefront design
     # 'beam'   - morton sort on interleaved origin+|direction| bits
     # 'origin' - morton sort on origin bits only (the round-2 key)
     # 'none'   - no sort; keep pixel-order screen-block tiles and rely on
     #            the box-distance ordered early exit
-    # (tools/bench_incoherent_ab.py measures the three on real scenes)
+    # (tools/bench_incoherent_ab.py measures all four on real scenes)
     incoherent_sort: str = "beam"
+    # dense Pallas kernel chunk epilogue:
+    # 'reduce5' - exact winner tracking, 5 cross-sublane reductions/chunk
+    # 'pack'    - (bf16/fp16 only) packed winner key: 3 reductions/chunk +
+    #             a 2-channel table take outside the kernel; t stays exact,
+    #             u/v quantize to 1/16384, sub-truncation-window t ties may
+    #             resolve differently (see _finish_chunk_packed)
+    # 'auto'    - 'reduce5' until the TPU A/B (tools/bench_epilogue_ab.py)
+    #             lands; flip after measurement
+    dense_epilogue: str = "auto"
     # device mesh for multi-chip rendering (parallel/tiling.py sets this):
     # when present, the Pallas trace kernels run under shard_map with rays
     # partitioned over the mesh's pixel axis — per-shard by construction,
@@ -212,7 +226,8 @@ class RenderConfig:
         assert self.precision in _PRECISIONS
         assert self.triangle_fallback in ("auto", "both", "dtype", "mxu3")
         assert self.traversal_impl in ("auto", "jax", "dense", "dense_pallas", "pallas")
-        assert self.incoherent_sort in ("beam", "origin", "none")
+        assert self.incoherent_sort in ("anchor", "beam", "origin", "none")
+        assert self.dense_epilogue in ("auto", "reduce5", "pack")
         assert self.max_bounces >= 1, "max_bounces counts the primary shade round"
 
     @property

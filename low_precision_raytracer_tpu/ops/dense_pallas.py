@@ -101,6 +101,59 @@ def _finish_chunk(accept_geom, u_sel, v_sel, t, tri, obj,
     return 0
 
 
+def _finish_chunk_packed(accept_geom, u_sel, v_sel, t, tri, c, tc,
+                         mind, maxd, skip, outf_ref, ids_ref, tr):
+    """Packed chunk epilogue ('pack' mode): 3 cross-sublane reductions per
+    chunk instead of 5, and 3 output rows instead of 5.
+
+    The winner is chosen by ONE min-reduction over a packed key
+    (t bits with the low lb mantissa bits replaced by the sublane-local
+    row index — positive floats order like their bit patterns, and the
+    local index makes every key unique).  Two more reductions extract the
+    winner's EXACT t and its (u, v) as 15-bit fixed point; tri/obj ids
+    are NOT reduced at all — the winner's global coefficient-table ROW
+    (chunk * tc + local) is stored and decoded to (tri, obj) outside the
+    kernel with one 2-channel table take.
+
+    Semantics deviation vs `_finish_chunk` (documented, bf16/fp16 only):
+    triangles whose t differ by less than the truncation window
+    (2^-lb relative, lb = ceil(log2 tc) <= 7 at the production chunk
+    height) may resolve to either one (the reference's fp16 kernel has
+    the same ambiguity at ~2^-10); u/v quantize to 1/16384 absolute —
+    finer than the bf16 mantissa this mode shades with.  The STORED t is
+    exact (no truncation accumulates across chunks)."""
+    accept = (
+        accept_geom
+        & (t > mind)
+        & (t < maxd)
+        & (t > 0)
+        & (tri != skip)
+        & jnp.isfinite(t)
+    )
+    lb = max(1, (tc - 1).bit_length())
+    lmask = (1 << lb) - 1
+    sent = jnp.int32(0x7FFFFFFF)
+    local = jax.lax.broadcasted_iota(jnp.int32, (t.shape[0], tr), 0)
+    tb = jax.lax.bitcast_convert_type(t, jnp.int32)
+    key = jnp.where(accept, (tb & ~lmask) | local, sent)
+    kmin = jnp.min(key, axis=0, keepdims=True)  # (1, TR)
+    got = kmin != sent
+    win = (key == kmin) & accept
+    t_win = jnp.min(jnp.where(win, t, jnp.inf), axis=0, keepdims=True)
+    qu = jnp.clip((u_sel + 0.5) * 16384.0, 0.0, 32767.0).astype(jnp.int32)
+    qv = jnp.clip((v_sel + 0.5) * 16384.0, 0.0, 32767.0).astype(jnp.int32)
+    pk = (qu << 15) | qv
+    pk_win = jnp.max(jnp.where(win, pk, -1), axis=0, keepdims=True)
+    row_win = c * tc + (kmin & lmask)  # (1, TR) global coefficient row
+
+    better = got & (t_win < outf_ref[0:1, :])
+    outf_ref[0:1, :] = jnp.where(better, t_win, outf_ref[0:1, :])
+    ids_new = jnp.concatenate([row_win, pk_win], axis=0)
+    b2 = jnp.broadcast_to(better, (2, tr))
+    ids_ref[:, :] = jnp.where(b2, ids_new, ids_ref[:, :])
+    return 0
+
+
 def _kernel(
     *refs,
     n_chunks: int,
@@ -116,6 +169,7 @@ def _kernel(
     n32: int = 8,  # A32 block count (9 with the TriHi radix block)
     guarded: bool = True,  # single-chunk: emit the dead-tile skip?
     ablate: str = "",
+    pack: bool = False,  # packed epilogue (see _finish_chunk_packed)
 ):
     """MXU-staged chunk body: the 14 linear-in-ray quantities of the
     triangle test come from lhs-transposed `dot_general`s per chunk
@@ -197,9 +251,12 @@ def _kernel(
     c1 = jnp.float32(0.2 * d1)
     c3 = jnp.float32(0.6 * d1)
 
-    outf_ref[:, :] = jnp.concatenate(
-        [jnp.full((1, tr), 1e5, F32), jnp.zeros((2, tr), F32)], axis=0
-    )
+    if pack:
+        outf_ref[:, :] = jnp.full((1, tr), 1e5, F32)
+    else:
+        outf_ref[:, :] = jnp.concatenate(
+            [jnp.full((1, tr), 1e5, F32), jnp.zeros((2, tr), F32)], axis=0
+        )
     ids_ref[:, :] = jnp.full((2, tr), -1, jnp.int32)
 
     def run_chunk(c):
@@ -291,6 +348,11 @@ def _kernel(
             if mxu3:
                 u_sel, v_sel = u, v
                 accept_geom = (u > 0) & (v > 0) & (u + v < 1)
+                if pack:
+                    return _finish_chunk_packed(
+                        accept_geom, u_sel, v_sel, t, tri, c, tc,
+                        mind, maxd, skip, outf_ref, ids_ref, tr,
+                    )
                 return _finish_chunk(
                     accept_geom, u_sel, v_sel, t, tri, obj,
                     mind, maxd, skip, outf_ref, ids_ref, tr, ablate,
@@ -326,6 +388,11 @@ def _kernel(
                 u_sel, v_sel = u, v
                 accept_geom = dtype_accept
 
+            if pack:
+                return _finish_chunk_packed(
+                    accept_geom, u_sel, v_sel, t, tri, c, tc,
+                    mind, maxd, skip, outf_ref, ids_ref, tr,
+                )
             return _finish_chunk(
                 accept_geom, u_sel, v_sel, t, tri, obj,
                 mind, maxd, skip, outf_ref, ids_ref, tr, ablate,
@@ -722,7 +789,7 @@ def _mxu_tables(n_dt, n_f32, e, tri_ids, obj_ids, tc, dt, is_f32,
     jax.jit,
     static_argnames=(
         "prec", "fallback", "find_any", "cull", "tile_hw", "interpret",
-        "stream", "ablate",
+        "stream", "ablate", "epilogue",
     ),
 )
 def trace_rays_dense_pallas(
@@ -742,6 +809,7 @@ def trace_rays_dense_pallas(
     interpret: bool = False,
     stream: bool = False,  # HBM-streamed coefficient table (large scenes)
     ablate: str = "",  # perf-probe switches, see _kernel (not for production)
+    epilogue: str = "reduce5",  # 'pack' = packed winner key epilogue
 ) -> Hit:
     assert frame.dense_n is not None, "dense coefficients missing"
     # 'mxu3' (bf16/fp16 only): the manual bf16x3 MXU dot — already required
@@ -755,6 +823,10 @@ def trace_rays_dense_pallas(
     if fallback == "mxu3" and prec.is_f32:
         fallback = "both"
     mxu3 = fallback == "mxu3"
+    # the packed epilogue quantizes u/v to 15-bit fixed point — finer than
+    # the bf16 mantissa but a deviation from exact fp32 semantics, so fp32
+    # render mode (and the no-id ablation probe) keeps the full epilogue
+    pack = epilogue == "pack" and not prec.is_f32 and "ids" not in ablate
     dt = prec.dtype
     R = origins.shape[0]
     if skip_tri is None:
@@ -820,8 +892,10 @@ def trace_rays_dense_pallas(
         n_dt = jnp.pad(n_dt, ((0, ti_pad), (0, 0)))
         n_f32 = jnp.pad(n_f32, ((0, ti_pad), (0, 0)))
         e = jnp.pad(e, ((0, ti_pad), (0, 0)), constant_values=1.0)
-    tri_ids = jnp.pad(frame.dense_tri, (0, ti_pad), constant_values=-2)[:, None]
-    obj_ids = jnp.pad(frame.dense_obj, (0, ti_pad), constant_values=-1)[:, None]
+    tri_pad = jnp.pad(frame.dense_tri, (0, ti_pad), constant_values=-2)
+    obj_pad = jnp.pad(frame.dense_obj, (0, ti_pad), constant_values=-1)
+    tri_ids = tri_pad[:, None]
+    obj_ids = obj_pad[:, None]
     n_chunks = (TI + ti_pad) // tc
 
     r_pad = (-R) % tr
@@ -906,6 +980,7 @@ def trace_rays_dense_pallas(
         single=single,
         guarded=not all_live,
         ablate=ablate,
+        pack=pack,
     )
 
     # index maps take (grid index[, scalar-prefetch ref])
@@ -956,11 +1031,12 @@ def trace_rays_dense_pallas(
         axis=0,
     )  # (11, Rp)
     in_specs = table_specs + [ray_block(11)]
+    nf = 1 if pack else 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0 if single else 1,
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=[ray_block(3), ray_block(2)],
+        out_specs=[ray_block(nf), ray_block(2)],
         scratch_shapes=scratch_shapes,
     )
     args = ([] if single else [active]) + [*table_args, rays]
@@ -968,7 +1044,7 @@ def trace_rays_dense_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((3, Rp), F32),
+            jax.ShapeDtypeStruct((nf, Rp), F32),
             jax.ShapeDtypeStruct((2, Rp), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -979,6 +1055,21 @@ def trace_rays_dense_pallas(
     def cut(x):
         x = x[:R]
         return from_blocks(x, H_t, W_t) if use_blocks else x
+
+    if pack:
+        # decode the packed epilogue outputs: winner coefficient-table ROW
+        # -> (tri, obj) via one 2-channel table take, 15-bit fixed-point
+        # (u, v) -> f32.  Misses carry row = -1 from the init.
+        row = cut(ids[0])
+        pk = cut(ids[1])
+        valid = row >= 0
+        rc = jnp.clip(row, 0, tri_pad.shape[0] - 1)
+        tri_o = jnp.where(valid, jnp.take(tri_pad, rc), -1)
+        obj_o = jnp.where(valid, jnp.take(obj_pad, rc), -1)
+        inv_q = jnp.float32(1.0 / 16384.0)
+        u_o = jnp.where(valid, (pk >> 15).astype(F32) * inv_q - 0.5, 0.0)
+        v_o = jnp.where(valid, (pk & 0x7FFF).astype(F32) * inv_q - 0.5, 0.0)
+        return Hit(t=cut(outf[0]), u=u_o, v=v_o, tri=tri_o, obj=obj_o)
 
     return Hit(t=cut(outf[0]), u=cut(outf[1]), v=cut(outf[2]),
                tri=cut(ids[0]), obj=cut(ids[1]))
@@ -1044,10 +1135,98 @@ def _morton_key(origins, directions, live=None, mode: str = "beam"):
     return key
 
 
+def _anchor_key(frame, origins, directions, min_dist, max_dist, live):
+    """EXACT per-ray scheduling collapsed into a sort key: the anchor is
+    the ray's nearest chunk by slab-test entry bound (computed per RAY,
+    not per tile — the tile-level interval bundle degenerates on
+    incoherent launches, this does not), followed by direction bits.
+
+    Rays grouped by (anchor, direction) form tiles whose origin bundle is
+    chunk-tight AND whose direction cone is narrow, so the kernel's
+    interval-bundle candidate list and box-distance ordered early exit
+    both work at per-ray quality — the cheap form of the per-ray
+    chunk-list wavefront (docs/TPU_NOTES.md design sketch): each tile's
+    ordered walk IS the per-ray ordered traversal at tile granularity.
+
+    Chunks group into <= 1024 anchors (consecutive-id supersets share
+    spatial locality by construction) to bound the (R, NA) sweep; the
+    argmin is one VPU pass over it, evaluated in ray slabs via lax.map so
+    the intermediate stays ~16M elements regardless of R."""
+    of = origins.astype(F32)
+    df = directions.astype(F32)
+    lo = frame.dense_chunk_lo
+    hi = frame.dense_chunk_hi
+    nc = lo.shape[0]
+    s = -(-nc // 1024)  # supergroup size -> <= 1024 anchors
+    if s > 1:
+        pad = (-nc) % s
+        big = jnp.float32(3e38)
+        lo_g = jnp.pad(lo, ((0, pad), (0, 0)), constant_values=big)
+        hi_g = jnp.pad(hi, ((0, pad), (0, 0)), constant_values=-big)
+        lo_g = lo_g.reshape(-1, s, 3).min(axis=1)
+        hi_g = hi_g.reshape(-1, s, 3).max(axis=1)
+    else:
+        lo_g, hi_g = lo, hi
+    na = lo_g.shape[0]
+
+    R = of.shape[0]
+    rs = max(4096, min(R, (1 << 24) // na))  # slab size: ~16M-element sweep
+    r_pad = (-R) % rs
+    mx = jnp.broadcast_to(jnp.asarray(max_dist, F32), (R,))
+    if r_pad:
+        of_p = jnp.pad(of, ((0, r_pad), (0, 0)))
+        df_p = jnp.pad(df, ((0, r_pad), (0, 0)), constant_values=1.0)
+        mx_p = jnp.pad(mx, (0, r_pad))
+    else:
+        of_p, df_p, mx_p = of, df, mx
+
+    def slab_anchor(args):
+        o, d, mxd = args  # (rs, 3), (rs, 3), (rs,)
+        inv = 1.0 / d
+        big = jnp.float32(3e38)
+        t1 = (lo_g[None] - o[:, None]) * inv[:, None]  # (rs, NA, 3)
+        t2 = (hi_g[None] - o[:, None]) * inv[:, None]
+        a = jnp.minimum(t1, t2)
+        b = jnp.maximum(t1, t2)
+        fin = jnp.isfinite(a) & jnp.isfinite(b)
+        tmin = jnp.max(jnp.where(fin, a, -big), axis=-1)
+        tmax = jnp.min(jnp.where(fin, b, big), axis=-1)
+        slop = jnp.float32(0.02)
+        entry = jnp.maximum(tmin - slop, 0.0)
+        ok = (
+            jnp.any(fin, axis=-1)
+            & (tmin <= tmax + slop)
+            & (tmax + slop >= 0)
+            & (entry < mxd[:, None])
+        )
+        return jnp.argmin(jnp.where(ok, entry, big), axis=1).astype(jnp.int32)
+
+    n_slabs = (R + r_pad) // rs
+    anchor = jax.lax.map(
+        slab_anchor,
+        (
+            of_p.reshape(n_slabs, rs, 3),
+            df_p.reshape(n_slabs, rs, 3),
+            mx_p.reshape(n_slabs, rs),
+        ),
+    ).reshape(-1)[:R]
+
+    octant = (
+        (df[:, 0] > 0).astype(jnp.int32)
+        | ((df[:, 1] > 0).astype(jnp.int32) << 1)
+        | ((df[:, 2] > 0).astype(jnp.int32) << 2)
+    )
+    qd = jnp.clip(jnp.abs(df) * 3, 0, 3).astype(jnp.int32)  # 2 bits/axis
+    dirbits = (octant << 6) | (qd[:, 0] << 4) | (qd[:, 1] << 2) | qd[:, 2]
+    key = (anchor << 9) | dirbits
+    return key | jnp.where(live, 0, jnp.int32(1 << 28))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "prec", "fallback", "find_any", "interpret", "stream", "key_mode"
+        "prec", "fallback", "find_any", "interpret", "stream", "key_mode",
+        "epilogue",
     ),
 )
 def trace_rays_dense_pallas_sorted(
@@ -1065,6 +1244,7 @@ def trace_rays_dense_pallas_sorted(
     interpret: bool = False,
     stream: bool = False,
     key_mode: str = "beam",
+    epilogue: str = "reduce5",
 ) -> Hit:
     """Coherence-recovering launch for INCOHERENT rays (GI bounces,
     secondary shadow rays): a key-value `lax.sort` groups rays by
@@ -1080,7 +1260,17 @@ def trace_rays_dense_pallas_sorted(
         skip_tri = jnp.full((R,), -1, jnp.int32)
     min_dist = jnp.broadcast_to(jnp.asarray(min_dist, F32), (R,))
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, F32), (R,))
-    key = _morton_key(origins, directions, live=max_dist > min_dist, mode=key_mode)
+    if key_mode == "anchor" and frame.dense_chunk_lo is not None:
+        key = _anchor_key(
+            frame, origins, directions, min_dist, max_dist,
+            live=max_dist > min_dist,
+        )
+    else:
+        if key_mode == "anchor":
+            key_mode = "beam"  # no chunk AABBs to anchor on
+        key = _morton_key(
+            origins, directions, live=max_dist > min_dist, mode=key_mode
+        )
     of = origins.astype(F32)
     df = directions.astype(F32)
     idx = jnp.arange(R, dtype=jnp.int32)
@@ -1106,6 +1296,7 @@ def trace_rays_dense_pallas_sorted(
         tile_hw=None,  # tiles = consecutive 512 sorted rays
         interpret=interpret,
         stream=stream,
+        epilogue=epilogue,
     )
     back = jax.lax.sort([srt[10], hit.t, hit.u, hit.v, hit.tri, hit.obj], num_keys=1)
     return Hit(t=back[1], u=back[2], v=back[3], tri=back[4], obj=back[5])

@@ -180,6 +180,7 @@ def trace(
         ti = _instance_tris(frame)
         stream = ti > cfg.dense_pallas_max_tris  # table too big for VMEM
         fb = resolve_fallback(cfg.triangle_fallback, prec, "dense_pallas")
+        ep = "reduce5" if cfg.dense_epilogue == "auto" else cfg.dense_epilogue
         # sorting pays only when there are chunks to cull; cfg.incoherent_sort
         # picks the recovery strategy ('none' keeps pixel-order screen
         # blocks and relies on the box-distance ordered early exit)
@@ -203,6 +204,7 @@ def trace(
                 interpret=interpret,
                 stream=stream,
                 key_mode=cfg.incoherent_sort,
+                epilogue=ep,
             )
         return trace_rays_dense_pallas(
             scene,
@@ -218,6 +220,7 @@ def trace(
             tile_hw=(cfg.height, cfg.width),
             interpret=interpret,
             stream=stream,
+            epilogue=ep,
         )
     if impl == "dense":
         return trace_rays_dense(

@@ -291,3 +291,100 @@ def test_many_objects_route_and_trace():
     )
     same = np.asarray(hx.tri) == np.asarray(hp.tri)
     assert same.mean() > 0.99, f"tri agreement {same.mean()}"
+
+
+@pytest.mark.parametrize("scene_kind", ["cornell", "sponza"])
+def test_pack_epilogue_matches_reduce5(scene_kind):
+    """'pack' chunk epilogue (3 reductions + outside row decode) vs the
+    exact 'reduce5' epilogue: identical hit masks, exact-equal t on agreeing
+    lanes, tri/obj agreement everywhere except sub-truncation-window t ties,
+    u/v within the 1/16384 quantization step."""
+    host = (
+        cornell_box_scene()
+        if scene_kind == "cornell"
+        else sponza_like_scene(pillar_grid=2, sphere_subdiv=1, with_skybox=False)
+    )
+    prec, scene, frame, o, d, hw = _setup(host, prec_name="bf16")
+    kw = dict(prec=prec, fallback="mxu3", cull=True, tile_hw=hw, interpret=True)
+    h5 = trace_rays_dense_pallas(scene, frame, o, d, epilogue="reduce5", **kw)
+    hp = trace_rays_dense_pallas(scene, frame, o, d, epilogue="pack", **kw)
+    np.testing.assert_array_equal(
+        np.asarray(h5.tri) >= 0, np.asarray(hp.tri) >= 0
+    )
+    same = np.asarray(h5.tri) == np.asarray(hp.tri)
+    assert same.mean() > 0.999, f"tri agreement {same.mean()}"
+    both = same & (np.asarray(h5.tri) >= 0)
+    # winner t is extracted exactly (not truncated) in pack mode
+    np.testing.assert_allclose(
+        np.asarray(h5.t)[both], np.asarray(hp.t)[both], rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(h5.obj)[both], np.asarray(hp.obj)[both]
+    )
+    for a, b in ((h5.u, hp.u), (h5.v, hp.v)):
+        err = np.abs(np.asarray(a)[both] - np.asarray(b)[both])
+        assert err.max() <= 1.0 / 16384 + 1e-6, f"uv quantization {err.max()}"
+
+
+def test_pack_epilogue_fp32_falls_back():
+    """fp32 render mode keeps exact reference semantics: 'pack' silently
+    resolves to the full epilogue (bit-identical outputs)."""
+    prec, scene, frame, o, d, hw = _setup(cornell_box_scene())
+    h5 = trace_rays_dense_pallas(
+        scene, frame, o, d, prec=prec, tile_hw=hw, interpret=True
+    )
+    hp = trace_rays_dense_pallas(
+        scene, frame, o, d, prec=prec, tile_hw=hw, interpret=True,
+        epilogue="pack",
+    )
+    np.testing.assert_array_equal(np.asarray(h5.tri), np.asarray(hp.tri))
+    np.testing.assert_array_equal(np.asarray(h5.u), np.asarray(hp.u))
+
+
+def test_pack_epilogue_find_any_shadows():
+    """Any-hit (shadow) launches through the packed epilogue: the hit mask
+    must match the full epilogue's (occlusion is a boolean — tie-breaking
+    differences cannot change it)."""
+    import jax.numpy as jnp
+
+    host = sponza_like_scene(pillar_grid=2, sphere_subdiv=1, with_skybox=False)
+    prec, scene, frame, o, d, hw = _setup(host, prec_name="bf16")
+    kw = dict(
+        prec=prec, fallback="mxu3", cull=True, tile_hw=hw, interpret=True,
+        find_any=True, min_dist=0.01, max_dist=50.0,
+    )
+    h5 = trace_rays_dense_pallas(scene, frame, o, d, epilogue="reduce5", **kw)
+    hp = trace_rays_dense_pallas(scene, frame, o, d, epilogue="pack", **kw)
+    np.testing.assert_array_equal(
+        np.asarray(h5.tri) >= 0, np.asarray(hp.tri) >= 0
+    )
+
+
+def test_anchor_sorted_matches_plain():
+    """'anchor' incoherent key (exact per-ray nearest-chunk + direction
+    bits) must return the same hits as the unsorted launch."""
+    import jax
+
+    from low_precision_raytracer_tpu.ops.dense_pallas import (
+        trace_rays_dense_pallas_sorted,
+    )
+
+    host = sponza_like_scene(pillar_grid=2, sphere_subdiv=1, with_skybox=False)
+    prec, scene, frame, o, d, hw = _setup(host)
+    perm = jax.random.permutation(jax.random.PRNGKey(7), o.shape[0])
+    o, d = o[perm], d[perm]
+    hp = trace_rays_dense_pallas(
+        scene, frame, o, d, prec=prec, cull=True, tile_hw=None, interpret=True
+    )
+    ha = trace_rays_dense_pallas_sorted(
+        scene, frame, o, d, prec=prec, interpret=True, key_mode="anchor"
+    )
+    same = np.asarray(hp.tri) == np.asarray(ha.tri)
+    assert same.mean() > 0.999, f"tri agreement {same.mean()}"
+    np.testing.assert_array_equal(
+        np.asarray(hp.tri) >= 0, np.asarray(ha.tri) >= 0
+    )
+    both = same & (np.asarray(hp.tri) >= 0)
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[both], np.asarray(ha.t)[both], rtol=1e-4, atol=1e-4
+    )

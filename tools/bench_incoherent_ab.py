@@ -3,9 +3,10 @@
 Generates GI-bounce-like rays (origins = primary hit points in PIXEL order,
 directions = uniform hemisphere around the hit normal) on a colonnade scene
 and measures the dense Pallas backend under:
-  1. morton-sorted, 'beam' 6-D key (origin+direction interleaved)
-  2. morton-sorted, 'origin' 21-bit key (the round-2 key)
-  3. UNSORTED pixel-order screen-block tiles (tight origin bundles +
+  1. sorted by 'anchor' key (exact per-ray nearest-chunk + direction bits)
+  2. morton-sorted, 'beam' 6-D key (origin+direction interleaved)
+  3. morton-sorted, 'origin' 21-bit key (the round-2 key)
+  4. UNSORTED pixel-order screen-block tiles (tight origin bundles +
      the box-distance ordered early exit carry the culling)
 
 Usage: python tools/bench_incoherent_ab.py [pillar_grid] [sphere_subdiv]
@@ -84,6 +85,7 @@ def main():
     maxd = jnp.where(live, 1e5, 0.0).astype(jnp.float32)
 
     variants = [
+        ("sorted anchor", "anchor", True),
         ("sorted beam", "beam", True),
         ("sorted origin", "origin", True),
         ("unsorted blocks", None, False),
