@@ -93,6 +93,7 @@ def cmd_render(args) -> int:
         max_bounces=args.bounces,
         dense_epilogue=getattr(args, "epilogue", "auto"),
         incoherent_sort=getattr(args, "incoherent_sort", "beam"),
+        incoherent_impl=getattr(args, "incoherent_impl", "tile"),
     )
     scene = _build_scene(args.scene)
     if args.skybox:
@@ -257,6 +258,8 @@ def main(argv=None) -> int:
     pr.add_argument("--incoherent-sort",
                     choices=["anchor", "beam", "origin", "none"],
                     default="beam", help="bounce-launch coherence recovery")
+    pr.add_argument("--incoherent-impl", choices=["tile", "wavefront"],
+                    default="tile", help="bounce-launch implementation")
     pr.add_argument("--bounces", type=int, default=2,
                     help="max_bounces incl. the primary shade round")
     pr.add_argument("--skybox", default=None, help="equirectangular HDR path")

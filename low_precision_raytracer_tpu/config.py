@@ -206,6 +206,16 @@ class RenderConfig:
     #            the box-distance ordered early exit
     # (tools/bench_incoherent_ab.py measures all four on real scenes)
     incoherent_sort: str = "beam"
+    # incoherent-launch implementation:
+    # 'tile'      - morton-sorted tile path (trace_rays_dense_pallas_sorted)
+    # 'wavefront' - per-ray wavefront (ops/wavefront.py): exact per-ray
+    #               candidate scheduling + rank-major rounds.  Measured
+    #               need: bounce rays want ~4.5 chunk visits/ray but
+    #               tile-level unions walk ~100 bodies/tile — a ~28x gap
+    #               no sort key closes (tools/analyze_incoherent_walk.py).
+    #               bf16/fp16 multi-chunk scenes up to ~131k tris; other
+    #               launches keep the tile path.
+    incoherent_impl: str = "tile"
     # dense Pallas kernel chunk epilogue:
     # 'reduce5' - exact winner tracking, 5 cross-sublane reductions/chunk
     # 'pack'    - (bf16/fp16 only) packed winner key: 3 reductions/chunk +
@@ -227,6 +237,7 @@ class RenderConfig:
         assert self.triangle_fallback in ("auto", "both", "dtype", "mxu3")
         assert self.traversal_impl in ("auto", "jax", "dense", "dense_pallas", "pallas")
         assert self.incoherent_sort in ("anchor", "beam", "origin", "none")
+        assert self.incoherent_impl in ("tile", "wavefront")
         assert self.dense_epilogue in ("auto", "reduce5", "pack")
         assert self.max_bounces >= 1, "max_bounces counts the primary shade round"
 

@@ -186,6 +186,31 @@ def trace(
         # blocks and relies on the box-distance ordered early exit)
         if (
             not coherent
+            and cfg.incoherent_impl == "wavefront"
+            and not prec.is_f32
+            and fb == "mxu3"
+            and frame.dense_chunk_lo is not None
+            and ti > 4 * TC
+            and ti <= 131072  # v1: VMEM-resident mxu3 table, NC <= 1024
+        ):
+            from low_precision_raytracer_tpu.ops.wavefront import (
+                trace_rays_wavefront,
+            )
+
+            return trace_rays_wavefront(
+                scene,
+                frame,
+                origins,
+                directions,
+                prec=prec,
+                skip_tri=skip_tri,
+                min_dist=min_dist,
+                max_dist=max_dist,
+                find_any=find_any,
+                interpret=interpret,
+            )
+        if (
+            not coherent
             and len(frame.obj_layout) > 1
             and ti > 4 * TC
             and cfg.incoherent_sort != "none"

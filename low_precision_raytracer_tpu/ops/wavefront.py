@@ -1,0 +1,443 @@
+"""Per-ray wavefront traversal for INCOHERENT launches on multi-chunk
+scenes — the exact-scheduling successor to the tile-level morton-sorted
+walk (`trace_rays_dense_pallas_sorted`).
+
+Why: the tile path's candidate set is the UNION of 512 rays' chunks.
+Measured on bounce rays at 46.5k tris (tools/analyze_incoherent_walk.py):
+per-ray exact traversal needs ~4.5 chunk visits/ray, but every tile-level
+grouping (beam / origin / anchor keys) walks ~100 bodies/tile — a ~28x gap
+that no sort key closes, because hemisphere-sampled directions inside one
+tile legitimately span most of the scene.  The reference's per-thread
+stackless BVH walk (`rt/rtrt/cuda.hpp:415-631`) has per-ray exactness by
+construction; this is its TPU-native equivalent: sorts give the coherence,
+the kernel stays dense and vectorized.
+
+Structure (docs/TPU_NOTES.md "chunk-major pair expansion", rank-major
+form):
+
+1. SCHEDULE (XLA): exact per-ray slab tests against all chunk AABBs give
+   each ray its K nearest candidate chunks, ascending by conservative
+   entry bound, as packed (entry bits | chunk id) words.  Evaluated in
+   ray slabs via lax.map (intermediate stays ~16M elements); candidates
+   extracted with K min-extraction passes (no sort along NC).
+2. ROUNDS (XLA loop, static count): each round, live rays sort by the
+   chunk id of their first untested candidate; the assigned-chunk kernel
+   tests every lane against the Q=4 candidate chunks it brought along
+   (per-tile distinct-chunk lists ride scalar prefetch; lanes match by
+   id).  A ray RETIRES when min(best_t, maxd) <= the entry bound of its
+   next untested candidate — the per-ray ordered-traversal invariant.
+3. SWEEP: rays still unresolved after the rounds (deferred lanes, > K
+   candidates) fall back to the existing tile-path launch with every
+   resolved lane masked dead (dead-lane clustering makes it cheap).
+
+The kernel reuses the packed epilogue (`_finish_chunk_packed`): rounds
+carry (t, winner row, packed uv) and the decode to (tri, obj, u, v)
+happens once at the end.  bf16/fp16 only (the mxu3 triangle test); fp32
+callers keep the tile path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from low_precision_raytracer_tpu.config import Precision
+from low_precision_raytracer_tpu.ops.traversal import Hit
+from low_precision_raytracer_tpu.ops.dense_pallas import (
+    TC,
+    TR,
+    _finish_chunk_packed,
+    _mxu_tables,
+    _pad128,
+)
+
+F32 = jnp.float32
+K_CAND = 16   # candidate chunks per ray (p99 coverage measured ~14)
+Q_RANKS = 4   # candidate ranks tested per round
+N_ROUNDS = 5  # K/Q rounds + one slack round for deferred lanes
+CH_CAP = 48   # per-tile distinct-chunk list cap (SMEM: G * (CH+1) words)
+
+import numpy as np
+
+# host-side constant (numpy, not jax.lax — this module may be imported
+# inside an active jit trace, where module-level lax ops would be traced)
+SENT_BITS = int(np.float32(3e38).view(np.int32))
+
+
+def _assigned_kernel(active_ref, a32_ref, rays_ref, outf_ref, ids_ref,
+                     *, tc: int, n32: int, q: int, find_any: bool):
+    """Test each lane against the Q candidate chunks it brought along.
+
+    rays_ref rows: [B32 0-7 | skip | mind | maxd | chunk_0..chunk_{q-1}]
+    (chunk rows are exact-integer f32 ids; uncovered/invalid lanes carry
+    ids above every real chunk so no list word matches them).
+    active_ref: [counts (G,) | words (G, CH_CAP)] — the tile's distinct
+    chunk ids (ascending).  No ordered early exit: every listed chunk is
+    some lane's own scheduled candidate, so all of them run."""
+    tr = rays_ref.shape[1]
+    B32 = rays_ref[0:8, :]
+    skip = rays_ref[8:9, :]
+    mind = rays_ref[9:10, :]
+    maxd = rays_ref[10:11, :]
+    ch_rows = rays_ref[11 : 11 + q, :]  # (q, TR) f32 chunk ids
+
+    outf_ref[:, :] = jnp.full((1, tr), 1e5, F32)
+    ids_ref[:, :] = jnp.full((2, tr), -1, jnp.int32)
+
+    i = pl.program_id(0)
+    g_total = pl.num_programs(0)
+    count = active_ref[i]
+    base = g_total + i * CH_CAP
+
+    bh = B32.astype(jnp.bfloat16)
+    bl = (B32 - bh.astype(F32)).astype(jnp.bfloat16)
+    b_cat = jnp.concatenate([bh, bh, bl], axis=0)
+    DN = (((0,), (0,)), ((), ()))
+    dflt = jax.lax.Precision.DEFAULT
+
+    def body(j):
+        c = active_ref[base + jnp.minimum(j, CH_CAP - 1)]
+        a32 = a32_ref[pl.ds(c * 16, 16), :]
+        ah = a32[0:8, :]
+        al = a32[8:16, :]
+        a_cat = jnp.concatenate([ah, al, ah], axis=0)
+        m32 = jax.lax.dot_general(
+            a_cat, b_cat, DN, preferred_element_type=F32, precision=dflt
+        )
+        b32 = lambda k: m32[k * tc : (k + 1) * tc]
+        Oz, Dz = b32(0), b32(1)
+        tri = b32(6)
+        if n32 == 9:
+            tri = tri + 65536.0 * b32(8)
+        Ox, Oy, Dx, Dy = b32(2), b32(3), b32(4), b32(5)
+        t = -Oz / Dz
+        u = Ox + t * Dx
+        v = Oy + t * Dy
+        cf = c.astype(F32)
+        assigned = ch_rows[0:1, :] == cf
+        for qq in range(1, q):
+            assigned = assigned | (ch_rows[qq : qq + 1, :] == cf)
+        accept_geom = (u > 0) & (v > 0) & (u + v < 1) & assigned
+        _finish_chunk_packed(
+            accept_geom, u, v, t, tri, c, tc,
+            mind, maxd, skip, outf_ref, ids_ref, tr,
+        )
+        return j + 1
+
+    if find_any:
+        # stop as soon as every live lane found its blocker
+        def cond(j):
+            live = (ids_ref[0:1, :] < 0) & (maxd > mind)
+            return (j < count) & jnp.any(live)
+    else:
+        def cond(j):
+            return j < count
+
+    jax.lax.while_loop(cond, body, jnp.int32(0))
+
+
+def _schedule(frame, o_f32, d_f32, maxd, n_chunks: int, id_bits: int, k: int):
+    """Per-ray K nearest candidate chunks: packed (entry bits | chunk id)
+    words ascending by entry, plus the (K+1)-th entry (retirement bound
+    for candidates beyond the list)."""
+    lo = frame.dense_chunk_lo  # (NC, 3)
+    hi = frame.dense_chunk_hi
+    id_mask = (1 << id_bits) - 1
+    sent = jnp.int32((SENT_BITS & ~id_mask) | id_mask)
+    ids = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
+
+    R = o_f32.shape[0]
+    rs = max(1024, min(R, (1 << 24) // max(n_chunks, 1)))
+    r_pad = (-R) % rs
+    if r_pad:
+        o_p = jnp.pad(o_f32, ((0, r_pad), (0, 0)))
+        d_p = jnp.pad(d_f32, ((0, r_pad), (0, 0)), constant_values=1.0)
+        mx_p = jnp.pad(maxd, (0, r_pad))
+    else:
+        o_p, d_p, mx_p = o_f32, d_f32, maxd
+
+    def slab(args):
+        o, d, mx = args
+        inv = 1.0 / d
+        big = jnp.float32(3e38)
+        t1 = (lo[None] - o[:, None]) * inv[:, None]  # (rs, NC, 3)
+        t2 = (hi[None] - o[:, None]) * inv[:, None]
+        a = jnp.minimum(t1, t2)
+        b = jnp.maximum(t1, t2)
+        fin = jnp.isfinite(a) & jnp.isfinite(b)
+        tmin = jnp.max(jnp.where(fin, a, -big), axis=-1)
+        tmax = jnp.min(jnp.where(fin, b, big), axis=-1)
+        slop = jnp.float32(0.02)
+        entry = jnp.maximum(tmin - slop, 0.0)
+        ok = (
+            jnp.any(fin, axis=-1)
+            & (tmin <= tmax + slop)
+            & (tmax + slop >= 0)
+            & (entry < mx[:, None])
+        )
+        ebits = jax.lax.bitcast_convert_type(entry, jnp.int32)
+        words = jnp.where(ok, (ebits & ~id_mask) | ids, sent)
+        outs = []
+        for _ in range(k):  # k min-extraction passes, ascending
+            m = jnp.min(words, axis=1)
+            outs.append(m)
+            words = jnp.where(words == m[:, None], sent, words)
+        tcut = jnp.min(words, axis=1)  # (k+1)-th nearest (sent if none)
+        return jnp.stack(outs, axis=1), tcut
+
+    n_slabs = (R + r_pad) // rs
+    cand, tcut = jax.lax.map(
+        slab,
+        (
+            o_p.reshape(n_slabs, rs, 3),
+            d_p.reshape(n_slabs, rs, 3),
+            mx_p.reshape(n_slabs, rs),
+        ),
+    )
+    cand = cand.reshape(-1, k)[:R]
+    tcut = tcut.reshape(-1)[:R]
+    tcut_e = jax.lax.bitcast_convert_type(tcut & ~id_mask, F32)
+    return cand, tcut_e
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("prec", "find_any", "interpret"),
+)
+def trace_rays_wavefront(
+    scene,
+    frame,
+    origins,
+    directions,
+    *,
+    prec: Precision,
+    skip_tri=None,
+    min_dist=0.0,
+    max_dist=1e5,
+    find_any: bool = False,
+    interpret: bool = False,
+) -> Hit:
+    """Per-ray wavefront launch (see module docstring).  Semantics match
+    `trace_rays_dense_pallas(fallback='mxu3')` up to cross-chunk exact-t
+    tie ordering; bf16/fp16 only."""
+    assert not prec.is_f32, "wavefront launch is mxu3-only (bf16/fp16)"
+    assert frame.dense_n is not None and frame.dense_chunk_lo is not None
+
+    R = origins.shape[0]
+    if skip_tri is None:
+        skip_tri = jnp.full((R,), -1, jnp.int32)
+    min_dist = jnp.broadcast_to(jnp.asarray(min_dist, F32), (R,))
+    max_dist = jnp.broadcast_to(jnp.asarray(max_dist, F32), (R,))
+    o_f32 = origins.astype(F32)
+    d_f32 = directions.astype(F32)
+
+    # scene-exit reach cap (same as the tile path): no hit can lie beyond
+    # the exit of the scene AABB, and uncapped miss lanes never retire
+    lo_all = jnp.min(frame.obj_aabb_lo, axis=0)
+    hi_all = jnp.max(frame.obj_aabb_hi, axis=0)
+    big = jnp.float32(3e38)
+    inv = 1.0 / d_f32
+    t1 = (lo_all[None, :] - o_f32) * inv
+    t2 = (hi_all[None, :] - o_f32) * inv
+    far = jnp.maximum(t1, t2)
+    far = jnp.where(jnp.isfinite(far), far, big)
+    texit = jnp.min(far, axis=-1)
+    slop = 1e-3 * jnp.linalg.norm(hi_all - lo_all) + jnp.float32(0.05)
+    maxd = jnp.minimum(max_dist, jnp.maximum(texit, 0.0) * 1.01 + slop)
+
+    # ---- coefficient tables (mxu3 layout, VMEM-resident) ----
+    TI = frame.dense_n.shape[0]
+    tc = TC
+    ti_pad = (-TI) % tc
+    dt = prec.dtype
+    n_dt = frame.dense_n.reshape(TI, 9).astype(dt)
+    n_f32 = frame.dense_n_f32.reshape(TI, 9)
+    e = frame.dense_e
+    if ti_pad:
+        n_dt = jnp.pad(n_dt, ((0, ti_pad), (0, 0)))
+        n_f32 = jnp.pad(n_f32, ((0, ti_pad), (0, 0)))
+        e = jnp.pad(e, ((0, ti_pad), (0, 0)), constant_values=1.0)
+    tri_pad = jnp.pad(frame.dense_tri, (0, ti_pad), constant_values=-2)
+    obj_pad = jnp.pad(frame.dense_obj, (0, ti_pad), constant_values=-1)
+    n_chunks = (TI + ti_pad) // tc
+    need_hi = scene.tri_idx.shape[0] > (1 << 16)
+    a32t, _, n32 = _mxu_tables(
+        n_dt, n_f32, e, tri_pad[:, None], obj_pad[:, None], tc, dt,
+        False, need_hi, no_aab=True,
+    )
+
+    # one extra bit so the sentinel id (all-ones) exceeds every real id
+    id_bits = max(2, n_chunks.bit_length())
+    id_mask = (1 << id_bits) - 1
+    k = min(K_CAND, n_chunks)
+    cand, tcut_e = _schedule(frame, o_f32, d_f32, maxd, n_chunks, id_bits, k)
+    cand_entry = jax.lax.bitcast_convert_type(cand & ~id_mask, F32)
+    cand_id = cand & id_mask
+
+    live0 = maxd > min_dist
+    q = min(Q_RANKS, k)
+    r_pad = (-R) % TR
+    Rp = R + r_pad
+    grid = Rp // TR
+    orig_idx = jnp.arange(R, dtype=jnp.int32)
+
+    best_t = jnp.full((R,), 1e5, F32)
+    best_row = jnp.full((R,), -1, jnp.int32)
+    best_pk = jnp.full((R,), -1, jnp.int32)
+    ptr = jnp.zeros((R,), jnp.int32)  # first untested candidate rank
+    # a ray is resolved when nothing beyond its tested prefix can improve
+    entry_at = lambda p: jnp.where(
+        p < k,
+        jnp.take_along_axis(cand_entry, jnp.minimum(p, k - 1)[:, None], axis=1)[:, 0],
+        tcut_e,
+    )
+    cap = jnp.where(live0, jnp.minimum(best_t, maxd), -jnp.inf)
+    resolved = ~live0 | (cap <= entry_at(ptr))
+
+    kernel = functools.partial(
+        _assigned_kernel, tc=tc, n32=n32, q=q, find_any=find_any,
+    )
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    ray_block = lambda rows: pl.BlockSpec(
+        (rows, TR), lambda i, *_: (0, i), memory_space=pltpu.VMEM
+    )
+
+    for _ in range(N_ROUNDS):
+        # assignments: ranks ptr..ptr+q-1, clamped; invalid -> sentinel id
+        ranks = jnp.minimum(ptr[:, None] + jnp.arange(q)[None, :], k - 1)
+        a_ids = jnp.take_along_axis(cand_id, ranks, axis=1)  # (R, q)
+        a_valid = (ptr[:, None] + jnp.arange(q)[None, :]) < k
+        a_ids = jnp.where(a_valid & ~resolved[:, None], a_ids, id_mask)
+
+        key = jnp.where(resolved, jnp.int32(1 << 29), a_ids[:, 0])
+        srt = jax.lax.sort(
+            [key, o_f32[:, 0], o_f32[:, 1], o_f32[:, 2],
+             d_f32[:, 0], d_f32[:, 1], d_f32[:, 2],
+             skip_tri, min_dist, maxd, orig_idx]
+            + [a_ids[:, j] for j in range(q)],
+            num_keys=1,
+        )
+        o_s = jnp.stack(srt[1:4], axis=1)
+        d_s = jnp.stack(srt[4:7], axis=1)
+        skip_s, mind_s, maxd_s, org_s = srt[7], srt[8], srt[9], srt[10]
+        ids_s = jnp.stack(srt[11:], axis=1)  # (R, q)
+
+        def padr(x, cval=0.0):
+            return jnp.pad(x, ((0, r_pad),) + ((0, 0),) * (x.ndim - 1),
+                           constant_values=cval) if r_pad else x
+
+        o_p = padr(o_s)
+        d_p = padr(d_s, 1.0)
+        skip_p = padr(skip_s, -1)
+        mind_p = padr(mind_s)
+        maxd_p = padr(maxd_s)
+        ids_p = padr(ids_s, id_mask)
+
+        # per-tile distinct chunk lists (ascending); covered = lanes whose
+        # id <= the CH_CAP-th distinct id (the list holds the SMALLEST ids)
+        tile_ids = ids_p.reshape(grid, TR * q)
+        tile_sorted = jnp.sort(tile_ids, axis=1)
+        first = jnp.concatenate(
+            [jnp.ones((grid, 1), bool),
+             tile_sorted[:, 1:] != tile_sorted[:, :-1]], axis=1
+        )
+        is_real = tile_sorted < id_mask
+        distinct = jnp.where(first & is_real, tile_sorted, jnp.int32(id_mask))
+        distinct = jnp.sort(distinct, axis=1)[:, :CH_CAP]
+        counts = jnp.sum(distinct < id_mask, axis=1, dtype=jnp.int32)
+        thresh = distinct[:, CH_CAP - 1]  # id_mask when list not full
+        covered = ids_p <= jnp.repeat(thresh, TR)[:, None]  # (Rp, q)
+        active = jnp.concatenate([counts, distinct.reshape(-1)])
+
+        # rays recenter by dense_center to match the coefficient tables
+        # (the schedule phase stays in world space — chunk AABBs are world)
+        rays = jnp.concatenate(
+            [
+                (o_p - frame.dense_center).T,
+                jnp.ones((1, Rp), F32),
+                d_p.T,
+                jnp.zeros((1, Rp), F32),
+                skip_p[None, :].astype(F32),
+                mind_p[None, :],
+                maxd_p[None, :],
+                jnp.where(covered, ids_p, id_mask).T.astype(F32),
+            ],
+            axis=0,
+        )  # (11 + q, Rp)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[const(a32t.shape), ray_block(11 + q)],
+            out_specs=[ray_block(1), ray_block(2)],
+        )
+        outf, oids = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((1, Rp), F32),
+                jax.ShapeDtypeStruct((2, Rp), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(active, a32t, rays)
+
+        # back to original order; combine with the running best
+        back = jax.lax.sort(
+            [org_s, outf[0, :R], oids[0, :R], oids[1, :R]]
+            + [covered[:R, j].astype(jnp.int32) for j in range(q)],
+            num_keys=1,
+        )
+        t_r, row_r, pk_r = back[1], back[2], back[3]
+        cov_r = jnp.stack(back[4:], axis=1) > 0  # (R, q)
+        got = row_r >= 0
+        better = got & (t_r < best_t)
+        best_t = jnp.where(better, t_r, best_t)
+        best_row = jnp.where(better, row_r, best_row)
+        best_pk = jnp.where(better, pk_r, best_pk)
+
+        # advance ptr to the first untested rank: covered prefix length
+        # (a deferred rank re-queues next round)
+        pref = jnp.cumprod(cov_r.astype(jnp.int32), axis=1).sum(axis=1)
+        ptr = jnp.where(resolved, ptr, jnp.minimum(ptr + pref, k))
+        cap = jnp.where(live0, jnp.minimum(best_t, maxd), -jnp.inf)
+        if find_any:
+            resolved = resolved | (best_row >= 0)
+        resolved = resolved | (cap <= entry_at(ptr))
+
+    # ---- decode the packed winners ----
+    valid = best_row >= 0
+    rc = jnp.clip(best_row, 0, tri_pad.shape[0] - 1)
+    tri_o = jnp.where(valid, jnp.take(tri_pad, rc), -1)
+    obj_o = jnp.where(valid, jnp.take(obj_pad, rc), -1)
+    inv_q = jnp.float32(1.0 / 16384.0)
+    u_o = jnp.where(valid, (best_pk >> 15).astype(F32) * inv_q - 0.5, 0.0)
+    v_o = jnp.where(valid, (best_pk & 0x7FFF).astype(F32) * inv_q - 0.5, 0.0)
+    wave = Hit(t=best_t, u=u_o, v=v_o, tri=tri_o, obj=obj_o)
+
+    # ---- sweep: unresolved rays re-trace on the tile path (resolved
+    # lanes masked dead -> they cluster into skipped tiles) ----
+    from low_precision_raytracer_tpu.ops.dense_pallas import (
+        trace_rays_dense_pallas_sorted,
+    )
+
+    sweep_maxd = jnp.where(resolved, 0.0, maxd)
+    fb = trace_rays_dense_pallas_sorted(
+        scene, frame, origins, directions, prec=prec, fallback="mxu3",
+        skip_tri=skip_tri, min_dist=min_dist, max_dist=sweep_maxd,
+        find_any=find_any, interpret=interpret, epilogue="pack",
+    )
+    fb_better = (fb.tri >= 0) & (fb.t < wave.t)
+    pick = lambda a, b: jnp.where(fb_better, a, b)
+    return Hit(
+        t=pick(fb.t, wave.t), u=pick(fb.u, wave.u), v=pick(fb.v, wave.v),
+        tri=pick(fb.tri, wave.tri), obj=pick(fb.obj, wave.obj),
+    )

@@ -1,0 +1,152 @@
+"""Per-ray wavefront launch (ops/wavefront.py) vs the tile-path kernel.
+
+All interpret mode on CPU.  The oracle is the unsorted exact dense kernel
+with the same mxu3 triangle test — the wavefront must reproduce its hits
+up to cross-chunk exact-t tie ordering.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from low_precision_raytracer_tpu.config import get_precision
+from low_precision_raytracer_tpu.models.hierarchy import build_flat_scene
+from low_precision_raytracer_tpu.models.procedural import sponza_like_scene
+from low_precision_raytracer_tpu.models.scene import (
+    build_scene_arrays,
+    frame_input_from_flat,
+)
+from low_precision_raytracer_tpu.ops.camera import primary_ray_grid
+from low_precision_raytracer_tpu.ops.dense_pallas import trace_rays_dense_pallas
+from low_precision_raytracer_tpu.ops.wavefront import trace_rays_wavefront
+
+
+def _setup(res=(16, 128)):
+    prec = get_precision("bf16")
+    host = sponza_like_scene(pillar_grid=2, sphere_subdiv=1, with_skybox=False)
+    scene = build_scene_arrays(host, prec, leaf_size=4)
+    flat = build_flat_scene(host.root, host.active_camera)
+    frame = frame_input_from_flat(flat, host, prec)
+    h, w = res
+    o, d = primary_ray_grid(frame.cam_l2w, flat.cam_fov_y, w, h, prec.dtype)
+    return prec, scene, frame, o.reshape(-1, 3), d.reshape(-1, 3)
+
+
+def _bounce_rays(prec, scene, frame, o, d, key=7):
+    """Hemisphere-scattered rays from primary hit points (the production
+    incoherent launch shape)."""
+    hit = trace_rays_dense_pallas(
+        scene, frame, o, d, prec=prec, cull=True, tile_hw=None, interpret=True
+    )
+    t32 = hit.t.astype(jnp.float32)
+    live = hit.tri >= 0
+    pos = (o.astype(jnp.float32) + t32[:, None] * d.astype(jnp.float32))
+    rnd = jax.random.normal(jax.random.PRNGKey(key), (o.shape[0], 3), jnp.float32)
+    bd = rnd / jnp.linalg.norm(rnd, axis=-1, keepdims=True)
+    maxd = jnp.where(live, 1e5, 0.0).astype(jnp.float32)
+    return pos.astype(prec.dtype), bd.astype(prec.dtype), maxd
+
+
+def _agree(ref, wf, tol=1e-6):
+    np.testing.assert_array_equal(
+        np.asarray(ref.tri) >= 0, np.asarray(wf.tri) >= 0
+    )
+    same = np.asarray(ref.tri) == np.asarray(wf.tri)
+    assert same.mean() > 0.999, f"tri agreement {same.mean()}"
+    both = same & (np.asarray(ref.tri) >= 0)
+    np.testing.assert_allclose(
+        np.asarray(ref.t)[both], np.asarray(wf.t)[both], rtol=tol, atol=tol
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.obj)[both], np.asarray(wf.obj)[both]
+    )
+
+
+def test_wavefront_matches_dense_primary():
+    """Scrambled primary rays (multi-chunk scene, 42 chunks)."""
+    prec, scene, frame, o, d = _setup()
+    perm = jax.random.permutation(jax.random.PRNGKey(3), o.shape[0])
+    o, d = o[perm], d[perm]
+    ref = trace_rays_dense_pallas(
+        scene, frame, o, d, prec=prec, fallback="mxu3", cull=True,
+        tile_hw=None, interpret=True,
+    )
+    wf = trace_rays_wavefront(scene, frame, o, d, prec=prec, interpret=True)
+    _agree(ref, wf)
+
+
+def test_wavefront_matches_dense_bounce():
+    """Hemisphere bounce rays with per-lane maxd (dead lanes included)."""
+    prec, scene, frame, o, d = _setup()
+    bo, bd, maxd = _bounce_rays(prec, scene, frame, o, d)
+    ref = trace_rays_dense_pallas(
+        scene, frame, bo, bd, prec=prec, fallback="mxu3", cull=True,
+        tile_hw=None, interpret=True, min_dist=0.1, max_dist=maxd,
+    )
+    wf = trace_rays_wavefront(
+        scene, frame, bo, bd, prec=prec, interpret=True,
+        min_dist=0.1, max_dist=maxd,
+    )
+    _agree(ref, wf)
+    # dead lanes stay dead
+    dead = np.asarray(maxd) == 0.0
+    assert (np.asarray(wf.tri)[dead] == -1).all()
+
+
+def test_wavefront_find_any():
+    """Any-hit launches: occlusion mask must match the tile path's."""
+    prec, scene, frame, o, d = _setup()
+    bo, bd, maxd = _bounce_rays(prec, scene, frame, o, d, key=11)
+    maxd = jnp.minimum(maxd, 6.0)
+    ref = trace_rays_dense_pallas(
+        scene, frame, bo, bd, prec=prec, fallback="mxu3", cull=True,
+        tile_hw=None, interpret=True, find_any=True,
+        min_dist=0.1, max_dist=maxd,
+    )
+    wf = trace_rays_wavefront(
+        scene, frame, bo, bd, prec=prec, interpret=True, find_any=True,
+        min_dist=0.1, max_dist=maxd,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.tri) >= 0, np.asarray(wf.tri) >= 0
+    )
+
+
+def test_wavefront_overflow_sweep(monkeypatch):
+    """Starve the candidate list (K=2, one round) so most rays resolve via
+    the fallback sweep — results must still match."""
+    import low_precision_raytracer_tpu.ops.wavefront as WF
+
+    monkeypatch.setattr(WF, "K_CAND", 2)
+    monkeypatch.setattr(WF, "N_ROUNDS", 1)
+    prec, scene, frame, o, d = _setup()
+    perm = jax.random.permutation(jax.random.PRNGKey(5), o.shape[0])
+    o, d = o[perm], d[perm]
+    ref = trace_rays_dense_pallas(
+        scene, frame, o, d, prec=prec, fallback="mxu3", cull=True,
+        tile_hw=None, interpret=True,
+    )
+    wf = WF.trace_rays_wavefront(scene, frame, o, d, prec=prec, interpret=True)
+    _agree(ref, wf)
+
+
+def test_wavefront_skip_tri():
+    """skip_tri threading: re-tracing from hit points with the hit triangle
+    skipped must not re-hit it at zero distance."""
+    prec, scene, frame, o, d = _setup()
+    hit = trace_rays_dense_pallas(
+        scene, frame, o, d, prec=prec, fallback="mxu3", cull=True,
+        tile_hw=None, interpret=True,
+    )
+    live = hit.tri >= 0
+    t32 = hit.t.astype(jnp.float32)
+    pos = (o.astype(jnp.float32) + t32[:, None] * d.astype(jnp.float32))
+    maxd = jnp.where(live, 1e5, 0.0).astype(jnp.float32)
+    wf = trace_rays_wavefront(
+        scene, frame, pos.astype(prec.dtype), d, prec=prec, interpret=True,
+        skip_tri=hit.tri, max_dist=maxd,
+    )
+    re_hit = np.asarray(wf.tri) == np.asarray(hit.tri)
+    near = np.asarray(wf.t) < 1e-3
+    assert not (re_hit & near & np.asarray(live)).any()

@@ -85,6 +85,7 @@ def main():
     maxd = jnp.where(live, 1e5, 0.0).astype(jnp.float32)
 
     variants = [
+        ("wavefront", "wavefront", True),
         ("sorted anchor", "anchor", True),
         ("sorted beam", "beam", True),
         ("sorted origin", "origin", True),
@@ -93,7 +94,18 @@ def main():
     results = {}
     base = None
     for name, mode, do_sort in variants:
-        if do_sort:
+        if mode == "wavefront":
+            if ti > 131072:
+                print("bounce launch [wavefront       ]: skipped (> 131k tris)")
+                continue
+            from low_precision_raytracer_tpu.ops.wavefront import (
+                trace_rays_wavefront,
+            )
+
+            fn = lambda: trace_rays_wavefront(
+                scene, frame, pos, bd, prec=prec, min_dist=0.1, max_dist=maxd,
+            )
+        elif do_sort:
             fn = lambda: DP.trace_rays_dense_pallas_sorted(
                 scene, frame, pos, bd, prec=prec, min_dist=0.1, max_dist=maxd,
                 stream=stream, key_mode=mode,
@@ -103,7 +115,11 @@ def main():
                 scene, frame, pos, bd, prec=prec, min_dist=0.1, max_dist=maxd,
                 cull=True, tile_hw=(H, W), stream=stream,
             )
-        t, h = timeit(fn)
+        try:
+            t, h = timeit(fn)
+        except Exception as ex:  # keep the A/B alive if one variant dies
+            print(f"bounce launch [{name:16s}]: FAILED {type(ex).__name__}")
+            continue
         results[name] = t
         print(f"bounce launch [{name:16s}]: {t * 1e3:8.1f} ms = {R / t / 1e6:5.1f} Mrays/s")
         if base is None:
