@@ -96,14 +96,32 @@ def main():
     agree = (np.asarray(hp.tri) == np.asarray(hd.tri)).mean()
     print(f"packet/dense agreement: {agree:.6f}", flush=True)
 
+    if ti <= 131072:
+        from low_precision_raytracer_tpu.ops.wavefront import (
+            trace_rays_wavefront,
+        )
+
+        print("[wavefront]", flush=True)
+        try:
+            t, hw = timeit(trace_rays_wavefront, scene, frame, op, dp,
+                           prec=prec)
+            row("incoherent per-ray", t)
+            agree = (np.asarray(hw.tri) == np.asarray(hd.tri)[perm]).mean()
+            print(f"wavefront/dense agreement: {agree:.6f}", flush=True)
+        except Exception as ex:
+            print(f"  wavefront FAILED: {type(ex).__name__}: {ex}", flush=True)
+
     # ---- in-frame: full pipeline per backend
     from low_precision_raytracer_tpu.render.framestate import init_frame_state
     from low_precision_raytracer_tpu.render.renderer import render_frame
     from low_precision_raytracer_tpu.utils.rng import render_key
 
-    for impl in ("pallas", "dense_pallas"):
+    frame_cfgs = [("pallas", "tile"), ("dense_pallas", "tile")]
+    if ti <= 131072:
+        frame_cfgs.append(("dense_pallas", "wavefront"))
+    for impl, inc in frame_cfgs:
         cfg = RenderConfig(width=W, height=H, precision="bf16", gi_on=True,
-                           traversal_impl=impl)
+                           traversal_impl=impl, incoherent_impl=inc)
         fr = flatten_frame(host, prec, max_direct_lights=cfg.max_direct_lights,
                            width=W, height=H)
         state = init_frame_state(cfg, len(fr.obj_layout))
@@ -120,7 +138,7 @@ def main():
             img, aux, state = render_frame(scene, fr, state, cfg, sub)
         np.asarray(img[0, 0])
         dt = (time.perf_counter() - t0) / 5
-        print(f"[frame {impl}] {dt*1e3:8.1f} ms/frame ({1/dt:.2f} fps), "
+        print(f"[frame {impl}/{inc}] {dt*1e3:8.1f} ms/frame ({1/dt:.2f} fps), "
               f"{n_rays/1e6:.2f} Mrays -> {n_rays/dt/1e6:.1f} Mrays/s", flush=True)
 
 
