@@ -191,7 +191,7 @@ def trace(
             and fb == "mxu3"
             and frame.dense_chunk_lo is not None
             and ti > 4 * TC
-            and ti <= 131072  # v1: VMEM-resident mxu3 table, NC <= 1024
+            and ti <= cfg.packet_bvh_max_tris  # HBM-streamed table band
         ):
             from low_precision_raytracer_tpu.ops.wavefront import (
                 trace_rays_wavefront,

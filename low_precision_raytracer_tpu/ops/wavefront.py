@@ -59,7 +59,9 @@ F32 = jnp.float32
 K_CAND = 16   # candidate chunks per ray (p99 coverage measured ~14)
 Q_RANKS = 4   # candidate ranks tested per round
 N_ROUNDS = 5  # K/Q rounds + one slack round for deferred lanes
-CH_CAP = 48   # per-tile distinct-chunk list cap (SMEM: G * (CH+1) words)
+CH_CAP = 48   # per-tile distinct-group list cap (SMEM: G * (CH+1) words)
+GROUP_WIDTH = 2048   # max schedule sweep width -> s_group = ceil(NC / this)
+RESIDENT_BYTES = 48 * 1024 * 1024  # VMEM-resident table ceiling, else HBM
 
 import numpy as np
 
@@ -68,22 +70,31 @@ import numpy as np
 SENT_BITS = int(np.float32(3e38).view(np.int32))
 
 
-def _assigned_kernel(active_ref, a32_ref, rays_ref, outf_ref, ids_ref,
-                     *, tc: int, n32: int, q: int, find_any: bool):
-    """Test each lane against the Q candidate chunks it brought along.
+def _assigned_kernel(active_ref, *refs,
+                     tc: int, n32: int, q: int, find_any: bool,
+                     s_group: int, stream: bool):
+    """Test each lane against the Q candidate GROUPS it brought along
+    (a group = `s_group` consecutive chunks; s_group == 1 at small scene
+    sizes, larger for big scenes so the XLA schedule sweep stays bounded).
 
-    rays_ref rows: [B32 0-7 | skip | mind | maxd | chunk_0..chunk_{q-1}]
-    (chunk rows are exact-integer f32 ids; uncovered/invalid lanes carry
-    ids above every real chunk so no list word matches them).
+    rays_ref rows: [B32 0-7 | skip | mind | maxd | group_0..group_{q-1}]
+    (group rows are exact-integer f32 ids; uncovered/invalid lanes carry
+    ids above every real group so no list word matches them).
     active_ref: [counts (G,) | words (G, CH_CAP)] — the tile's distinct
-    chunk ids (ascending).  No ordered early exit: every listed chunk is
-    some lane's own scheduled candidate, so all of them run."""
+    group ids (ascending).  No ordered early exit: every listed group is
+    some lane's own scheduled candidate, so all of them run.  Streamed
+    mode DMAs each group's (s_group*16, P32) slab from HBM — contiguous
+    by construction."""
+    if stream:
+        a32_ref, rays_ref, outf_ref, ids_ref, scr, sem = refs
+    else:
+        a32_ref, rays_ref, outf_ref, ids_ref = refs
     tr = rays_ref.shape[1]
     B32 = rays_ref[0:8, :]
     skip = rays_ref[8:9, :]
     mind = rays_ref[9:10, :]
     maxd = rays_ref[10:11, :]
-    ch_rows = rays_ref[11 : 11 + q, :]  # (q, TR) f32 chunk ids
+    ch_rows = rays_ref[11 : 11 + q, :]  # (q, TR) f32 group ids
 
     outf_ref[:, :] = jnp.full((1, tr), 1e5, F32)
     ids_ref[:, :] = jnp.full((2, tr), -1, jnp.int32)
@@ -100,32 +111,44 @@ def _assigned_kernel(active_ref, a32_ref, rays_ref, outf_ref, ids_ref,
     dflt = jax.lax.Precision.DEFAULT
 
     def body(j):
-        c = active_ref[base + jnp.minimum(j, CH_CAP - 1)]
-        a32 = a32_ref[pl.ds(c * 16, 16), :]
-        ah = a32[0:8, :]
-        al = a32[8:16, :]
-        a_cat = jnp.concatenate([ah, al, ah], axis=0)
-        m32 = jax.lax.dot_general(
-            a_cat, b_cat, DN, preferred_element_type=F32, precision=dflt
-        )
-        b32 = lambda k: m32[k * tc : (k + 1) * tc]
-        Oz, Dz = b32(0), b32(1)
-        tri = b32(6)
-        if n32 == 9:
-            tri = tri + 65536.0 * b32(8)
-        Ox, Oy, Dx, Dy = b32(2), b32(3), b32(4), b32(5)
-        t = -Oz / Dz
-        u = Ox + t * Dx
-        v = Oy + t * Dy
-        cf = c.astype(F32)
-        assigned = ch_rows[0:1, :] == cf
+        g = active_ref[base + jnp.minimum(j, CH_CAP - 1)]
+        if stream:
+            cp = pltpu.make_async_copy(
+                a32_ref.at[pl.ds(g * (16 * s_group), 16 * s_group), :],
+                scr, sem,
+            )
+            cp.start()
+            cp.wait()
+        gf = g.astype(F32)
+        assigned = ch_rows[0:1, :] == gf
         for qq in range(1, q):
-            assigned = assigned | (ch_rows[qq : qq + 1, :] == cf)
-        accept_geom = (u > 0) & (v > 0) & (u + v < 1) & assigned
-        _finish_chunk_packed(
-            accept_geom, u, v, t, tri, c, tc,
-            mind, maxd, skip, outf_ref, ids_ref, tr,
-        )
+            assigned = assigned | (ch_rows[qq : qq + 1, :] == gf)
+        for s in range(s_group):
+            c = g * s_group + s
+            if stream:
+                a32 = scr[pl.ds(s * 16, 16), :]
+            else:
+                a32 = a32_ref[pl.ds(c * 16, 16), :]
+            ah = a32[0:8, :]
+            al = a32[8:16, :]
+            a_cat = jnp.concatenate([ah, al, ah], axis=0)
+            m32 = jax.lax.dot_general(
+                a_cat, b_cat, DN, preferred_element_type=F32, precision=dflt
+            )
+            b32 = lambda k: m32[k * tc : (k + 1) * tc]
+            Oz, Dz = b32(0), b32(1)
+            tri = b32(6)
+            if n32 == 9:
+                tri = tri + 65536.0 * b32(8)
+            Ox, Oy, Dx, Dy = b32(2), b32(3), b32(4), b32(5)
+            t = -Oz / Dz
+            u = Ox + t * Dx
+            v = Oy + t * Dy
+            accept_geom = (u > 0) & (v > 0) & (u + v < 1) & assigned
+            _finish_chunk_packed(
+                accept_geom, u, v, t, tri, c, tc,
+                mind, maxd, skip, outf_ref, ids_ref, tr,
+            )
         return j + 1
 
     if find_any:
@@ -140,12 +163,11 @@ def _assigned_kernel(active_ref, a32_ref, rays_ref, outf_ref, ids_ref,
     jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
-def _schedule(frame, o_f32, d_f32, maxd, n_chunks: int, id_bits: int, k: int):
-    """Per-ray K nearest candidate chunks: packed (entry bits | chunk id)
+def _schedule(lo, hi, o_f32, d_f32, maxd, n_chunks: int, id_bits: int, k: int):
+    """Per-ray K nearest candidate groups: packed (entry bits | group id)
     words ascending by entry, plus the (K+1)-th entry (retirement bound
-    for candidates beyond the list)."""
-    lo = frame.dense_chunk_lo  # (NC, 3)
-    hi = frame.dense_chunk_hi
+    for candidates beyond the list).  `lo`/`hi` are the (NG, 3) group
+    AABBs (= chunk AABBs when s_group == 1)."""
     id_mask = (1 << id_bits) - 1
     sent = jnp.int32((SENT_BITS & ~id_mask) | id_mask)
     ids = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
@@ -270,11 +292,34 @@ def trace_rays_wavefront(
         False, need_hi, no_aab=True,
     )
 
+    # candidate GRANULARITY: groups of s_group consecutive chunks, sized so
+    # the schedule sweep stays <= ~2048 wide (s_group == 1 below 262k tris).
+    # Streamed mode keeps the table in HBM and DMAs one contiguous group
+    # slab per body; VMEM-resident up to ~48 MB.
+    s_group = max(1, -(-n_chunks // GROUP_WIDTH))
+    g_pad = (-n_chunks) % s_group
+    n_groups = (n_chunks + g_pad) // s_group
+    clo = frame.dense_chunk_lo
+    chi = frame.dense_chunk_hi
+    big0 = jnp.float32(3e38)
+    if g_pad:
+        clo = jnp.pad(clo, ((0, g_pad), (0, 0)), constant_values=big0)
+        chi = jnp.pad(chi, ((0, g_pad), (0, 0)), constant_values=-big0)
+        # pad the table with degenerate chunk slabs (all-zero coefficients
+        # give Dz = 0, Oz = 0 -> t = NaN -> rejected by isfinite)
+        a32t = jnp.pad(a32t, ((0, g_pad * 16), (0, 0)))
+    if s_group > 1:
+        glo = clo.reshape(n_groups, s_group, 3).min(axis=1)
+        ghi = chi.reshape(n_groups, s_group, 3).max(axis=1)
+    else:
+        glo, ghi = clo, chi
+    stream = a32t.shape[0] * a32t.shape[1] * 2 > RESIDENT_BYTES
+
     # one extra bit so the sentinel id (all-ones) exceeds every real id
-    id_bits = max(2, n_chunks.bit_length())
+    id_bits = max(2, n_groups.bit_length())
     id_mask = (1 << id_bits) - 1
-    k = min(K_CAND, n_chunks)
-    cand, tcut_e = _schedule(frame, o_f32, d_f32, maxd, n_chunks, id_bits, k)
+    k = min(K_CAND, n_groups)
+    cand, tcut_e = _schedule(glo, ghi, o_f32, d_f32, maxd, n_groups, id_bits, k)
     cand_entry = jax.lax.bitcast_convert_type(cand & ~id_mask, F32)
     cand_id = cand & id_mask
 
@@ -300,6 +345,7 @@ def trace_rays_wavefront(
 
     kernel = functools.partial(
         _assigned_kernel, tc=tc, n32=n32, q=q, find_any=find_any,
+        s_group=s_group, stream=stream,
     )
     const = lambda shape: pl.BlockSpec(
         shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -371,11 +417,21 @@ def trace_rays_wavefront(
             axis=0,
         )  # (11 + q, Rp)
 
+        if stream:
+            table_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+            scratch = [
+                pltpu.VMEM((16 * s_group, a32t.shape[1]), a32t.dtype),
+                pltpu.SemaphoreType.DMA,
+            ]
+        else:
+            table_spec = const(a32t.shape)
+            scratch = []
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
-            in_specs=[const(a32t.shape), ray_block(11 + q)],
+            in_specs=[table_spec, ray_block(11 + q)],
             out_specs=[ray_block(1), ray_block(2)],
+            scratch_shapes=scratch,
         )
         outf, oids = pl.pallas_call(
             kernel,

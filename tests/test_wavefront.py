@@ -150,3 +150,20 @@ def test_wavefront_skip_tri():
     re_hit = np.asarray(wf.tri) == np.asarray(hit.tri)
     near = np.asarray(wf.t) < 1e-3
     assert not (re_hit & near & np.asarray(live)).any()
+
+
+def test_wavefront_grouped_and_streamed(monkeypatch):
+    """Group granularity (s_group > 1) and the HBM-streamed table must
+    reproduce the resident chunk-granularity results exactly — forced on
+    the small scene by shrinking the thresholds."""
+    import low_precision_raytracer_tpu.ops.wavefront as WF
+
+    prec, scene, frame, o, d = _setup()
+    perm = jax.random.permutation(jax.random.PRNGKey(9), o.shape[0])
+    o, d = o[perm], d[perm]
+    ref = WF.trace_rays_wavefront(scene, frame, o, d, prec=prec, interpret=True)
+
+    monkeypatch.setattr(WF, "GROUP_WIDTH", 8)      # 42 chunks -> 6-chunk groups
+    monkeypatch.setattr(WF, "RESIDENT_BYTES", 1)   # force streaming
+    grp = WF.trace_rays_wavefront(scene, frame, o, d, prec=prec, interpret=True)
+    _agree(ref, grp)

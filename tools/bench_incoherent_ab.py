@@ -95,9 +95,6 @@ def main():
     base = None
     for name, mode, do_sort in variants:
         if mode == "wavefront":
-            if ti > 131072:
-                print("bounce launch [wavefront       ]: skipped (> 131k tris)")
-                continue
             from low_precision_raytracer_tpu.ops.wavefront import (
                 trace_rays_wavefront,
             )

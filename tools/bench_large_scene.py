@@ -96,7 +96,7 @@ def main():
     agree = (np.asarray(hp.tri) == np.asarray(hd.tri)).mean()
     print(f"packet/dense agreement: {agree:.6f}", flush=True)
 
-    if ti <= 131072:
+    if True:
         from low_precision_raytracer_tpu.ops.wavefront import (
             trace_rays_wavefront,
         )
@@ -116,9 +116,8 @@ def main():
     from low_precision_raytracer_tpu.render.renderer import render_frame
     from low_precision_raytracer_tpu.utils.rng import render_key
 
-    frame_cfgs = [("pallas", "tile"), ("dense_pallas", "tile")]
-    if ti <= 131072:
-        frame_cfgs.append(("dense_pallas", "wavefront"))
+    frame_cfgs = [("pallas", "tile"), ("dense_pallas", "tile"),
+                  ("dense_pallas", "wavefront")]
     for impl, inc in frame_cfgs:
         cfg = RenderConfig(width=W, height=H, precision="bf16", gi_on=True,
                            traversal_impl=impl, incoherent_impl=inc)
