@@ -62,6 +62,7 @@ N_ROUNDS = 5  # K/Q rounds + one slack round for deferred lanes
 CH_CAP = 48   # per-tile distinct-group list cap (SMEM: G * (CH+1) words)
 GROUP_WIDTH = 2048   # max schedule sweep width -> s_group = ceil(NC / this)
 RESIDENT_BYTES = 48 * 1024 * 1024  # VMEM-resident table ceiling, else HBM
+CYCLE2_MIN_GROUPS = 512  # schedule a second candidate-refill cycle above this
 
 import numpy as np
 
@@ -163,11 +164,14 @@ def _assigned_kernel(active_ref, *refs,
     jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
-def _schedule(lo, hi, o_f32, d_f32, maxd, n_chunks: int, id_bits: int, k: int):
+def _schedule(lo, hi, o_f32, d_f32, maxd, n_chunks: int, id_bits: int, k: int,
+              emin=None):
     """Per-ray K nearest candidate groups: packed (entry bits | group id)
     words ascending by entry, plus the (K+1)-th entry (retirement bound
     for candidates beyond the list).  `lo`/`hi` are the (NG, 3) group
-    AABBs (= chunk AABBs when s_group == 1)."""
+    AABBs (= chunk AABBs when s_group == 1).  `emin` (R,) restricts to
+    candidates with entry >= emin — the second-cycle refill for rays that
+    overflowed the first K (everything below emin was already tested)."""
     id_mask = (1 << id_bits) - 1
     sent = jnp.int32((SENT_BITS & ~id_mask) | id_mask)
     ids = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
@@ -175,15 +179,18 @@ def _schedule(lo, hi, o_f32, d_f32, maxd, n_chunks: int, id_bits: int, k: int):
     R = o_f32.shape[0]
     rs = max(1024, min(R, (1 << 24) // max(n_chunks, 1)))
     r_pad = (-R) % rs
+    if emin is None:
+        emin = jnp.zeros((R,), F32)
     if r_pad:
         o_p = jnp.pad(o_f32, ((0, r_pad), (0, 0)))
         d_p = jnp.pad(d_f32, ((0, r_pad), (0, 0)), constant_values=1.0)
         mx_p = jnp.pad(maxd, (0, r_pad))
+        em_p = jnp.pad(emin, (0, r_pad), constant_values=3e38)
     else:
-        o_p, d_p, mx_p = o_f32, d_f32, maxd
+        o_p, d_p, mx_p, em_p = o_f32, d_f32, maxd, emin
 
     def slab(args):
-        o, d, mx = args
+        o, d, mx, em = args
         inv = 1.0 / d
         big = jnp.float32(3e38)
         t1 = (lo[None] - o[:, None]) * inv[:, None]  # (rs, NC, 3)
@@ -200,6 +207,7 @@ def _schedule(lo, hi, o_f32, d_f32, maxd, n_chunks: int, id_bits: int, k: int):
             & (tmin <= tmax + slop)
             & (tmax + slop >= 0)
             & (entry < mx[:, None])
+            & (entry >= em[:, None])
         )
         ebits = jax.lax.bitcast_convert_type(entry, jnp.int32)
         words = jnp.where(ok, (ebits & ~id_mask) | ids, sent)
@@ -218,6 +226,7 @@ def _schedule(lo, hi, o_f32, d_f32, maxd, n_chunks: int, id_bits: int, k: int):
             o_p.reshape(n_slabs, rs, 3),
             d_p.reshape(n_slabs, rs, 3),
             mx_p.reshape(n_slabs, rs),
+            em_p.reshape(n_slabs, rs),
         ),
     )
     cand = cand.reshape(-1, k)[:R]
@@ -319,10 +328,6 @@ def trace_rays_wavefront(
     id_bits = max(2, n_groups.bit_length())
     id_mask = (1 << id_bits) - 1
     k = min(K_CAND, n_groups)
-    cand, tcut_e = _schedule(glo, ghi, o_f32, d_f32, maxd, n_groups, id_bits, k)
-    cand_entry = jax.lax.bitcast_convert_type(cand & ~id_mask, F32)
-    cand_id = cand & id_mask
-
     live0 = maxd > min_dist
     q = min(Q_RANKS, k)
     r_pad = (-R) % TR
@@ -333,15 +338,21 @@ def trace_rays_wavefront(
     best_t = jnp.full((R,), 1e5, F32)
     best_row = jnp.full((R,), -1, jnp.int32)
     best_pk = jnp.full((R,), -1, jnp.int32)
-    ptr = jnp.zeros((R,), jnp.int32)  # first untested candidate rank
-    # a ray is resolved when nothing beyond its tested prefix can improve
-    entry_at = lambda p: jnp.where(
-        p < k,
-        jnp.take_along_axis(cand_entry, jnp.minimum(p, k - 1)[:, None], axis=1)[:, 0],
-        tcut_e,
-    )
-    cap = jnp.where(live0, jnp.minimum(best_t, maxd), -jnp.inf)
-    resolved = ~live0 | (cap <= entry_at(ptr))
+
+    # a ray is resolved when nothing beyond its tested prefix can improve;
+    # entry_at(p) = entry bound of the first untested candidate
+    def entry_at(p, cand_entry, tcut_e):
+        on_list = jnp.take_along_axis(
+            cand_entry, jnp.minimum(p, k - 1)[:, None], axis=1
+        )[:, 0]
+        return jnp.where(p < k, on_list, tcut_e)
+
+    # big scenes overflow K=16 candidates for ~5% of bounce rays (measured
+    # at 328k/2M tris); a second schedule CYCLE refills their lists with
+    # the next K candidates (entry >= everything already tested) — one
+    # extra (R, NG) sweep instead of dumping 5% of rays on the slow
+    # tile-path fallback
+    n_cycles = 1 if n_groups <= CYCLE2_MIN_GROUPS else 2
 
     kernel = functools.partial(
         _assigned_kernel, tc=tc, n32=n32, q=q, find_any=find_any,
@@ -354,7 +365,19 @@ def trace_rays_wavefront(
         (rows, TR), lambda i, *_: (0, i), memory_space=pltpu.VMEM
     )
 
-    for _ in range(N_ROUNDS):
+    resolved = ~live0
+    emin = None
+    for cycle in range(n_cycles):
+      cand, tcut_e = _schedule(
+          glo, ghi, o_f32, d_f32, maxd, n_groups, id_bits, k, emin=emin
+      )
+      cand_entry = jax.lax.bitcast_convert_type(cand & ~id_mask, F32)
+      cand_id = cand & id_mask
+      ptr = jnp.zeros((R,), jnp.int32)  # first untested candidate rank
+      cap = jnp.where(live0, jnp.minimum(best_t, maxd), -jnp.inf)
+      resolved = resolved | (cap <= entry_at(ptr, cand_entry, tcut_e))
+
+      for _ in range(N_ROUNDS):
         # assignments: ranks ptr..ptr+q-1, clamped; invalid -> sentinel id
         ranks = jnp.minimum(ptr[:, None] + jnp.arange(q)[None, :], k - 1)
         a_ids = jnp.take_along_axis(cand_id, ranks, axis=1)  # (R, q)
@@ -467,7 +490,11 @@ def trace_rays_wavefront(
         cap = jnp.where(live0, jnp.minimum(best_t, maxd), -jnp.inf)
         if find_any:
             resolved = resolved | (best_row >= 0)
-        resolved = resolved | (cap <= entry_at(ptr))
+        resolved = resolved | (cap <= entry_at(ptr, cand_entry, tcut_e))
+
+      # next cycle refills candidates past everything already tested
+      emin = jnp.where(resolved, jnp.float32(3e38),
+                       entry_at(ptr, cand_entry, tcut_e))
 
     # ---- decode the packed winners ----
     valid = best_row >= 0

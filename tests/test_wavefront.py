@@ -167,3 +167,23 @@ def test_wavefront_grouped_and_streamed(monkeypatch):
     monkeypatch.setattr(WF, "RESIDENT_BYTES", 1)   # force streaming
     grp = WF.trace_rays_wavefront(scene, frame, o, d, prec=prec, interpret=True)
     _agree(ref, grp)
+
+
+def test_wavefront_second_cycle(monkeypatch):
+    """Candidate-refill cycle: starve K so the first cycle overflows, force
+    a second schedule cycle, and require exact agreement without leaning on
+    the fallback sweep (N_ROUNDS covers K per cycle)."""
+    import low_precision_raytracer_tpu.ops.wavefront as WF
+
+    monkeypatch.setattr(WF, "K_CAND", 4)
+    monkeypatch.setattr(WF, "N_ROUNDS", 1)
+    monkeypatch.setattr(WF, "CYCLE2_MIN_GROUPS", 1)  # always 2 cycles
+    prec, scene, frame, o, d = _setup()
+    perm = jax.random.permutation(jax.random.PRNGKey(13), o.shape[0])
+    o, d = o[perm], d[perm]
+    ref = trace_rays_dense_pallas(
+        scene, frame, o, d, prec=prec, fallback="mxu3", cull=True,
+        tile_hw=None, interpret=True,
+    )
+    wf = WF.trace_rays_wavefront(scene, frame, o, d, prec=prec, interpret=True)
+    _agree(ref, wf)
