@@ -77,3 +77,28 @@ def test_sharded_two_frames_temporal():
     np.testing.assert_allclose(
         np.asarray(imgA2), np.asarray(imgB2), rtol=5e-4, atol=5e-4
     )
+
+
+@needs_devices
+def test_sharded_wavefront_per_shard():
+    """The per-ray wavefront (incoherent_impl='wavefront') under the
+    sharded step: its schedule sweeps, per-round sorts, and assigned-chunk
+    kernel all run per-shard inside trace()'s shard_map — must match the
+    single-device render.  Needs a multi-chunk bf16 scene (the wavefront
+    gate); Cornell is single-chunk, so use the small colonnade."""
+    from low_precision_raytracer_tpu.models.procedural import sponza_like_scene
+
+    cfg = RenderConfig(width=64, height=64, precision="bf16", gi_on=True,
+                       incoherent_impl="wavefront")
+    host = sponza_like_scene(pillar_grid=2, sphere_subdiv=1, with_skybox=False)
+    scene = build_scene_arrays(host, cfg.prec, leaf_size=cfg.bvh_leaf_size)
+    frame = flatten_frame(host, cfg.prec, max_direct_lights=4, width=64, height=64)
+    cfg = resolve_cfg(scene, frame, cfg)
+    state = init_frame_state(cfg, len(frame.obj_layout))
+    key = jax.random.PRNGKey(3)
+    img1, _, _ = render_frame(scene, frame, state, cfg, key)
+    mesh = make_pixel_mesh(8)
+    img8, _, _ = render_frame_sharded(mesh, scene, frame, state, cfg, key)
+    np.testing.assert_allclose(
+        np.asarray(img1), np.asarray(img8), rtol=2e-3, atol=2e-3
+    )
