@@ -58,7 +58,7 @@ from low_precision_raytracer_tpu.ops.dense_pallas import (
 F32 = jnp.float32
 K_CAND = 16   # candidate chunks per ray (p99 coverage measured ~14)
 Q_RANKS = 4   # candidate ranks tested per round
-N_ROUNDS = 5  # K/Q rounds + one slack round for deferred lanes
+N_ROUNDS = 4  # = K/Q; deferred lanes roll into the refill cycle or sweep
 CH_CAP = 48   # per-tile distinct-group list cap (SMEM: G * (CH+1) words)
 GROUP_WIDTH = 2048   # max schedule sweep width -> s_group = ceil(NC / this)
 RESIDENT_BYTES = 48 * 1024 * 1024  # VMEM-resident table ceiling, else HBM
