@@ -859,21 +859,8 @@ def trace_rays_dense_pallas(
     o_f32 = origins.astype(F32)
     d_f32 = directions.astype(F32)
     if cull and frame.obj_aabb_lo is not None and frame.dense_n.shape[0] > TC:
-        # cap every lane's reach at its scene-AABB exit distance: no hit
-        # can lie beyond it, and without the cap a single MISS lane
-        # (t = 1e5) in a tile blocks the ordered early exit for everyone.
         # (single-chunk scenes skip it — nothing to exit early from)
-        lo = jnp.min(frame.obj_aabb_lo, axis=0)
-        hi = jnp.max(frame.obj_aabb_hi, axis=0)
-        big = jnp.float32(3e38)
-        inv = 1.0 / d_f32
-        t1 = (lo[None, :] - o_f32) * inv
-        t2 = (hi[None, :] - o_f32) * inv
-        far = jnp.maximum(t1, t2)
-        far = jnp.where(jnp.isfinite(far), far, big)
-        texit = jnp.min(far, axis=-1)
-        slop = 1e-3 * jnp.linalg.norm(hi - lo) + jnp.float32(0.05)
-        max_dist = jnp.minimum(max_dist, jnp.maximum(texit, 0.0) * 1.01 + slop)
+        max_dist = scene_exit_cap(frame, o_f32, d_f32, max_dist)
     o = (o_f32 - c).T
     d = d_f32.T
 
@@ -1135,7 +1122,49 @@ def _morton_key(origins, directions, live=None, mode: str = "beam"):
     return key
 
 
-def _anchor_key(frame, origins, directions, min_dist, max_dist, live):
+def ray_aabb_entry(lo, hi, o, d, maxd):
+    """Conservative slab-test entry bound of rays (RS, 3) against boxes
+    (N, 3): -> (entry (RS, N) f32 >= 0, ok (RS, N) bool).  Single source of
+    truth for the 0.02 slop and the isfinite handling — the anchor key,
+    the wavefront schedule, and the analysis tool all consume this."""
+    inv = 1.0 / d
+    big = jnp.float32(3e38)
+    t1 = (lo[None] - o[:, None]) * inv[:, None]  # (RS, N, 3)
+    t2 = (hi[None] - o[:, None]) * inv[:, None]
+    a = jnp.minimum(t1, t2)
+    b = jnp.maximum(t1, t2)
+    fin = jnp.isfinite(a) & jnp.isfinite(b)
+    tmin = jnp.max(jnp.where(fin, a, -big), axis=-1)
+    tmax = jnp.min(jnp.where(fin, b, big), axis=-1)
+    slop = jnp.float32(0.02)
+    entry = jnp.maximum(tmin - slop, 0.0)
+    ok = (
+        jnp.any(fin, axis=-1)
+        & (tmin <= tmax + slop)
+        & (tmax + slop >= 0)
+        & (entry < maxd[:, None])
+    )
+    return entry, ok
+
+
+def scene_exit_cap(frame, o_f32, d_f32, max_dist):
+    """Cap every lane's reach at its scene-AABB exit distance: no hit can
+    lie beyond it, and an uncapped miss lane (t = 1e5) pins every ordered
+    early exit it shares a tile with."""
+    lo = jnp.min(frame.obj_aabb_lo, axis=0)
+    hi = jnp.max(frame.obj_aabb_hi, axis=0)
+    big = jnp.float32(3e38)
+    inv = 1.0 / d_f32
+    t1 = (lo[None, :] - o_f32) * inv
+    t2 = (hi[None, :] - o_f32) * inv
+    far = jnp.maximum(t1, t2)
+    far = jnp.where(jnp.isfinite(far), far, big)
+    texit = jnp.min(far, axis=-1)
+    slop = 1e-3 * jnp.linalg.norm(hi - lo) + jnp.float32(0.05)
+    return jnp.minimum(max_dist, jnp.maximum(texit, 0.0) * 1.01 + slop)
+
+
+def _anchor_key(frame, origins, directions, max_dist, live):
     """EXACT per-ray scheduling collapsed into a sort key: the anchor is
     the ray's nearest chunk by slab-test entry bound (computed per RAY,
     not per tile — the tile-level interval bundle degenerates on
@@ -1170,7 +1199,9 @@ def _anchor_key(frame, origins, directions, min_dist, max_dist, live):
     na = lo_g.shape[0]
 
     R = of.shape[0]
-    rs = max(4096, min(R, (1 << 24) // na))  # slab size: ~16M-element sweep
+    # slab size: (rs, NA, 3) temporaries are the budget (3x the (rs, NA)
+    # sweep itself) — keep them ~64MB f32 before fusion
+    rs = max(4096, min(R, (1 << 24) // (3 * na)))
     r_pad = (-R) % rs
     mx = jnp.broadcast_to(jnp.asarray(max_dist, F32), (R,))
     if r_pad:
@@ -1182,23 +1213,8 @@ def _anchor_key(frame, origins, directions, min_dist, max_dist, live):
 
     def slab_anchor(args):
         o, d, mxd = args  # (rs, 3), (rs, 3), (rs,)
-        inv = 1.0 / d
+        entry, ok = ray_aabb_entry(lo_g, hi_g, o, d, mxd)
         big = jnp.float32(3e38)
-        t1 = (lo_g[None] - o[:, None]) * inv[:, None]  # (rs, NA, 3)
-        t2 = (hi_g[None] - o[:, None]) * inv[:, None]
-        a = jnp.minimum(t1, t2)
-        b = jnp.maximum(t1, t2)
-        fin = jnp.isfinite(a) & jnp.isfinite(b)
-        tmin = jnp.max(jnp.where(fin, a, -big), axis=-1)
-        tmax = jnp.min(jnp.where(fin, b, big), axis=-1)
-        slop = jnp.float32(0.02)
-        entry = jnp.maximum(tmin - slop, 0.0)
-        ok = (
-            jnp.any(fin, axis=-1)
-            & (tmin <= tmax + slop)
-            & (tmax + slop >= 0)
-            & (entry < mxd[:, None])
-        )
         return jnp.argmin(jnp.where(ok, entry, big), axis=1).astype(jnp.int32)
 
     n_slabs = (R + r_pad) // rs
@@ -1262,8 +1278,7 @@ def trace_rays_dense_pallas_sorted(
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, F32), (R,))
     if key_mode == "anchor" and frame.dense_chunk_lo is not None:
         key = _anchor_key(
-            frame, origins, directions, min_dist, max_dist,
-            live=max_dist > min_dist,
+            frame, origins, directions, max_dist, live=max_dist > min_dist,
         )
     else:
         if key_mode == "anchor":

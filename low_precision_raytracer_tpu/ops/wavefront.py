@@ -52,7 +52,8 @@ from low_precision_raytracer_tpu.ops.dense_pallas import (
     TR,
     _finish_chunk_packed,
     _mxu_tables,
-    _pad128,
+    ray_aabb_entry,
+    scene_exit_cap,
 )
 
 F32 = jnp.float32
@@ -177,7 +178,8 @@ def _schedule(lo, hi, o_f32, d_f32, maxd, n_chunks: int, id_bits: int, k: int,
     ids = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
 
     R = o_f32.shape[0]
-    rs = max(1024, min(R, (1 << 24) // max(n_chunks, 1)))
+    # (rs, NG, 3) temporaries are the memory budget (3x the sweep itself)
+    rs = max(1024, min(R, (1 << 24) // max(3 * n_chunks, 1)))
     r_pad = (-R) % rs
     if emin is None:
         emin = jnp.zeros((R,), F32)
@@ -191,24 +193,8 @@ def _schedule(lo, hi, o_f32, d_f32, maxd, n_chunks: int, id_bits: int, k: int,
 
     def slab(args):
         o, d, mx, em = args
-        inv = 1.0 / d
-        big = jnp.float32(3e38)
-        t1 = (lo[None] - o[:, None]) * inv[:, None]  # (rs, NC, 3)
-        t2 = (hi[None] - o[:, None]) * inv[:, None]
-        a = jnp.minimum(t1, t2)
-        b = jnp.maximum(t1, t2)
-        fin = jnp.isfinite(a) & jnp.isfinite(b)
-        tmin = jnp.max(jnp.where(fin, a, -big), axis=-1)
-        tmax = jnp.min(jnp.where(fin, b, big), axis=-1)
-        slop = jnp.float32(0.02)
-        entry = jnp.maximum(tmin - slop, 0.0)
-        ok = (
-            jnp.any(fin, axis=-1)
-            & (tmin <= tmax + slop)
-            & (tmax + slop >= 0)
-            & (entry < mx[:, None])
-            & (entry >= em[:, None])
-        )
+        entry, ok = ray_aabb_entry(lo, hi, o, d, mx)
+        ok = ok & (entry >= em[:, None])
         ebits = jax.lax.bitcast_convert_type(entry, jnp.int32)
         words = jnp.where(ok, (ebits & ~id_mask) | ids, sent)
         outs = []
@@ -268,17 +254,7 @@ def trace_rays_wavefront(
 
     # scene-exit reach cap (same as the tile path): no hit can lie beyond
     # the exit of the scene AABB, and uncapped miss lanes never retire
-    lo_all = jnp.min(frame.obj_aabb_lo, axis=0)
-    hi_all = jnp.max(frame.obj_aabb_hi, axis=0)
-    big = jnp.float32(3e38)
-    inv = 1.0 / d_f32
-    t1 = (lo_all[None, :] - o_f32) * inv
-    t2 = (hi_all[None, :] - o_f32) * inv
-    far = jnp.maximum(t1, t2)
-    far = jnp.where(jnp.isfinite(far), far, big)
-    texit = jnp.min(far, axis=-1)
-    slop = 1e-3 * jnp.linalg.norm(hi_all - lo_all) + jnp.float32(0.05)
-    maxd = jnp.minimum(max_dist, jnp.maximum(texit, 0.0) * 1.01 + slop)
+    maxd = scene_exit_cap(frame, o_f32, d_f32, max_dist)
 
     # ---- coefficient tables (mxu3 layout, VMEM-resident) ----
     TI = frame.dense_n.shape[0]
@@ -385,10 +361,13 @@ def trace_rays_wavefront(
         a_ids = jnp.where(a_valid & ~resolved[:, None], a_ids, id_mask)
 
         key = jnp.where(resolved, jnp.int32(1 << 29), a_ids[:, 0])
+        # resolved lanes ride with maxd = 0 so they are dead in-kernel
+        # (no redundant tests; the find_any early exit can fire)
+        maxd_rnd = jnp.where(resolved, 0.0, maxd)
         srt = jax.lax.sort(
             [key, o_f32[:, 0], o_f32[:, 1], o_f32[:, 2],
              d_f32[:, 0], d_f32[:, 1], d_f32[:, 2],
-             skip_tri, min_dist, maxd, orig_idx]
+             skip_tri, min_dist, maxd_rnd, orig_idx]
             + [a_ids[:, j] for j in range(q)],
             num_keys=1,
         )
@@ -517,6 +496,9 @@ def trace_rays_wavefront(
         scene, frame, origins, directions, prec=prec, fallback="mxu3",
         skip_tri=skip_tri, min_dist=min_dist, max_dist=sweep_maxd,
         find_any=find_any, interpret=interpret, epilogue="pack",
+        # the tile path carries its own (VMEM-resident) table copy: stream
+        # it above the tile kernel's resident ceiling or Mosaic overflows
+        stream=TI > 65536,
     )
     fb_better = (fb.tri >= 0) & (fb.t < wave.t)
     pick = lambda a, b: jnp.where(fb_better, a, b)

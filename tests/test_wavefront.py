@@ -120,6 +120,7 @@ def test_wavefront_overflow_sweep(monkeypatch):
 
     monkeypatch.setattr(WF, "K_CAND", 2)
     monkeypatch.setattr(WF, "N_ROUNDS", 1)
+    jax.clear_caches()  # module-constant changes don't invalidate jit caches
     prec, scene, frame, o, d = _setup()
     perm = jax.random.permutation(jax.random.PRNGKey(5), o.shape[0])
     o, d = o[perm], d[perm]
@@ -165,6 +166,7 @@ def test_wavefront_grouped_and_streamed(monkeypatch):
 
     monkeypatch.setattr(WF, "GROUP_WIDTH", 8)      # 42 chunks -> 6-chunk groups
     monkeypatch.setattr(WF, "RESIDENT_BYTES", 1)   # force streaming
+    jax.clear_caches()  # module-constant changes don't invalidate jit caches
     grp = WF.trace_rays_wavefront(scene, frame, o, d, prec=prec, interpret=True)
     _agree(ref, grp)
 
@@ -178,6 +180,7 @@ def test_wavefront_second_cycle(monkeypatch):
     monkeypatch.setattr(WF, "K_CAND", 4)
     monkeypatch.setattr(WF, "N_ROUNDS", 1)
     monkeypatch.setattr(WF, "CYCLE2_MIN_GROUPS", 1)  # always 2 cycles
+    jax.clear_caches()  # module-constant changes don't invalidate jit caches
     prec, scene, frame, o, d = _setup()
     perm = jax.random.permutation(jax.random.PRNGKey(13), o.shape[0])
     o, d = o[perm], d[perm]

@@ -142,7 +142,7 @@ def main():
         "none": None,
         "origin": DP._morton_key(bo, bd, live=live_b, mode="origin"),
         "beam": DP._morton_key(bo, bd, live=live_b, mode="beam"),
-        "anchor": DP._anchor_key(frame, bo, bd, mind, maxd, live=live_b)
+        "anchor": DP._anchor_key(frame, bo, bd, maxd, live=live_b)
         if frame.dense_chunk_lo is not None
         else None,
     }
@@ -283,7 +283,7 @@ def window_model():
     )
 
     key_anchor = np.asarray(
-        DP._anchor_key(frame, bo, bd, mind, maxd, live=jnp.asarray(live_r))
+        DP._anchor_key(frame, bo, bd, maxd, live=jnp.asarray(live_r))
     )
     key_beam = np.asarray(DP._morton_key(bo, bd, live=jnp.asarray(live_r), mode="beam"))
 

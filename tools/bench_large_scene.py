@@ -96,20 +96,16 @@ def main():
     agree = (np.asarray(hp.tri) == np.asarray(hd.tri)).mean()
     print(f"packet/dense agreement: {agree:.6f}", flush=True)
 
-    if True:
-        from low_precision_raytracer_tpu.ops.wavefront import (
-            trace_rays_wavefront,
-        )
+    from low_precision_raytracer_tpu.ops.wavefront import trace_rays_wavefront
 
-        print("[wavefront]", flush=True)
-        try:
-            t, hw = timeit(trace_rays_wavefront, scene, frame, op, dp,
-                           prec=prec)
-            row("incoherent per-ray", t)
-            agree = (np.asarray(hw.tri) == np.asarray(hd.tri)[perm]).mean()
-            print(f"wavefront/dense agreement: {agree:.6f}", flush=True)
-        except Exception as ex:
-            print(f"  wavefront FAILED: {type(ex).__name__}: {ex}", flush=True)
+    print("[wavefront]", flush=True)
+    try:
+        t, hw = timeit(trace_rays_wavefront, scene, frame, op, dp, prec=prec)
+        row("incoherent per-ray", t)
+        agree = (np.asarray(hw.tri) == np.asarray(hd.tri)[perm]).mean()
+        print(f"wavefront/dense agreement: {agree:.6f}", flush=True)
+    except Exception as ex:
+        print(f"  wavefront FAILED: {type(ex).__name__}: {ex}", flush=True)
 
     # ---- in-frame: full pipeline per backend
     from low_precision_raytracer_tpu.render.framestate import init_frame_state
