@@ -190,3 +190,24 @@ def test_wavefront_second_cycle(monkeypatch):
     )
     wf = WF.trace_rays_wavefront(scene, frame, o, d, prec=prec, interpret=True)
     _agree(ref, wf)
+
+
+def test_wavefront_fp16():
+    """fp16 render dtype through the wavefront (the mxu3 bf16x3 dot widens
+    fp16 rays/coefficients identically — hits must match the fp16 tile
+    path)."""
+    prec16 = get_precision("fp16")
+    host = sponza_like_scene(pillar_grid=2, sphere_subdiv=1, with_skybox=False)
+    scene = build_scene_arrays(host, prec16, leaf_size=4)
+    flat = build_flat_scene(host.root, host.active_camera)
+    frame = frame_input_from_flat(flat, host, prec16)
+    o, d = primary_ray_grid(frame.cam_l2w, flat.cam_fov_y, 128, 16, prec16.dtype)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    perm = jax.random.permutation(jax.random.PRNGKey(21), o.shape[0])
+    o, d = o[perm], d[perm]
+    ref = trace_rays_dense_pallas(
+        scene, frame, o, d, prec=prec16, fallback="mxu3", cull=True,
+        tile_hw=None, interpret=True,
+    )
+    wf = trace_rays_wavefront(scene, frame, o, d, prec=prec16, interpret=True)
+    _agree(ref, wf)
