@@ -211,3 +211,34 @@ def test_wavefront_fp16():
     )
     wf = trace_rays_wavefront(scene, frame, o, d, prec=prec16, interpret=True)
     _agree(ref, wf)
+
+
+def test_wavefront_matches_fp64_oracle():
+    """Independent oracle (fp64 brute force), not just the sibling kernel:
+    catches modes both Pallas paths could share."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from oracle import brute_force_trace
+
+    prec = get_precision("bf16")
+    host = sponza_like_scene(pillar_grid=2, sphere_subdiv=1, with_skybox=False)
+    scene = build_scene_arrays(host, prec, leaf_size=4)
+    flat = build_flat_scene(host.root, host.active_camera)
+    frame = frame_input_from_flat(flat, host, prec)
+    o, d = primary_ray_grid(frame.cam_l2w, flat.cam_fov_y, 128, 16, prec.dtype)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    perm = jax.random.permutation(jax.random.PRNGKey(17), o.shape[0])
+    o, d = o[perm], d[perm]
+    wf = trace_rays_wavefront(scene, frame, o, d, prec=prec, interpret=True)
+    want = brute_force_trace(
+        flat, host.meshes, np.asarray(o, np.float64), np.asarray(d, np.float64)
+    )
+    got_hit = np.asarray(wf.tri) >= 0
+    assert (got_hit == want["hit"]).mean() > 0.995
+    both = got_hit & want["hit"]
+    same = np.asarray(wf.tri)[both] == want["tri"][both]
+    assert same.mean() > 0.98
+    t_err = np.abs(np.asarray(wf.t)[both][same] - want["t"][both][same])
+    assert np.quantile(t_err, 0.95) < 0.03
