@@ -242,3 +242,31 @@ def test_wavefront_matches_fp64_oracle():
     assert same.mean() > 0.98
     t_err = np.abs(np.asarray(wf.t)[both][same] - want["t"][both][same])
     assert np.quantile(t_err, 0.95) < 0.03
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_wavefront_random_rays_property(seed):
+    """Property sweep: random origins (inside and outside the scene AABB),
+    random directions, random per-lane max_dist — hit masks and winning
+    triangles must match the exact dense kernel."""
+    prec, scene, frame, o, d = _setup()
+    key = jax.random.PRNGKey(100 + seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    R = 2048
+    lo = jnp.min(frame.obj_aabb_lo, axis=0)
+    hi = jnp.max(frame.obj_aabb_hi, axis=0)
+    span = hi - lo
+    ro = lo - 0.5 * span + jax.random.uniform(k1, (R, 3)) * 2.0 * span
+    rd = jax.random.normal(k2, (R, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    maxd = jax.random.uniform(k3, (R,)) * 30.0
+    ro = ro.astype(prec.dtype)
+    rd = rd.astype(prec.dtype)
+    ref = trace_rays_dense_pallas(
+        scene, frame, ro, rd, prec=prec, fallback="mxu3", cull=True,
+        tile_hw=None, interpret=True, max_dist=maxd,
+    )
+    wf = trace_rays_wavefront(
+        scene, frame, ro, rd, prec=prec, interpret=True, max_dist=maxd,
+    )
+    _agree(ref, wf)
