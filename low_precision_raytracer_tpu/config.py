@@ -225,6 +225,15 @@ class RenderConfig:
     # 'auto'    - 'reduce5' until the TPU A/B (tools/bench_epilogue_ab.py)
     #             lands; flip after measurement
     dense_epilogue: str = "auto"
+    # dense-kernel per-tile chunk-list selection (the schedule phase):
+    # 'sort' - full-width stable argsort of the entry-bound key,
+    #          O(NC log NC) per tile — fine up to ~100k tris
+    # 'topk' - exact nearest-(take+1) via lax.top_k, O(NC log take) — the
+    #          schedule lever at 1M+ tris where NC reaches the thousands
+    #          (same results up to equal-bound tiebreaks)
+    # 'auto' - 'sort' until the TPU A/B (tools/bench_schedule_ab.py) sets
+    #          the crossover; flip after measurement
+    dense_schedule_select: str = "auto"
     # device mesh for multi-chip rendering (parallel/tiling.py sets this):
     # when present, the Pallas trace kernels run under shard_map with rays
     # partitioned over the mesh's pixel axis — per-shard by construction,
@@ -239,6 +248,7 @@ class RenderConfig:
         assert self.incoherent_sort in ("anchor", "beam", "origin", "none")
         assert self.incoherent_impl in ("tile", "wavefront")
         assert self.dense_epilogue in ("auto", "reduce5", "pack")
+        assert self.dense_schedule_select in ("auto", "sort", "topk")
         assert self.max_bounces >= 1, "max_bounces counts the primary shade round"
 
     @property

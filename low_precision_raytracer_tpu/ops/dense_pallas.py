@@ -789,7 +789,7 @@ def _mxu_tables(n_dt, n_f32, e, tri_ids, obj_ids, tc, dt, is_f32,
     jax.jit,
     static_argnames=(
         "prec", "fallback", "find_any", "cull", "tile_hw", "interpret",
-        "stream", "ablate", "epilogue",
+        "stream", "ablate", "epilogue", "select",
     ),
 )
 def trace_rays_dense_pallas(
@@ -810,6 +810,7 @@ def trace_rays_dense_pallas(
     stream: bool = False,  # HBM-streamed coefficient table (large scenes)
     ablate: str = "",  # perf-probe switches, see _kernel (not for production)
     epilogue: str = "reduce5",  # 'pack' = packed winner key epilogue
+    select: str = "sort",  # chunk-list selection: 'sort' | 'topk'
 ) -> Hit:
     assert frame.dense_n is not None, "dense coefficients missing"
     # 'mxu3' (bf16/fp16 only): the manual bf16x3 MXU dot — already required
@@ -937,18 +938,35 @@ def trace_rays_dense_pallas(
         id_bits = max(1, (n_chunks - 1).bit_length())
         big = jnp.float32(3e38)
         tkey = jnp.where(active > 0, jnp.maximum(chunk_tmin, 0.0), big)
-        order = jnp.argsort(tkey, axis=1)
         take = min(maxc, n_chunks)
-        ids = order[:, :take].astype(jnp.int32)
-        t_sorted = jnp.take_along_axis(tkey, order, axis=1)
-        tbits = jax.lax.bitcast_convert_type(t_sorted[:, :take], jnp.int32)
+        if select == "topk" and n_chunks > take:
+            # Exact nearest-(take+1) selection via `top_k` on the negated
+            # key: O(NC log k) per tile instead of the full-width argsort's
+            # O(NC log NC) — the schedule-phase lever at 1M+ tris, where
+            # NC = TI/tc reaches the thousands while take stays in the tens
+            # (BASELINE.md round-4 handoff item 4).  Ties may pick/order a
+            # different (equally-near) subset than the stable argsort; the
+            # ordered early exit and the t_cut overflow logic only need *a*
+            # nearest set plus the (take+1)-th smallest bound, so results
+            # differ from 'sort' only by evaluation-order tiebreaks.
+            neg, ids_k = jax.lax.top_k(-tkey, take + 1)
+            t_small = -neg
+            ids = ids_k[:, :take].astype(jnp.int32)
+            t_sel = t_small[:, :take]
+            t_cut = t_small[:, take]
+        else:
+            order = jnp.argsort(tkey, axis=1)
+            ids = order[:, :take].astype(jnp.int32)
+            t_sorted = jnp.take_along_axis(tkey, order, axis=1)
+            t_sel = t_sorted[:, :take]
+            if n_chunks > take:
+                t_cut = t_sorted[:, take]  # big where the active set fits
+            else:
+                t_cut = jnp.full((grid,), big, jnp.float32)
+        tbits = jax.lax.bitcast_convert_type(t_sel, jnp.int32)
         words = (tbits & ~((1 << id_bits) - 1)) | ids
         if take < maxc:
             words = jnp.pad(words, ((0, 0), (0, maxc - take)))
-        if n_chunks > take:
-            t_cut = t_sorted[:, take]  # big where the active set fits
-        else:
-            t_cut = jnp.full((grid,), big, jnp.float32)
         tcut_bits = jax.lax.bitcast_convert_type(t_cut, jnp.int32)
         count = jnp.minimum(jnp.sum(active, axis=1, dtype=jnp.int32), take)
         active = jnp.concatenate([count, tcut_bits, words.reshape(-1)])
@@ -1242,7 +1260,7 @@ def _anchor_key(frame, origins, directions, max_dist, live):
     jax.jit,
     static_argnames=(
         "prec", "fallback", "find_any", "interpret", "stream", "key_mode",
-        "epilogue",
+        "epilogue", "select",
     ),
 )
 def trace_rays_dense_pallas_sorted(
@@ -1261,6 +1279,7 @@ def trace_rays_dense_pallas_sorted(
     stream: bool = False,
     key_mode: str = "beam",
     epilogue: str = "reduce5",
+    select: str = "sort",
 ) -> Hit:
     """Coherence-recovering launch for INCOHERENT rays (GI bounces,
     secondary shadow rays): a key-value `lax.sort` groups rays by
@@ -1312,6 +1331,7 @@ def trace_rays_dense_pallas_sorted(
         interpret=interpret,
         stream=stream,
         epilogue=epilogue,
+        select=select,
     )
     back = jax.lax.sort([srt[10], hit.t, hit.u, hit.v, hit.tri, hit.obj], num_keys=1)
     return Hit(t=back[1], u=back[2], v=back[3], tri=back[4], obj=back[5])

@@ -181,6 +181,11 @@ def trace(
         stream = ti > cfg.dense_pallas_max_tris  # table too big for VMEM
         fb = resolve_fallback(cfg.triangle_fallback, prec, "dense_pallas")
         ep = "reduce5" if cfg.dense_epilogue == "auto" else cfg.dense_epilogue
+        sel = (
+            "sort"
+            if cfg.dense_schedule_select == "auto"
+            else cfg.dense_schedule_select
+        )
         # sorting pays only when there are chunks to cull; cfg.incoherent_sort
         # picks the recovery strategy ('none' keeps pixel-order screen
         # blocks and relies on the box-distance ordered early exit)
@@ -230,6 +235,7 @@ def trace(
                 stream=stream,
                 key_mode=cfg.incoherent_sort,
                 epilogue=ep,
+                select=sel,
             )
         return trace_rays_dense_pallas(
             scene,
@@ -246,6 +252,7 @@ def trace(
             interpret=interpret,
             stream=stream,
             epilogue=ep,
+            select=sel,
         )
     if impl == "dense":
         return trace_rays_dense(

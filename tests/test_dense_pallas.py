@@ -388,3 +388,45 @@ def test_anchor_sorted_matches_plain():
     np.testing.assert_allclose(
         np.asarray(hp.t)[both], np.asarray(ha.t)[both], rtol=1e-4, atol=1e-4
     )
+
+
+def test_topk_select_matches_sort(monkeypatch):
+    """'topk' chunk-list selection (exact nearest-(take+1) via lax.top_k)
+    must agree with the full argsort: same hit set, same t, tri differing
+    only on equal-entry-bound tiebreaks.  MAXC is pinned small so the
+    selection actually truncates (n_chunks > take) and the t_cut overflow
+    path is exercised under both selectors."""
+    import low_precision_raytracer_tpu.ops.dense_pallas as DP
+
+    host = sponza_like_scene(pillar_grid=2, sphere_subdiv=1, with_skybox=False)
+    prec, scene, frame, o, d, hw = _setup(host)
+    n_chunks = frame.dense_chunk_lo.shape[0]
+    assert n_chunks > 2  # the cap below must actually truncate
+    # MAXC is read at trace time but jit caches on (shapes, static args);
+    # drop any entries traced by earlier tests under the default MAXC
+    trace_rays_dense_pallas.clear_cache()
+    monkeypatch.setattr(DP, "MAXC", 2)
+    hs = trace_rays_dense_pallas(
+        scene, frame, o, d, prec=prec, cull=True, tile_hw=hw, interpret=True,
+        select="sort",
+    )
+    ht = trace_rays_dense_pallas(
+        scene, frame, o, d, prec=prec, cull=True, tile_hw=hw, interpret=True,
+        select="topk",
+    )
+    monkeypatch.undo()
+    trace_rays_dense_pallas.clear_cache()
+    np.testing.assert_array_equal(
+        np.asarray(hs.tri) >= 0, np.asarray(ht.tri) >= 0
+    )
+    same = np.asarray(hs.tri) == np.asarray(ht.tri)
+    assert same.mean() > 0.999, f"tri agreement {same.mean()}"
+    both = same & (np.asarray(hs.tri) >= 0)
+    np.testing.assert_allclose(
+        np.asarray(hs.t)[both], np.asarray(ht.t)[both], rtol=1e-5, atol=1e-5
+    )
+    # and against the XLA oracle backend, full equality of the hit mask
+    href = trace_rays_dense(scene, frame, o, d, prec=prec)
+    np.testing.assert_array_equal(
+        np.asarray(ht.tri) >= 0, np.asarray(href.tri) >= 0
+    )
