@@ -82,3 +82,108 @@ def test_fallback_rate_bf16_exceeds_fp32():
         assert 0.0 <= rates[name] <= 1.0
     assert rates["bf16"] >= rates["fp32"]
     assert rates["bf16"] > 0.0  # the band is actually exercised
+
+
+# ---- Radiance RGBE (.hdr) decoder --------------------------------------
+
+
+def _rgbe_encode(px):
+    """Reference RGBE encode (Ward): e = exponent of max component,
+    mantissa = c * 256 / 2^e."""
+    m = float(max(px))
+    if m < 1e-32:
+        return bytes([0, 0, 0, 0])
+    e = math.frexp(m)[1]
+    s = 256.0 / 2.0**e
+    return bytes([int(px[0] * s), int(px[1] * s), int(px[2] * s), e + 128])
+
+
+def _write_hdr_flat(path, rgb):
+    h, w = rgb.shape[:2]
+    out = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + f"-Y {h} +X {w}\n".encode()
+    for row in rgb:
+        for px in row:
+            out += _rgbe_encode(px)
+    path.write_bytes(out)
+
+
+def _write_hdr_rle(path, rgb):
+    """Adaptive-RLE scanlines: one run + literals per plane segment."""
+    h, w = rgb.shape[:2]
+    out = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + f"-Y {h} +X {w}\n".encode()
+    for row in rgb:
+        raw = np.frombuffer(
+            b"".join(_rgbe_encode(px) for px in row), np.uint8
+        ).reshape(w, 4)
+        out += bytes([2, 2, w >> 8, w & 0xFF])
+        for c in range(4):
+            plane = raw[:, c]
+            x = 0
+            while x < w:
+                # runs of equal bytes (>= 2) as run packets, else literals
+                n = 1
+                while x + n < w and plane[x + n] == plane[x] and n < 127:
+                    n += 1
+                if n >= 2:
+                    out += bytes([128 + n, plane[x]])
+                else:
+                    out += bytes([1, plane[x]])
+                x += n
+    path.write_bytes(out)
+
+
+def test_radiance_hdr_flat_roundtrip(tmp_path):
+    from low_precision_raytracer_tpu.utils.image import load_radiance_hdr
+
+    rng = np.random.default_rng(11)
+    rgb = (rng.random((4, 9, 3)) * 100.0).astype(np.float32)
+    rgb[0, 0] = [0.0, 0.0, 0.0]
+    rgb[1, 2] = [1000.0, 0.25, 2.0]  # HDR range must survive
+    p = tmp_path / "flat.hdr"
+    _write_hdr_flat(p, rgb)
+    dec = load_radiance_hdr(str(p))
+    assert dec.shape == (4, 9, 3) and dec.dtype == np.float32
+    # RGBE quantization: one mantissa LSB of the shared exponent scale
+    # 2^(e-8) with 2^e >= max(px), i.e. up to max(px)/128 per component
+    lsb = rgb.max(axis=-1, keepdims=True) / 128.0
+    assert np.all(np.abs(dec - rgb) <= lsb * 1.01 + 1e-6)
+    assert dec[1, 2, 0] > 255.0  # the LDR-clamp failure mode
+
+
+def test_radiance_hdr_rle_roundtrip(tmp_path):
+    from low_precision_raytracer_tpu.utils.image import load_radiance_hdr
+
+    rng = np.random.default_rng(12)
+    w = 33  # >= 8 so the RLE format is legal
+    rgb = (rng.random((3, w, 3)) * 4.0).astype(np.float32)
+    rgb[1, 5:20] = [2.0, 1.0, 0.5]  # constant stretch -> run packets
+    p = tmp_path / "rle.hdr"
+    _write_hdr_rle(p, rgb)
+    dec = load_radiance_hdr(str(p))
+    lsb = rgb.max(axis=-1, keepdims=True) / 128.0
+    assert np.all(np.abs(dec - rgb) <= lsb * 1.01 + 1e-6)
+
+
+def test_radiance_hdr_old_rle_repeat(tmp_path):
+    from low_precision_raytracer_tpu.utils.image import load_radiance_hdr
+
+    # old-style run: pixel [1,1,1,n] repeats the previous pixel n times
+    w = 6  # < 8 -> forced flat/old format
+    row0 = _rgbe_encode([3.0, 2.0, 1.0])
+    out = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + f"-Y 1 +X {w}\n".encode()
+    out += row0 + bytes([1, 1, 1, w - 1])
+    p = tmp_path / "old.hdr"
+    p.write_bytes(out)
+    dec = load_radiance_hdr(str(p))
+    assert dec.shape == (1, w, 3)
+    np.testing.assert_allclose(dec, np.tile([[3.0, 2.0, 1.0]], (1, w, 1)), rtol=0.01)
+
+
+def test_load_hdr_equirect_dispatch(tmp_path):
+    from low_precision_raytracer_tpu.utils.image import load_hdr_equirect
+
+    rgb = np.full((2, 8, 3), 2.5, np.float32)
+    p = tmp_path / "sky.hdr"
+    _write_hdr_flat(p, rgb)
+    dec = load_hdr_equirect(str(p))
+    np.testing.assert_allclose(dec, rgb, rtol=0.01)
