@@ -210,7 +210,15 @@ def cmd_view(args) -> int:
         demo=DemoSettings(svgf=not args.no_svgf),
         taa_mix_weight=0.3,  # interactive: keep history but converge fast
     )
-    explorer = SceneExplorer(_build_scene(args.scene), cfg)
+    scene = _build_scene(args.scene)
+    if args.skybox:
+        from low_precision_raytracer_tpu.models.scene import Skybox
+        from low_precision_raytracer_tpu.utils.image import load_hdr_equirect
+
+        scene.skybox = Skybox(
+            data=load_hdr_equirect(args.skybox), exposure=args.skybox_exposure
+        )
+    explorer = SceneExplorer(scene, cfg)
     srv = serve(explorer, host=args.host, port=args.port)
     try:
         srv.serve_forever()
@@ -295,6 +303,8 @@ def main(argv=None) -> int:
     pv.add_argument("--precision", choices=["fp32", "bf16", "fp16"], default="bf16")
     pv.add_argument("--no-gi", action="store_true")
     pv.add_argument("--no-svgf", action="store_true")
+    pv.add_argument("--skybox", default=None, help="equirectangular HDR path")
+    pv.add_argument("--skybox-exposure", type=float, default=1.0)
     pv.add_argument("--host", default="127.0.0.1")
     pv.add_argument("--port", type=int, default=8008)
     pv.set_defaults(fn=cmd_view)

@@ -292,7 +292,7 @@ def serve(explorer: SceneExplorer, host: str = "127.0.0.1", port: int = 8008):
                 explorer.handle_events(
                     dt,
                     set(inp.get("keys", [])),
-                    tuple(inp.get("mouse", (0, 0))),
+                    tuple(inp.get("mouse") or (0, 0)),
                     bool(inp.get("right", False)),
                     float(inp.get("wheel", 0.0)),
                 )
