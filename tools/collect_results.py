@@ -27,6 +27,8 @@ def main():
         ("epilogue_ab", "chunk-epilogue A/B (reduce5 vs pack)"),
         ("large_46k", "large-scene standalone + in-frame at 46.5k"),
         ("incoh_2m", "incoherent A/B at 2M tris"),
+        ("wf_tune", "wavefront hyperparameter sweep"),
+        ("schedule_ab", "schedule-phase selection A/B (sort vs topk)"),
         ("viewer_fps", "viewer fps at 512x512"),
     ]
     prog = tail(f"{prefix}.progress", 100)
