@@ -1,0 +1,20 @@
+#!/bin/sh
+# Round-3 TPU measurement queue — run items sequentially, one TPU process at
+# a time, logging everything.  Skip-to-next on failure.
+cd /root/repo
+L=/tmp/q
+run() {
+  name=$1; shift
+  echo "=== $name: $* ($(date))" >> $L.progress
+  timeout 3600 "$@" > $L.$name.log 2>&1
+  echo "=== $name exit=$? ($(date))" >> $L.progress
+}
+run bench python bench.py
+run incoh_46k python tools/bench_incoherent_ab.py 6 3
+run epilogue_ab python tools/bench_epilogue_ab.py 6 3
+run wf_tune python tools/bench_wavefront_tune.py 6 3
+run large_46k python tools/bench_large_scene.py 6 3
+run schedule_ab python tools/bench_schedule_ab.py 6 3 10 5
+run incoh_2m python tools/bench_incoherent_ab.py 10 5
+run viewer_fps python tools/bench_viewer_fps.py 512 30
+echo ALL_DONE >> $L.progress
