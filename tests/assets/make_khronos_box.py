@@ -16,6 +16,12 @@ byte-for-byte in structure — everything this repo's own test writer
   NORMAL/POSITION accessors interleave in one bufferView (byteStride 24,
   accessor byteOffsets 0/12) — the strided-decode path of
   `rt/rtrt/loader.cu:90-190` that tightly-packed writers never touch.
+- `BoxTextured.gltf` + `BoxTextured0.bin` + `BoxTexturedCheck.png`: the
+  `BoxTextured` sample structure — a TEXCOORD_0 accessor in a second
+  strided bufferView, an `images` entry by relative file uri, a `samplers`
+  table, and a material whose baseColorTexture (not factor) carries the
+  color (`rt/rtrt/loader.cu:444-541` texture path).  The PNG is a
+  generated checkerboard (the sample's logo bitmap is unfetchable).
 
 The two assets decode to the SAME geometry through entirely different
 layouts, so the loader test cross-checks them against each other instead of
@@ -224,7 +230,140 @@ def write_box_interleaved_glb():
         f.write(glb)
 
 
+def face_uvs():
+    """One full [0,1]^2 texture tile per face, corner order matching
+    cube_geometry()'s emission order."""
+    uv = []
+    for _face in range(6):
+        uv += [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]
+    return np.asarray(uv, np.float32)
+
+
+def write_check_png(path, n=64, cell=8):
+    """Deterministic red/white checkerboard (stands in for the sample
+    asset's CesiumLogoFlat.png, which cannot be fetched offline)."""
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:n, 0:n]
+    check = ((xx // cell + yy // cell) % 2).astype(bool)
+    img = np.empty((n, n, 3), np.uint8)
+    img[check] = (255, 255, 255)
+    img[~check] = (204, 0, 0)
+    Image.fromarray(img).save(path)
+
+
+def write_box_textured_gltf():
+    """`BoxTextured` sample structure (COLLADA2GLTF): the Box layout plus a
+    TEXCOORD_0 accessor in its own strided bufferView, a `samplers` table
+    (repeat wrap, linear filters), an `images` entry by relative file uri,
+    and a material whose baseColorTexture replaces the color factor."""
+    pos, nrm, idx = cube_geometry()
+    uv = face_uvs()
+    # BoxTextured0.bin layout:
+    #   [normals (288 B) | positions (288 B) | uv (192 B) | indices (72 B)]
+    bin_data = nrm.tobytes() + pos.tobytes() + uv.tobytes() + idx.tobytes()
+    assert len(bin_data) == 840
+    gltf = {
+        "asset": {"generator": "COLLADA2GLTF", "version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"children": [1], "matrix": MATRIX}, {"mesh": 0}],
+        "meshes": [
+            {
+                "primitives": [
+                    {
+                        "attributes": {"NORMAL": 1, "POSITION": 2, "TEXCOORD_0": 3},
+                        "indices": 0,
+                        "mode": 4,
+                        "material": 0,
+                    }
+                ],
+                "name": "Mesh",
+            }
+        ],
+        "accessors": [
+            {
+                "bufferView": 0,
+                "byteOffset": 0,
+                "componentType": 5123,
+                "count": 36,
+                "max": [23],
+                "min": [0],
+                "type": "SCALAR",
+            },
+            {
+                "bufferView": 1,
+                "byteOffset": 0,
+                "componentType": 5126,
+                "count": 24,
+                "max": [1.0, 1.0, 1.0],
+                "min": [-1.0, -1.0, -1.0],
+                "type": "VEC3",
+            },
+            {
+                "bufferView": 1,
+                "byteOffset": 288,
+                "componentType": 5126,
+                "count": 24,
+                "max": [0.5, 0.5, 0.5],
+                "min": [-0.5, -0.5, -0.5],
+                "type": "VEC3",
+            },
+            {
+                "bufferView": 2,
+                "byteOffset": 0,
+                "componentType": 5126,
+                "count": 24,
+                "max": [1.0, 1.0],
+                "min": [0.0, 0.0],
+                "type": "VEC2",
+            },
+        ],
+        "materials": [
+            {
+                "pbrMetallicRoughness": {
+                    "baseColorTexture": {"index": 0},
+                    "metallicFactor": 0.0,
+                },
+                "name": "Texture",
+            }
+        ],
+        "textures": [{"sampler": 0, "source": 0}],
+        "images": [{"uri": "BoxTexturedCheck.png"}],
+        "samplers": [
+            {"magFilter": 9729, "minFilter": 9986, "wrapS": 10497, "wrapT": 10497}
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 768, "byteLength": 72, "target": 34963},
+            {
+                "buffer": 0,
+                "byteOffset": 0,
+                "byteLength": 576,
+                "byteStride": 12,
+                "target": 34962,
+            },
+            {
+                "buffer": 0,
+                "byteOffset": 576,
+                "byteLength": 192,
+                "byteStride": 8,
+                "target": 34962,
+            },
+        ],
+        "buffers": [{"byteLength": 840, "uri": "BoxTextured0.bin"}],
+    }
+    with open(os.path.join(HERE, "BoxTextured.gltf"), "w") as f:
+        json.dump(gltf, f, indent=2)
+    with open(os.path.join(HERE, "BoxTextured0.bin"), "wb") as f:
+        f.write(bin_data)
+    write_check_png(os.path.join(HERE, "BoxTexturedCheck.png"))
+
+
 if __name__ == "__main__":
     write_box_gltf()
     write_box_interleaved_glb()
-    print("wrote Box.gltf / Box0.bin / BoxInterleaved.glb")
+    write_box_textured_gltf()
+    print(
+        "wrote Box.gltf / Box0.bin / BoxInterleaved.glb / "
+        "BoxTextured.{gltf,0.bin} / BoxTexturedCheck.png"
+    )

@@ -249,3 +249,62 @@ def test_khronos_box_renders_red():
     assert np.asarray(aux["valid"])[20:28, 20:28].all()
     assert center[..., 0].mean() > 2 * center[..., 1].mean()
     assert center[..., 0].mean() > 0.05
+
+
+def test_khronos_boxtextured_layout():
+    """`BoxTextured` sample structure: TEXCOORD_0 from its own strided
+    bufferView, file-uri PNG image, samplers table, material color carried
+    by baseColorTexture (`rt/rtrt/loader.cu:444-541`)."""
+    from low_precision_raytracer_tpu.models.materials import NO_TEX
+
+    scene = load_gltf(_asset("BoxTextured.gltf"))
+    mesh = scene.meshes[0]
+    # geometry identical to the untextured foreign-layout cube
+    ref = load_gltf(_asset("Box.gltf")).meshes[0]
+    np.testing.assert_array_equal(mesh.positions, ref.positions)
+    np.testing.assert_array_equal(mesh.indices, ref.indices)
+    # the vec2 accessor decoded through byteStride 8 (not the vec3 stride)
+    assert mesh.uv0.shape == (24, 2)
+    np.testing.assert_allclose(mesh.uv0.min(axis=0), [0.0, 0.0])
+    np.testing.assert_allclose(mesh.uv0.max(axis=0), [1.0, 1.0])
+    mat = scene.materials[1]
+    assert mat.tex_color != NO_TEX
+    assert mat.uv_color == 0
+    np.testing.assert_allclose(mat.color, [1.0, 1.0, 1.0])  # factor default
+    # sRGB decode flagged for the base-color texture; checker uploaded as-is
+    assert scene.texture_srgb[mat.tex_color] is True
+    tex = scene.textures[mat.tex_color]
+    assert tex.shape == (64, 64, 4)
+    assert set(np.unique(tex[..., 0])) == {204, 255}
+
+
+def test_khronos_boxtextured_renders_checker():
+    """End-to-end: the rendered +Z face must show the checkerboard — both
+    red cells (G << R) and white cells (G ~ R) present in the same face."""
+    from low_precision_raytracer_tpu.config import DemoSettings, RenderConfig
+    from low_precision_raytracer_tpu.models.hierarchy import (
+        CameraObject,
+        LightObject,
+    )
+    from low_precision_raytracer_tpu.render.renderer import Renderer
+
+    scene = load_gltf(_asset("BoxTextured.gltf"))
+    cam = CameraObject(name="cam", fov_y=np.pi / 3)
+    cam.translation = np.array([0.0, 0.0, 2.0], np.float32)
+    scene.root.add(cam)
+    scene.active_camera = cam
+    lamp = LightObject(name="lamp", light_type=LIGHT_POINT,
+                       intensity=np.array([40.0, 40.0, 40.0], np.float32))
+    lamp.translation = np.array([0.0, 0.0, 2.5], np.float32)
+    scene.root.add(lamp)
+    cfg = RenderConfig(width=64, height=64, precision="fp32", gi_on=False,
+                       taa_on=False, demo=DemoSettings(svgf=False))
+    img, aux = Renderer(scene, cfg).render()
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    face = img[24:40, 24:40]
+    assert np.asarray(aux["valid"])[24:40, 24:40].all()
+    ratio = face[..., 1] / np.maximum(face[..., 0], 1e-6)
+    # red checker cells: green a small fraction of red; white cells: ~equal
+    assert ratio.min() < 0.25
+    assert ratio.max() > 0.8
