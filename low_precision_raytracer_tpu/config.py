@@ -213,8 +213,9 @@ class RenderConfig:
     #               need: bounce rays want ~4.5 chunk visits/ray but
     #               tile-level unions walk ~100 bodies/tile — a ~28x gap
     #               no sort key closes (tools/analyze_incoherent_walk.py).
-    #               bf16/fp16 multi-chunk scenes up to ~131k tris; other
-    #               launches keep the tile path.
+    #               bf16/fp16 multi-chunk scenes up to the HBM-streamed
+    #               table band (packet_bvh_max_tris, v2 group scheduling);
+    #               other launches keep the tile path.
     incoherent_impl: str = "tile"
     # dense Pallas kernel chunk epilogue:
     # 'reduce5' - exact winner tracking, 5 cross-sublane reductions/chunk

@@ -374,6 +374,11 @@ def _load_material(model: _Model, mat: dict, loader: _TextureLoader) -> Material
     # glTF channel map: G=roughness, B=metallic (`rt/rtrt/loader.cu:517-525`)
     out.channel_roughness = 1
     out.channel_metallic = 2
+    # normalTexture deliberately NOT loaded: the reference caches it
+    # (`rt/rtrt/loader.cu:533-536`) but marks normal-map scale unsupported
+    # (`rt/rtrt/memory.hpp:313`) and its shade kernel never samples it —
+    # tex2D reads only the skybox and tex_color (`rt/rtrt/cuda.hpp:1789,
+    # 1830, 1852`).  Skipping the dead upload keeps behavioural parity.
     return out
 
 
