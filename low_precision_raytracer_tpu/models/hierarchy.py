@@ -89,12 +89,25 @@ class Object:
     def transform_matrix(self) -> np.ndarray:
         """T * R * S (`rt/rtrt/hierarchy.hpp:145-150`).  The rotation is
         normalized before conversion — the reference routes through
-        glm angle/axis which has the same effect on lerped quats."""
+        glm angle/axis which has the same effect on lerped quats.
+
+        Cached on exact TRS bytes: un-animated nodes pay one compute total,
+        not one per frame (the host flatten is per-frame, §5.8 TLAS-rebuild
+        analogue).  The returned matrix is shared — callers must not mutate.
+        """
+        t = np.asarray(self.translation, np.float32)
         q = np.asarray(self.rotation, np.float32)
+        s = np.asarray(self.scale, np.float32)
+        key = (t.tobytes(), q.tobytes(), s.tobytes())
+        hit = self.__dict__.get("_tm_cache")
+        if hit is not None and hit[0] == key:
+            return hit[1]
         n = np.linalg.norm(q)
         if n > 0:
             q = q / n
-        return trs_matrix(self.translation, q, self.scale)
+        m = trs_matrix(t, q, s)
+        self._tm_cache = (key, m)
+        return m
 
     def local_to_world(self) -> np.ndarray:
         m = self.transform_matrix()
@@ -239,8 +252,17 @@ def build_flat_scene(root: Object, active_camera: CameraObject | None) -> FlatSc
     def rec(node: Object, transform: np.ndarray):
         new_t = transform @ node.transform_matrix()
         if isinstance(node, MeshObject):
-            lo, hi = node.world_aabb(new_t)
-            objs.append((new_t, invert_rigid(new_t), node.mesh_id, node.material_id, lo, hi))
+            # world-transform-keyed cache: static subtrees skip the 8-corner
+            # AABB transform + inverse every frame (exact byte key)
+            tb = new_t.tobytes()
+            hit = node.__dict__.get("_flat_cache")
+            if hit is not None and hit[0] == tb:
+                _, w2l, lo, hi = hit
+            else:
+                lo, hi = node.world_aabb(new_t)
+                w2l = invert_rigid(new_t)
+                node._flat_cache = (tb, w2l, lo, hi)
+            objs.append((new_t, w2l, node.mesh_id, node.material_id, lo, hi))
         elif isinstance(node, LightObject):
             d = new_t @ np.array([0, 0, -1, 0], np.float32)
             d = d[:3] / np.linalg.norm(d[:3])

@@ -469,7 +469,15 @@ def frame_input_from_flat(
     dt = prec.dtype
     np_dt = prec.np_dtype
 
-    tlas = build_tlas(flat.obj_aabb_lo, flat.obj_aabb_hi)
+    # per-frame TLAS rebuild (`rt/rtrt/cuda.hpp:700`), byte-keyed cache:
+    # static frames (camera-only motion) reuse the previous tree
+    tkey = (flat.obj_aabb_lo.tobytes(), flat.obj_aabb_hi.tobytes())
+    tcache = getattr(host, "_tlas_cache", None)
+    if tcache is not None and tcache[0] == tkey:
+        tlas = tcache[1]
+    else:
+        tlas = build_tlas(flat.obj_aabb_lo, flat.obj_aabb_hi)
+        host._tlas_cache = (tkey, tlas)
     tlas_lo, tlas_hi = bvh_aabbs_for_dtype(tlas.aabb_lo, tlas.aabb_hi, np_dt)
 
     n_l = flat.light_type.shape[0]
@@ -586,8 +594,20 @@ def _dense_coefficients(host: HostScene, flat: FlatScene, t_off, prec: Precision
     """World-space per-instance-triangle test coefficients for the dense MXU
     backend (ops/dense.py): with local test (m @ (A o + b - v2)) and W2L
     linear part A, the world-ray form is n.o + e with rows n = m @ A and
-    offsets e = m.(b - v2) (+ n.c recentering).  Computed per frame on the
-    host in float64 -> fp32 (the TLAS-rebuild analogue for the dense path).
+    offsets e = m.(b - v2) (+ n.c recentering).  Computed on the host in
+    float64 -> fp32 (the TLAS-rebuild analogue for the dense path).
+
+    Per-frame cost is bounded by two host caches keyed on transform BYTES
+    (exact, no tolerance):
+    - whole-frame: if no instance transform changed (the interactive
+      camera-only case — world-space coefficients are camera-independent),
+      the previous frame's device-resident table dict is returned as-is,
+      skipping both the rebuild and the ~512 B/instance-tri re-upload;
+    - per-object blocks: under animation only MOVED objects recompute their
+      (n, e_base, world-verts) block; the recenter term n.c is re-applied
+      vectorized over the concatenated table (center moves with the scene
+      AABB).  Generational eviction: blocks not referenced by the current
+      frame are dropped.
     """
     n_obj = flat.obj_mesh.shape[0]
     ti = int(np.sum(t_off[flat.obj_mesh + 1] - t_off[flat.obj_mesh]))
@@ -600,45 +620,77 @@ def _dense_coefficients(host: HostScene, flat: FlatScene, t_off, prec: Precision
     if ti == 0 or ti > DENSE_COEFF_MAX_TRIS or n_obj > DENSE_COEFF_MAX_OBJECTS:
         return none
 
+    cache = getattr(host, "_dense_cache", None)
+    if cache is None or cache.get("n_tris") != ti:
+        cache = {"blocks": {}, "key": None, "out": None, "n_tris": ti}
+        host._dense_cache = cache
+    frame_key = (
+        prec.name,
+        flat.obj_mesh.tobytes(),
+        flat.obj_w2l.tobytes(),
+        flat.obj_l2w.tobytes(),
+    )
+    if cache["key"] == frame_key:
+        return cache["out"]
+
     m_f32, v2_f32, verts_f32 = _host_m_cache(host)
     center = (
         (flat.obj_aabb_lo.min(axis=0) + flat.obj_aabb_hi.max(axis=0)) / 2
     ).astype(np.float64)
 
+    blocks = cache["blocks"]
+    new_blocks = {}
     ns, es, tris, objs, vws = [], [], [], [], []
     for o in range(n_obj):
         mesh = int(flat.obj_mesh[o])
         t0, t1 = int(t_off[mesh]), int(t_off[mesh + 1])
         if t0 == t1:
             continue
-        w2l = flat.obj_w2l[o].astype(np.float64)
-        A = w2l[:3, :3]
-        b = w2l[:3, 3]
-        m = m_f32[t0:t1].astype(np.float64)  # (T, 3, 3) rows
-        v2 = v2_f32[t0:t1].astype(np.float64)
-        n = m @ A  # rows transformed: n[t, r] = A^T m[t, r]
-        e = np.einsum("trk,tk->tr", m, b[None, :] - v2) + n @ center
-        ns.append(n)
-        es.append(e)
+        bkey = (mesh, flat.obj_w2l[o].tobytes(), flat.obj_l2w[o].tobytes())
+        blk = new_blocks.get(bkey) or blocks.get(bkey)
+        if blk is None:
+            w2l = flat.obj_w2l[o].astype(np.float64)
+            A = w2l[:3, :3]
+            b = w2l[:3, 3]
+            m = m_f32[t0:t1].astype(np.float64)  # (T, 3, 3) rows
+            v2 = v2_f32[t0:t1].astype(np.float64)
+            n = m @ A  # rows transformed: n[t, r] = A^T m[t, r]
+            # e_base stays f64: it cancels against n.c below (recentering
+            # exists precisely because the raw offsets can be large)
+            e_base = np.einsum("trk,tk->tr", m, b[None, :] - v2)
+            l2w = flat.obj_l2w[o].astype(np.float64)
+            vw = (
+                verts_f32[t0:t1].astype(np.float64) @ l2w[:3, :3].T + l2w[:3, 3]
+            ).astype(np.float32)
+            # cache per-TRIANGLE world AABBs, not the verts: the only
+            # consumer is the chunk/leaf grouping below, and the (T, 3)
+            # vertex min/max is the expensive reduce
+            blk = (n.astype(np.float32), e_base, vw.min(axis=1), vw.max(axis=1))
+        new_blocks[bkey] = blk
+        ns.append(blk[0])
+        es.append(blk[1])
+        vws.append(blk[2:4])
         tris.append(np.arange(t0, t1, dtype=np.int32))
         objs.append(np.full(t1 - t0, o, np.int32))
-        l2w = flat.obj_l2w[o].astype(np.float64)
-        vws.append(
-            (verts_f32[t0:t1].astype(np.float64) @ l2w[:3, :3].T + l2w[:3, 3]).astype(np.float32)
-        )
+    cache["blocks"] = new_blocks
 
-    n_all = np.concatenate(ns).astype(np.float32)
-    e_all = np.concatenate(es).astype(np.float32)
+    n_all = np.concatenate(ns)  # f32
+    e_all = (np.concatenate(es) + n_all.astype(np.float64) @ center).astype(
+        np.float32
+    )
 
     # per-chunk world AABBs (kernel chunk = DENSE_CHUNK_TRIS consecutive
     # instance triangles): finer culling granularity than whole objects.
     # Padded slots sit in a degenerate far-away box; boxes are widened by a
     # relative epsilon to stay conservative vs fp rounding.
-    vw_all = np.concatenate(vws)  # (TI, 3, 3) world verts
     pad = (-ti) % DENSE_CHUNK_TRIS  # DENSE_CHUNK_TRIS % BVH_LEAF_TRIS == 0
     big = np.float32(1e30)
-    lo_t = np.pad(vw_all.min(axis=1), ((0, pad), (0, 0)), constant_values=big)
-    hi_t = np.pad(vw_all.max(axis=1), ((0, pad), (0, 0)), constant_values=-big)
+    lo_t = np.pad(
+        np.concatenate([v[0] for v in vws]), ((0, pad), (0, 0)), constant_values=big
+    )
+    hi_t = np.pad(
+        np.concatenate([v[1] for v in vws]), ((0, pad), (0, 0)), constant_values=-big
+    )
 
     def group_aabbs(n_per_group: int):
         """Conservatively-widened world AABBs of consecutive n_per_group
@@ -658,7 +710,7 @@ def _dense_coefficients(host: HostScene, flat: FlatScene, t_off, prec: Precision
     leaf_lo, leaf_hi = group_aabbs(BVH_LEAF_TRIS)
 
     dt = prec.dtype
-    return dict(
+    out = dict(
         dense_n=jnp.asarray(n_all, dtype=dt),
         dense_n_f32=jnp.asarray(n_all),
         dense_e=jnp.asarray(e_all),
@@ -671,3 +723,6 @@ def _dense_coefficients(host: HostScene, flat: FlatScene, t_off, prec: Precision
         dense_leaf_lo=jnp.asarray(leaf_lo),
         dense_leaf_hi=jnp.asarray(leaf_hi),
     )
+    cache["key"] = frame_key
+    cache["out"] = out
+    return out
