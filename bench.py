@@ -85,7 +85,38 @@ def bench(width=1920, height=1080, precision="bf16", frames=20, warmup=3,
     return mrays, dt, n_rays
 
 
+def _device_init_guard(timeout_s: float = 900.0) -> bool:
+    """The axon TPU tunnel hangs (no error) in jax device init when it is
+    down; a blind bench run would then never print its JSON line.  Probe
+    device init on a daemon thread with a hard timeout and report an
+    explicit failure record instead of hanging the driver."""
+    import os
+    import threading
+
+    got = []
+    t = threading.Thread(target=lambda: got.append(jax.devices()), daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if got:
+        print(f"[bench] backend: {got[0][0].platform} x{len(got[0])}", file=sys.stderr)
+        return True
+    print(
+        json.dumps(
+            {
+                "metric": "Mrays/s/chip bf16 Cornell 1080p (GI+SVGF+TAA)",
+                "value": 0.0,
+                "unit": "Mrays/s",
+                "vs_baseline": 0.0,
+                "error": f"jax device init exceeded {timeout_s:.0f}s (TPU tunnel down?)",
+            }
+        ),
+        flush=True,
+    )
+    os._exit(0)  # daemon thread is stuck in C; skip normal teardown
+
+
 def main():
+    _device_init_guard()
     try:
         # parity line first; the headline metric stays the LAST line
         try:
