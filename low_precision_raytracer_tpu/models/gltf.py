@@ -80,13 +80,24 @@ class _Model:
         """Strided, endian-safe read of `count` x `n` `comp` elements from a
         bufferView (the core of `load_data`, `rt/rtrt/loader.cu:90-190`)."""
         itemsize = np.dtype(comp).itemsize
-        bv = self.gltf["bufferViews"][view_index]
+        views = self.gltf["bufferViews"]
+        if not 0 <= view_index < len(views):
+            raise GLTFError(f"bufferView index {view_index} out of range")
+        bv = views[view_index]
         buf = self.buffers[bv["buffer"]]
         offset = bv.get("byteOffset", 0) + byte_offset
         stride = stride_override or bv.get("byteStride", 0) or (n * itemsize)
-        raw = np.frombuffer(
-            buf, dtype=np.uint8, count=stride * (count - 1) + n * itemsize, offset=offset
-        )
+        need = stride * (count - 1) + n * itemsize
+        # validate against BOTH the view's declared extent and the backing
+        # buffer (tinygltf validates this for the reference; a silent
+        # short read would corrupt geometry)
+        view_end = bv.get("byteOffset", 0) + bv.get("byteLength", len(buf))
+        if count > 0 and (offset + need > len(buf) or offset + need > view_end):
+            raise GLTFError(
+                f"accessor read [{offset}, {offset + need}) exceeds "
+                f"bufferView {view_index} (end {view_end}, buffer {len(buf)} B)"
+            )
+        raw = np.frombuffer(buf, dtype=np.uint8, count=max(need, 0), offset=offset)
         if stride == n * itemsize:
             return raw.view(np.dtype(comp).newbyteorder("<")).reshape(count, n)
         idx = (
@@ -108,9 +119,20 @@ class _Model:
         accessor has no bufferView) with `sparse.count` rows substituted from
         the values view at positions from the indices view — the behaviour
         tinygltf gives the reference for free by pre-decoding buffers."""
-        acc = self.gltf["accessors"][index]
+        accessors = self.gltf.get("accessors", [])
+        if not 0 <= index < len(accessors):
+            raise GLTFError(f"accessor index {index} out of range")
+        acc = accessors[index]
+        if acc["type"] not in _TYPE_COUNTS:
+            raise GLTFError(f"unsupported accessor type {acc['type']!r}")
         n = _TYPE_COUNTS[acc["type"]]
         count = acc["count"]
+        if not isinstance(count, int) or count < 0:
+            raise GLTFError(f"invalid accessor count {count!r}")
+        if acc["componentType"] not in _COMPONENT_DTYPES:
+            raise GLTFError(
+                f"unsupported accessor componentType {acc['componentType']!r}"
+            )
         comp = _COMPONENT_DTYPES[acc["componentType"]]
 
         if "bufferView" in acc:
@@ -474,7 +496,24 @@ def _build_node(model: _Model, node_id: int, scene: HostScene,
 
 def load_gltf(path: str, scene: HostScene | None = None) -> HostScene:
     """`load_gltf2` (`rt/rtrt/loader.cu:736-828`).  Appends into an existing
-    HostScene when given (multi-file material_offset behaviour)."""
+    HostScene when given (multi-file material_offset behaviour).
+
+    All malformed-asset failures surface as :class:`GLTFError` (the
+    reference's loader throws typed exceptions for corrupted glTF,
+    `rt/rtrt/loader.cu:94, 101-103, 201-204`, which the UI console catches);
+    raw KeyError/IndexError/decode errors never escape this boundary."""
+    try:
+        return _load_gltf_checked(path, scene)
+    except GLTFError:
+        raise
+    except (KeyError, IndexError, ValueError, TypeError, OSError,
+            struct.error) as e:
+        raise GLTFError(
+            f"malformed glTF {path!r}: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _load_gltf_checked(path: str, scene: HostScene | None = None) -> HostScene:
     ext = os.path.splitext(path)[1].lower()
     base_dir = os.path.dirname(os.path.abspath(path))
     if ext == ".glb":

@@ -308,3 +308,37 @@ def test_khronos_boxtextured_renders_checker():
     # red checker cells: green a small fraction of red; white cells: ~equal
     assert ratio.min() < 0.25
     assert ratio.max() > 0.8
+
+
+def test_malformed_gltf_raises_typed_errors(tmp_path):
+    """Every malformed-asset failure must surface as GLTFError (the
+    reference's loader throws typed exceptions the UI console catches,
+    `rt/rtrt/loader.cu:94, 101-103, 201-204`) — never a raw KeyError/
+    IndexError/OSError from parser internals."""
+    import json as _json
+    import shutil
+
+    base = _json.load(open(_asset("BoxTextured.gltf")))
+    for f in ("BoxTextured0.bin", "BoxTexturedCheck.png"):
+        shutil.copy(_asset(f), tmp_path)
+
+    def check(mutator):
+        g = _json.loads(_json.dumps(base))
+        mutator(g)
+        p = tmp_path / "m.gltf"
+        p.write_text(_json.dumps(g))
+        with pytest.raises(GLTFError):
+            load_gltf(str(p))
+
+    check(lambda g: g.pop("buffers"))
+    check(lambda g: g.pop("accessors"))
+    check(lambda g: g["meshes"][0]["primitives"][0]["attributes"]
+          .__setitem__("POSITION", 99))
+    check(lambda g: g["accessors"][0].__setitem__("bufferView", 42))
+    check(lambda g: g["accessors"][1].__setitem__("componentType", 1234))
+    check(lambda g: g["bufferViews"][1].__setitem__("byteOffset", 820))
+    check(lambda g: g.pop("nodes"))
+    check(lambda g: g["images"][0].__setitem__("uri", "missing.png"))
+    check(lambda g: g["nodes"][1].__setitem__("mesh", 7))
+    check(lambda g: g["accessors"][0].__setitem__("count", -5))
+    check(lambda g: g["meshes"][0]["primitives"][0].__setitem__("indices", 77))
