@@ -35,7 +35,21 @@ def load_radiance_hdr(path: str) -> np.ndarray:
     stb_image `stbi_loadf` path (`rt/rtrt/loader.cu` skybox load).  A
     pure-python/NumPy decoder is required here: generic image libraries
     route .hdr through LDR codecs and clamp to uint8, destroying the
-    dynamic range IBL exists for."""
+    dynamic range IBL exists for.
+
+    Corrupt/truncated files raise ValueError naming the file — decoder
+    internals (index/broadcast errors on short reads) never escape raw."""
+    try:
+        return _load_radiance_hdr_checked(path)
+    except (ValueError, IndexError, OverflowError) as e:
+        if str(e).startswith(path):  # already a typed decoder error
+            raise
+        raise ValueError(
+            f"{path}: corrupt Radiance RGBE file ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _load_radiance_hdr_checked(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         data = f.read()
     if not (data.startswith(b"#?RADIANCE") or data.startswith(b"#?RGBE")):
@@ -59,6 +73,8 @@ def load_radiance_hdr(path: str) -> np.ndarray:
     if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
         raise ValueError(f"{path}: unsupported orientation {res!r}")
     h, w = int(res[1]), int(res[3])
+    if h <= 0 or w <= 0 or h * w > (1 << 28):
+        raise ValueError(f"{path}: implausible resolution {w}x{h}")
 
     buf = np.frombuffer(data, np.uint8, offset=pos)
     rgbe = np.empty((h, w, 4), np.uint8)

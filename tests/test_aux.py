@@ -187,3 +187,25 @@ def test_load_hdr_equirect_dispatch(tmp_path):
     _write_hdr_flat(p, rgb)
     dec = load_hdr_equirect(str(p))
     np.testing.assert_allclose(dec, rgb, rtol=0.01)
+
+
+def test_radiance_hdr_corrupt_files_raise_valueerror(tmp_path):
+    import pytest
+    """Corrupt/truncated .hdr files must raise ValueError naming the file,
+    never leak decoder internals (IndexError/broadcast errors)."""
+    from low_precision_raytracer_tpu.utils.image import load_radiance_hdr
+
+    hdr = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+    cases = [
+        b"",
+        hdr,  # no resolution line
+        hdr + b"-Y 4 +X 4\n" + b"\x01\x02",  # truncated pixel data
+        hdr + b"-Y 99999 +X 99999\n" + b"\x00" * 64,  # implausible dims
+        hdr + b"-Y 2 +X 8\n" + b"\x02\x02\x00\x08" + b"\xff\x09" * 2,  # bad run
+    ]
+    for i, data in enumerate(cases):
+        p = tmp_path / f"bad{i}.hdr"
+        p.write_bytes(data)
+        with pytest.raises(ValueError) as ei:
+            load_radiance_hdr(str(p))
+        assert str(p) in str(ei.value)
