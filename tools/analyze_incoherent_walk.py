@@ -17,6 +17,11 @@ so the mode ranking here predicts the TPU A/B ranking.
 Usage: python tools/analyze_incoherent_walk.py [pillar_grid] [sphere_subdiv] [res]
 """
 
+import os as _os, sys as _sys
+# runnable as `python tools/<name>.py` from anywhere: put the repo root
+# (this file's parent's parent) on sys.path before package imports
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import jax

@@ -5,6 +5,11 @@ worth cutting (band math, winner-id select tail, precision dots).
 Usage: python tools/bench_dense_ablate.py [W] [H]
 """
 
+import os as _os, sys as _sys
+# runnable as `python tools/<name>.py` from anywhere: put the repo root
+# (this file's parent's parent) on sys.path before package imports
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -13,6 +13,11 @@ Usage: python tools/bench_incoherent_ab.py [pillar_grid] [sphere_subdiv]
   (2, 2) = 5.3k instance tris; (6, 3) = 46.5k; (8, 4) = 328k.
 """
 
+import os as _os, sys as _sys
+# runnable as `python tools/<name>.py` from anywhere: put the repo root
+# (this file's parent's parent) on sys.path before package imports
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

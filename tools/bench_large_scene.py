@@ -10,6 +10,11 @@ any-hit shadow) and in-frame ms/frame per backend — the data that sets
 `packet_bvh_min_tris`.
 """
 
+import os as _os, sys as _sys
+# runnable as `python tools/<name>.py` from anywhere: put the repo root
+# (this file's parent's parent) on sys.path before package imports
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

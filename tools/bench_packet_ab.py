@@ -1,4 +1,9 @@
 """Clean A/B: packet kernel with and without the MXU-staged body."""
+import os as _os, sys as _sys
+# runnable as `python tools/<name>.py` from anywhere: put the repo root
+# (this file's parent's parent) on sys.path before package imports
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys, time
 import jax, jax.numpy as jnp, numpy as np
 from low_precision_raytracer_tpu.config import get_precision

@@ -10,6 +10,11 @@ Measures coherent primary + incoherent morton-sorted bounce launches at
 Usage: python tools/bench_schedule_ab.py [g1 s1 [g2 s2]]
 """
 
+import os as _os, sys as _sys
+# runnable as `python tools/<name>.py` from anywhere: put the repo root
+# (this file's parent's parent) on sys.path before package imports
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

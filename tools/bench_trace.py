@@ -4,6 +4,11 @@ traversal, coherent primary rays + incoherent scrambled rays.
 Usage: python tools/bench_trace.py [pillar_grid] [sphere_subdiv]
 """
 
+import os as _os, sys as _sys
+# runnable as `python tools/<name>.py` from anywhere: put the repo root
+# (this file's parent's parent) on sys.path before package imports
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

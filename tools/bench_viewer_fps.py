@@ -6,6 +6,11 @@ Drives `serve()` with a camera that orbits slightly each frame (so the
 temporal path sees real motion) and reports steady-state fps after warmup.
 """
 
+import os as _os, sys as _sys
+# runnable as `python tools/<name>.py` from anywhere: put the repo root
+# (this file's parent's parent) on sys.path before package imports
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 import threading

@@ -8,6 +8,11 @@ cleared — constant changes don't invalidate them).
 Usage: python tools/bench_wavefront_tune.py [pillar_grid] [sphere_subdiv]
 """
 
+import os as _os, sys as _sys
+# runnable as `python tools/<name>.py` from anywhere: put the repo root
+# (this file's parent's parent) on sys.path before package imports
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

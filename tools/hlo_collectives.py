@@ -4,6 +4,11 @@ CPU mesh) — the multi-chip communication audit for parallel/tiling.py.
 Usage: python tools/hlo_collectives.py [height] [width]
 """
 
+import os as _os, sys as _sys
+# runnable as `python tools/<name>.py` from anywhere: put the repo root
+# (this file's parent's parent) on sys.path before package imports
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import re
 import sys
@@ -52,16 +57,42 @@ def collective_counts(height=128, width=128, n_devices=8, precision="bf16"):
     compiled = fn.lower(scene, frame, state, key).compile()
     hlo = compiled.as_text()
     ops = ("all-gather", "collective-permute", "all-reduce", "all-to-all", "reduce-scatter")
-    counts = {}
+    counts, bytes_ = {}, {}
     for op in ops:
-        # count op INSTANCES (lines defining the op), not mentions
-        counts[op] = len(re.findall(rf"=\s+\S+\s+{op}\(", hlo)) + len(
-            re.findall(rf"=\s+\S+\s+{op}-start\(", hlo)
-        )
-    return counts
+        # count op INSTANCES (lines defining the op), not mentions; the
+        # captured result shape gives the per-instance payload bytes (the
+        # ICI wire volume one execution of the step moves)
+        defs = re.findall(rf"=\s+(\([^)]*\)|\S+)\s+{op}(?:-start)?\(", hlo)
+        counts[op] = len(defs)
+        bytes_[op] = sum(_shape_bytes(s) for s in defs)
+    return counts, bytes_
+
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8, "c64": 8,
+    "c128": 16,
+}
+
+
+def _shape_bytes(shape_str: str) -> int:
+    """Byte size of an HLO result shape string, e.g. 'bf16[2,128,16]' or a
+    tuple '(f32[8,4]{1,0}, u32[])'."""
+    total = 0
+    for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", shape_str):
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
 
 
 if __name__ == "__main__":
     h = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     w = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    print(collective_counts(h, w))
+    counts, nbytes = collective_counts(h, w)
+    print("instances:", counts)
+    print("payload bytes/step:", nbytes, f"(total {sum(nbytes.values())/1e6:.2f} MB)")

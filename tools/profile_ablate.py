@@ -5,6 +5,11 @@ feature at 1080p, with host-transfer sync.  Attribution method from round 1
 Usage: python tools/profile_ablate.py [scene] [precision] [width] [height]
 """
 
+import os as _os, sys as _sys
+# runnable as `python tools/<name>.py` from anywhere: put the repo root
+# (this file's parent's parent) on sys.path before package imports
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

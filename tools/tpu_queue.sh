@@ -2,6 +2,7 @@
 # Round-3 TPU measurement queue — run items sequentially, one TPU process at
 # a time, logging everything.  Skip-to-next on failure.
 cd /root/repo
+export PYTHONPATH=/root/.axon_site:/root/repo
 L=/tmp/q
 run() {
   name=$1; shift
