@@ -61,15 +61,22 @@ def bench_scene(name, host, H=1080, W=1920):
 
     base = {}
     for sel in ("sort", "topk"):
-        t, h = timeit(lambda: DP.trace_rays_dense_pallas(
-            scene, frame, o, d, prec=prec, fallback="mxu3", cull=True,
-            tile_hw=(H, W), stream=stream, select=sel,
-        ))
+        try:
+            t, h = timeit(lambda: DP.trace_rays_dense_pallas(
+                scene, frame, o, d, prec=prec, fallback="mxu3", cull=True,
+                tile_hw=(H, W), stream=stream, select=sel,
+            ))
+        except Exception as ex:  # keep the A/B alive if one variant dies
+            print(f"primary  [{sel:4s}]: FAILED {type(ex).__name__}: {ex}")
+            continue
         print(f"primary  [{sel:4s}]: {t * 1e3:7.2f} ms = {R / t / 1e6:6.1f} Mrays/s")
         base[sel] = h
 
-    agree = float((np.asarray(base["topk"].tri) == np.asarray(base["sort"].tri)).mean())
-    print(f"primary tri agreement topk vs sort: {agree:.5f}")
+    if "topk" in base and "sort" in base:
+        agree = float((np.asarray(base["topk"].tri) == np.asarray(base["sort"].tri)).mean())
+        print(f"primary tri agreement topk vs sort: {agree:.5f}")
+    if "sort" not in base:
+        return
 
     if ti > 4 * DP.TC:
         hit = base["sort"]
@@ -80,11 +87,15 @@ def bench_scene(name, host, H=1080, W=1920):
         bd = (bd / jnp.linalg.norm(bd, axis=-1, keepdims=True)).astype(prec.dtype)
         bmax = jnp.where(hit.tri >= 0, 1e5, 0.0).astype(jnp.float32)
         for sel in ("sort", "topk"):
-            t, _ = timeit(lambda: DP.trace_rays_dense_pallas_sorted(
-                scene, frame, pos.astype(prec.dtype), bd, prec=prec,
-                fallback="mxu3", stream=stream, min_dist=0.1, max_dist=bmax,
-                select=sel,
-            ))
+            try:
+                t, _ = timeit(lambda: DP.trace_rays_dense_pallas_sorted(
+                    scene, frame, pos.astype(prec.dtype), bd, prec=prec,
+                    fallback="mxu3", stream=stream, min_dist=0.1, max_dist=bmax,
+                    select=sel,
+                ))
+            except Exception as ex:
+                print(f"bounce   [{sel:4s}]: FAILED {type(ex).__name__}: {ex}")
+                continue
             print(f"bounce   [{sel:4s}]: {t * 1e3:7.2f} ms = {R / t / 1e6:6.1f} Mrays/s")
 
 

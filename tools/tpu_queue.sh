@@ -15,6 +15,7 @@ run incoh_46k python tools/bench_incoherent_ab.py 6 3
 run epilogue_ab python tools/bench_epilogue_ab.py 6 3
 run wf_tune python tools/bench_wavefront_tune.py 6 3
 run large_46k python tools/bench_large_scene.py 6 3
+run large_83k python tools/bench_large_scene.py 8 3
 run schedule_ab python tools/bench_schedule_ab.py 6 3 10 5
 run incoh_2m python tools/bench_incoherent_ab.py 10 5
 run viewer_fps python tools/bench_viewer_fps.py 512 30
