@@ -1006,7 +1006,7 @@ def trace_rays_dense_pallas(
     if stream:
         # the A tables stay in HBM; each chunk's slabs (whole sublane
         # tiles, trivially DMA-aligned) stream into VMEM scratch on demand
-        table_specs = [pl.BlockSpec(memory_space=pltpu.ANY) for _ in tables]
+        table_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in tables]
         table_args = tables
         scratch_shapes = [
             pltpu.VMEM((8 if prec.is_f32 else 16, a32t.shape[1]), a32t.dtype),

@@ -382,8 +382,8 @@ def wavelet_iter_pallas(geo, cv, stride: int, cfg: SVGFConfig, H: int, W: int,
         # tiles + 2: first/last grid steps zero the out buffer's pad rows
         grid=(tiles + 2,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (N_CV, RT, wp),
@@ -690,7 +690,7 @@ def temporal_accum_pallas_pair(col6, geo7, ctr11, cfg: SVGFConfig,
     return pl.pallas_call(
         kernel,
         grid=(tiles + 2,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=[out_spec(N_CV), out_spec(4), out_spec(4)],
         out_shape=[
             jax.ShapeDtypeStruct((N_CV, hp, wp), jnp.float32),

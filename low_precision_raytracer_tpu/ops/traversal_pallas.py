@@ -770,7 +770,7 @@ def trace_rays_packet(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + table_specs + [
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + table_specs + [
             ray_block(3),
             ray_block(3),
             ray_block(1),

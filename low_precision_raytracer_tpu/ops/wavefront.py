@@ -420,7 +420,7 @@ def trace_rays_wavefront(
         )  # (11 + q, Rp)
 
         if stream:
-            table_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+            table_spec = pl.BlockSpec(memory_space=pl.ANY)
             scratch = [
                 pltpu.VMEM((16 * s_group, a32t.shape[1]), a32t.dtype),
                 pltpu.SemaphoreType.DMA,

@@ -54,7 +54,9 @@ def test_explorer_http_loop():
         req = urllib.request.Request(base + "/frame", data=body, method="POST")
         resp = urllib.request.urlopen(req, timeout=120)
         data = resp.read()
-        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        # raw RGB rows (H * W * 3 uint8) — the canvas-blit frame transport
+        cfg = ex.cfg
+        assert len(data) == cfg.height * cfg.width * 3
         stats = json.loads(resp.headers["x-stats"])
         assert stats["frame"] == 1 and stats["ms"] > 0
     finally:
