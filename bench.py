@@ -85,6 +85,40 @@ def bench(width=1920, height=1080, precision="bf16", frames=20, warmup=3,
     return mrays, dt, n_rays
 
 
+def _wait_for_queue_lock(lock_path: str = "/tmp/q.lock",
+                         max_wait_s: float = 4500.0) -> None:
+    """The TPU tunnel admits ONE process at a time; the measurement queue
+    (tools/tpu_queue.sh) holds `lock_path` while it runs.  A blind
+    driver-launched bench that collides with a queue item would make BOTH
+    fail (or report garbage timings), so wait — bounded by each queue
+    item's own 3600 s timeout — until the lock clears or its owner dies."""
+    import os
+    import time as _time
+
+    if os.environ.get("LPRT_TPU_QUEUE"):
+        return  # we ARE a queue item — the lock is our parent's
+    t0 = _time.time()
+    warned = False
+    while _time.time() - t0 < max_wait_s:
+        try:
+            with open(lock_path) as fh:
+                pid = int(fh.read().strip() or 0)
+        except (OSError, ValueError):
+            return  # no lock -> tunnel is ours
+        try:
+            os.kill(pid, 0)  # probe only: is the owner alive?
+        except OSError:
+            return  # stale lock, owner gone
+        if not warned:
+            print(
+                f"[bench] measurement queue holds the TPU (pid {pid}); "
+                f"waiting up to {max_wait_s:.0f}s",
+                file=sys.stderr,
+            )
+            warned = True
+        _time.sleep(15.0)
+
+
 def _device_init_guard(timeout_s: float = 900.0) -> bool:
     """The axon TPU tunnel hangs (no error) in jax device init when it is
     down; a blind bench run would then never print its JSON line.  Probe
@@ -116,6 +150,7 @@ def _device_init_guard(timeout_s: float = 900.0) -> bool:
 
 
 def main():
+    _wait_for_queue_lock()
     _device_init_guard()
     try:
         # parity line first; the headline metric stays the LAST line
