@@ -31,6 +31,20 @@ import numpy as np
 # explicit dtype choice, never an implicit compiler demotion.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: TPU compiles of the frame program run
+# 60-500 s on this toolchain (docs/TPU_NOTES.md) and every process pays
+# them again — bench runs, benchmark tools, the CLI, the viewer.  Cache
+# compiled executables on disk, keyed by HLO hash (stale-safe).  Backends
+# whose PJRT plugin cannot serialize executables just skip the cache.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "LPRT_JAX_CACHE", _os.path.expanduser("~/.cache/lprt_jax")
+)
+if _cache_dir:  # LPRT_JAX_CACHE= (empty) disables
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 
 @dataclass(frozen=True)
 class Precision:

@@ -8,6 +8,10 @@ CPU backend (and keeps the test suite off the shared TPU tunnel)."""
 
 import os
 
+# keep the suite hermetic: no persistent compilation cache (XLA:CPU's AOT
+# loader also warns noisily about pseudo machine features on cache hits)
+os.environ.setdefault("LPRT_JAX_CACHE", "")
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
