@@ -26,6 +26,7 @@ def parity_at_spec(width=1920, height=1080, precision="bf16", frames=8):
     from low_precision_raytracer_tpu.render.renderer import Renderer
     from low_precision_raytracer_tpu.utils.image import psnr, ssim
 
+    assert precision != "fp32", "parity compares a low-precision run vs fp32"
     imgs = {}
     for prec in ("fp32", precision):
         cfg = RenderConfig(width=width, height=height, precision=prec, gi_on=True)
@@ -60,6 +61,7 @@ def bench(width=1920, height=1080, precision="bf16", frames=20, warmup=3,
 
     key = render_key(0)
 
+    assert warmup >= 1, "first frame compiles; it must not be timed"
     image = None
     for i in range(warmup):
         key, sub = jax.random.split(key)
@@ -67,14 +69,19 @@ def bench(width=1920, height=1080, precision="bf16", frames=20, warmup=3,
     # NOTE: sync via a host transfer — block_until_ready returns early on
     # tunneled TPU platforms, and would overstate throughput ~1000x
     _ = np.asarray(image[0, 0])
-    n_rays = int(aux["n_rays"])
 
     t0 = time.perf_counter()
+    ray_sum = 0
     for i in range(frames):
         key, sub = jax.random.split(key)
         image, aux, state = render_frame(scene, frame, state, cfg, sub)
+        ray_sum += aux["n_rays"]  # device scalar; fetched once below
     _ = np.asarray(image[0, 0])
     dt = (time.perf_counter() - t0) / frames
+    # average valid-ray count of the TIMED frames (per-frame counts vary
+    # with the sampled bounce/shadow validity, so a warmup frame's count
+    # would skew the metric)
+    n_rays = int(ray_sum) / frames
 
     mrays = n_rays / dt / 1e6
     print(
@@ -104,7 +111,10 @@ def _wait_for_queue_lock(lock_path: str = "/tmp/q.lock",
             with open(lock_path) as fh:
                 pid = int(fh.read().strip() or 0)
         except (OSError, ValueError):
-            return  # no lock -> tunnel is ours
+            return  # no lock (or unreadable) -> tunnel is ours
+        if pid <= 0:
+            return  # empty/corrupt lock: os.kill(0, 0) would signal OUR
+            # process group and "succeed", reading as a live owner forever
         try:
             os.kill(pid, 0)  # probe only: is the owner alive?
         except OSError:

@@ -86,12 +86,15 @@ class SceneExplorer:
             [self.move_x.pop_value(), self.move_y.pop_value(), self.move_z.pop_value()],
             np.float32,
         )
+        # world step = R_y(-yaw) @ step — the SAME rotation the camera node
+        # carries, so W tracks the view direction at every yaw (the mirrored
+        # form R_y(+yaw) moved backward at yaw = 90 deg)
         cos_y, sin_y = math.cos(yaw), math.sin(yaw)
         world = np.array(
             [
-                cos_y * step[0] + sin_y * step[2],
+                cos_y * step[0] - sin_y * step[2],
                 step[1],
-                -sin_y * step[0] + cos_y * step[2],
+                sin_y * step[0] + cos_y * step[2],
             ],
             np.float32,
         )
@@ -105,7 +108,9 @@ class SceneExplorer:
         arr = np.asarray(img)
         self.last_frame_ms = (time.perf_counter() - t0) * 1e3
         self.frame_count += 1
-        return (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+        # nan_to_num first: NaN -> uint8 is a C-cast with undefined result,
+        # which would render as random speckle instead of black
+        return (np.clip(np.nan_to_num(arr), 0, 1) * 255).astype(np.uint8)
 
     def stats(self) -> dict:
         return {
@@ -220,6 +225,9 @@ const img = document.getElementById('v');
 img.oncontextmenu = e => e.preventDefault();
 addEventListener('keydown', e => keys.add(e.key.toLowerCase()));
 addEventListener('keyup',   e => keys.delete(e.key.toLowerCase()));
+// a key released while the tab is unfocused never sends keyup here —
+// drop all held keys on blur so the camera can't drift forever
+addEventListener('blur', () => { keys.clear(); right = false; });
 img.onmousedown = e => { if (e.button === 2) right = true; };
 addEventListener('mouseup', e => { if (e.button === 2) right = false; });
 img.onmousemove = e => { mx = e.offsetX; my = e.offsetY; };

@@ -65,6 +65,8 @@ N_CV = 2 * N_CVI
 
 
 def _pow_int(x, n: int):
+    if n <= 0:
+        return jnp.ones_like(x)  # x^0 == 1 (sigma_n = 0 disables the stop)
     result = None
     base = x
     while n > 0:
@@ -414,6 +416,13 @@ def wavelet_chain_pallas_pair(color2, var2, depth, grad, normal, illum2,
     geo = pack_geometry_pair(depth, grad, normal, illum2, cfg)
     fgeo2 = geometry_valid2(depth, normal, illum2)
     cv = pack_cv_pair(color2, var2, fgeo2)
+    return _run_chain(geo, cv, strides, cfg, H, W, interpret)
+
+
+def _run_chain(geo, cv, strides, cfg, H, W, interpret):
+    """Shared stride loop: run the wavelet chain over `strides`, capturing
+    the stride[0] output as next frame's color history
+    (`rt/rtrt/cuda.hpp:1676-1688`).  -> (out_color2, history2)."""
     history2 = None
     for it, s in enumerate(strides):
         cv = wavelet_iter_pallas(geo, cv, s, cfg, H=H, W=W, interpret=interpret)
@@ -751,14 +760,7 @@ def svgf_pallas_pair_full(color2, state2, svgf_map, depth, grad, normal,
         interpret=interpret,
     )
     geo = jnp.concatenate([geo7, extra], axis=0)
-    history2 = None
-    for it, s in enumerate(strides):
-        cv = wavelet_iter_pallas(geo, cv, s, cfg, H=H, W=W, interpret=interpret)
-        if it == 0:
-            history2, _ = unpack_cv_pair(cv, H, W)
-    out_color2, _ = unpack_cv_pair(cv, H, W)
-    if history2 is None:
-        history2 = out_color2
+    out_color2, history2 = _run_chain(geo, cv, strides, cfg, H, W, interpret)
     mimg = mst[:, PAD : PAD + H, PAD : PAD + W]
     new_state2 = SVGFState(
         miu1=jnp.stack([mimg[0], mimg[1]]).astype(dt),

@@ -491,7 +491,11 @@ def trace_rays_wavefront(
         trace_rays_dense_pallas_sorted,
     )
 
-    sweep_maxd = jnp.where(resolved, 0.0, maxd)
+    # unresolved rays re-trace only their remaining interval: any hit at or
+    # beyond the wavefront's best_t loses the final combine anyway, and the
+    # tighter cap lets the tile kernel's ordered early exit retire at the
+    # known bound instead of walking to scene exit
+    sweep_maxd = jnp.where(resolved, 0.0, jnp.minimum(maxd, best_t))
     fb = trace_rays_dense_pallas_sorted(
         scene, frame, origins, directions, prec=prec, fallback="mxu3",
         skip_tri=skip_tri, min_dist=min_dist, max_dist=sweep_maxd,

@@ -40,6 +40,28 @@ def test_explorer_camera_motion():
     assert not np.array_equal(img0, img1)  # the view actually changed
 
 
+def test_explorer_w_tracks_view_at_any_yaw():
+    """W must move the rig along the CAMERA's view direction, not its
+    mirror: world step = R_y(-yaw) @ step, the same rotation the camera
+    node carries (regression: the R_y(+yaw) form moved backward at
+    yaw = 90 deg)."""
+    from low_precision_raytracer_tpu.math.hostmath import quaternion_to_matrix
+
+    ex = SceneExplorer(cornell_box_scene(), _small_cfg())
+    # drag right 900 px (x_sensitivity 0.001/px -> yaw ~ 0.9 rad)
+    ex.handle_events(0.016, set(), mouse=(0, 0), right_down=True)
+    ex.handle_events(0.016, set(), mouse=(900, 0), right_down=True)
+    rot = np.asarray(quaternion_to_matrix(ex.camera.rotation))[:3, :3]
+    view = rot @ np.array([0.0, 0.0, -1.0])  # -z-forward camera
+    assert abs(view[0]) > 0.3, "yaw did not accumulate; test setup broken"
+    pos0 = ex.rig.translation.copy()
+    for _ in range(10):
+        ex.handle_events(0.1, {"w"})
+    move = ex.rig.translation - pos0
+    cos = float(move @ view) / (np.linalg.norm(move) * np.linalg.norm(view))
+    assert cos > 0.99, f"W moved {move} but the view direction is {view}"
+
+
 def test_explorer_http_loop():
     ex = SceneExplorer(cornell_box_scene(), _small_cfg())
     srv = serve(ex, port=0)  # ephemeral port
