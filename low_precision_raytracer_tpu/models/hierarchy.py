@@ -47,7 +47,9 @@ class Sampler:
         i = int(np.searchsorted(self.times[1:], time, side="left"))
         i = min(i, len(self.times) - 2)
         t0, t1 = float(self.times[i]), float(self.times[i + 1])
-        u = (time - t0) / (t1 - t0)
+        # duplicated keyframe times (step-like exports) make a zero-length
+        # segment: take its end value instead of dividing by zero
+        u = (time - t0) / (t1 - t0) if t1 > t0 else 1.0
         return ((1.0 - u) * self.values[i] + u * self.values[i + 1]).astype(np.float32)
 
 

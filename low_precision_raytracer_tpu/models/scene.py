@@ -180,6 +180,12 @@ class SceneArrays:
     mat_double_sided: jnp.ndarray
     mat_tex_color: jnp.ndarray
     mat_uv_color: jnp.ndarray
+    # loaded-but-unsampled, REFERENCE PARITY: the reference's loader fills
+    # tex_emission/tex_mr into its material struct (`rt/rtrt/loader.cu:
+    # 507-520`) but its shade kernel only ever samples tex_color
+    # (`rt/rtrt/cuda.hpp:1852`; normal maps are a literal TODO at `:1882`)
+    # — emission stays the constant factor.  Kept so the loader round-trips
+    # full glTF materials; per-material scalars, negligible device weight.
     mat_tex_emission: jnp.ndarray
     mat_uv_emission: jnp.ndarray
     mat_tex_mr: jnp.ndarray
@@ -330,8 +336,10 @@ def build_scene_arrays(host: HostScene, prec: Precision | str, leaf_size: int = 
         [m.indices + v_off[i] for i, m in enumerate(meshes)]
     ).astype(np.int32)
 
-    m_f32 = compute_m_matrices(pos, tri_idx)
-    v2_f32 = pos[tri_idx[:, 2]]
+    # shared with flatten_frame's dense-coefficient build: one fp32
+    # cofactor-inverse pass per scene, not one per entry point (seconds of
+    # duplicated host precompute at multi-million-triangle scales)
+    m_f32, v2_f32, _ = _host_m_cache(host)
 
     blas = pack_blas(
         [build_blas(m.positions, m.indices, leaf_size=leaf_size) for m in meshes],
@@ -355,6 +363,12 @@ def build_scene_arrays(host: HostScene, prec: Precision | str, leaf_size: int = 
             flat.append(t.reshape(-1, 4))
             off += t.shape[0] * t.shape[1]
         tex_data = np.concatenate(flat)
+        if tex_data.shape[0] == 1:
+            # a real atlas totalling one pixel (single 1x1 solid-colour
+            # texture) must stay distinguishable from the no-texture
+            # placeholder row below — shade.py's static has-textures gate
+            # is `tex_data.shape[0] > 1`
+            tex_data = np.concatenate([tex_data, np.zeros((1, 4), np.uint8)])
         tex_offset = np.array(tex_offsets, np.int32)
         tex_width = np.array(tex_w, np.int32)
         tex_height = np.array(tex_h, np.int32)
@@ -573,11 +587,23 @@ BVH_LEAF_TRIS = 32
 
 def _host_m_cache(host: HostScene):
     """Per-HostScene cache of the fp32 M matrices / v2 / local triangle
-    vertices (frame-independent)."""
+    vertices (frame-independent).
+
+    Keyed on the identity of every mesh's position/index array (replacing a
+    mesh or its arrays re-keys), and the cached arrays are FROZEN
+    (writeable=False) so an in-place vertex edit raises instead of silently
+    serving stale M matrices — hashing the geometry bytes per frame would
+    cost more than the flatten it protects."""
+    key = tuple((id(m.positions), id(m.indices)) for m in host.meshes)
     cache = getattr(host, "_m_cache", None)
-    n_tris = sum(m.n_triangles for m in host.meshes)
-    if cache is not None and len(cache) == 4 and cache[0] == n_tris:
+    if cache is not None and len(cache) == 4 and cache[0] == key:
         return cache[1], cache[2], cache[3]
+    for m in host.meshes:
+        for a in (m.positions, m.indices):
+            try:
+                a.flags.writeable = False
+            except ValueError:
+                pass  # non-owning view; identity keying still covers swaps
     v_off = np.cumsum([0] + [m.positions.shape[0] for m in host.meshes])
     pos = np.concatenate([m.positions for m in host.meshes]).astype(np.float32)
     tri_idx = np.concatenate(
@@ -586,7 +612,7 @@ def _host_m_cache(host: HostScene):
     m_f32 = compute_m_matrices(pos, tri_idx)
     v2_f32 = pos[tri_idx[:, 2]]
     verts_f32 = pos[tri_idx]  # (T, 3, 3) local triangle vertices
-    host._m_cache = (n_tris, m_f32, v2_f32, verts_f32)
+    host._m_cache = (key, m_f32, v2_f32, verts_f32)
     return m_f32, v2_f32, verts_f32
 
 

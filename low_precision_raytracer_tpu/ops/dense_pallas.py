@@ -260,134 +260,93 @@ def _kernel(
     ids_ref[:, :] = jnp.full((2, tr), -1, jnp.int32)
 
     def run_chunk(c):
-        if True:
-            if stream:
-                cp32 = pltpu.make_async_copy(
-                    a32_hbm.at[pl.ds(c * r32, r32), :], scr32, sem32
-                )
-                cp32.start()
-                if not mxu3:
-                    cpab = pltpu.make_async_copy(
-                        aab_hbm.at[pl.ds(c * 16, 16), :], scrab, semab
-                    )
-                    cpab.start()
-                    cp32.wait()
-                    cpab.wait()
-                    aab = scrab[:, :]
-                else:
-                    cp32.wait()
-                a32 = scr32[:, :]
-            else:
-                a32 = a32_ref[pl.ds(c * r32, r32), :]
-                if not mxu3:
-                    aab = aab_ref[pl.ds(c * 16, 16), :]
-
-            # precision must be explicit: the framework's global
-            # jax_default_matmul_precision='highest' would stamp fp32
-            # contract precision onto the bf16 dots, which Mosaic rejects
-            # ("Bad lhs type"); DEFAULT on bf16 inputs is the MXU-native
-            # single-pass bf16 x bf16 -> f32-accumulate mode.
-            dflt = jax.lax.Precision.DEFAULT
-            if is_f32:
-                m32 = jax.lax.dot_general(
-                    a32, B32, DN, preferred_element_type=F32,
-                    precision=_M32_PRECISION,
-                )
-            else:
-                # manual bf16x3 (see docstring): Mosaic's HIGHEST costs
-                # ~5 ms/launch at 1080p and HIGH is unimplemented.  The
-                # three partial products ride ONE dot by concatenating
-                # along the contraction axis (K=24 — still well under the
-                # MXU's 128-deep array, so it costs one pass where three
-                # separate K=8 dots cost three): measured 2.1 ms/launch
-                # at 1080p (11.0 -> 8.9 ms).
-                bh = B32.astype(jnp.bfloat16)
-                bl = (B32 - bh.astype(F32)).astype(jnp.bfloat16)
-                ah = a32[0:8, :]
-                al = a32[8:16, :]
-                d3 = lambda x, y: jax.lax.dot_general(
-                    x, y, DN, preferred_element_type=F32, precision=dflt
-                )
-                if "prec" in ablate:  # perf probe: single-pass (inexact)
-                    m32 = d3(ah, bh)
-                else:
-                    a_cat = jnp.concatenate([ah, al, ah], axis=0)
-                    b_cat = jnp.concatenate([bh, bh, bl], axis=0)
-                    m32 = d3(a_cat, b_cat)
+        if stream:
+            cp32 = pltpu.make_async_copy(
+                a32_hbm.at[pl.ds(c * r32, r32), :], scr32, sem32
+            )
+            cp32.start()
             if not mxu3:
-                mab = jax.lax.dot_general(
-                    aab, Bab, DN, preferred_element_type=F32,
-                    precision=(jax.lax.Precision.HIGHEST if is_f32 else dflt),
+                cpab = pltpu.make_async_copy(
+                    aab_hbm.at[pl.ds(c * 16, 16), :], scrab, semab
                 )
-                bab = lambda k: mab[k * tc : (k + 1) * tc]
-            b32 = lambda k: m32[k * tc : (k + 1) * tc]
-            Oz, Dz = b32(0), b32(1)
-            tri = b32(6)  # (tc, TR) exact f32 integers (radix-2^16 split)
-            if n32 == 9:
-                tri = tri + 65536.0 * b32(8)
-            obj = b32(7)
-            if mxu3:
-                # single f32-grade test: u/v ARE the bf16x3 rows; strict
-                # acceptance, no band, no dtype pass (the Aab slab does not
-                # even ride the launch)
-                Ox, Oy, Dx, Dy = b32(2), b32(3), b32(4), b32(5)
-            elif is_f32:
-                # u/v ARE the f32 rows; Aab carries only the 4 S blocks
-                Ox, Oy, Dx, Dy = b32(2), b32(3), b32(4), b32(5)
-                s_ox, s_oy, s_dx, s_dy = bab(0), bab(1), bab(2), bab(3)
+                cpab.start()
+                cp32.wait()
+                cpab.wait()
+                aab = scrab[:, :]
             else:
-                Ox, Oy, Dx, Dy = bab(0), bab(1), bab(2), bab(3)
-                s_ox, s_oy, s_dx, s_dy = bab(4), bab(5), bab(6), bab(7)
+                cp32.wait()
+            a32 = scr32[:, :]
+        else:
+            a32 = a32_ref[pl.ds(c * r32, r32), :]
+            if not mxu3:
+                aab = aab_ref[pl.ds(c * 16, 16), :]
 
-            t = -Oz / Dz  # (tc, TR)
-            t_dx = t * Dx
-            t_dy = t * Dy
-            u = Ox + t_dx
-            v = Oy + t_dy
-
-            if mxu3:
-                u_sel, v_sel = u, v
-                accept_geom = (u > 0) & (v > 0) & (u + v < 1)
-                if pack:
-                    return _finish_chunk_packed(
-                        accept_geom, u_sel, v_sel, t, tri, c, tc,
-                        mind, maxd, skip, outf_ref, ids_ref, tr,
-                    )
-                return _finish_chunk(
-                    accept_geom, u_sel, v_sel, t, tri, obj,
-                    mind, maxd, skip, outf_ref, ids_ref, tr, ablate,
-                )
-
-            # the 0.2*(d1+d2) factor on the S terms is folded into the S
-            # rows at table build (host side); only the |.|-of-computed
-            # terms keep kernel-side constants
-            error_u = s_ox + t * s_dx + c1 * jnp.abs(Ox) + c3 * jnp.abs(t_dx)
-            error_v = s_oy + t * s_dy + c1 * jnp.abs(Oy) + c3 * jnp.abs(t_dy)
-
-            w = 1.0 - u - v
-            in_band = lambda x, err: (x >= -err) & (x <= 0)
-            ambiguous = in_band(u, error_u) | in_band(v, error_v) | in_band(w, error_u + error_v)
-            dtype_accept = (u > -error_u) & (v > -error_v) & (u + v < 1 + error_u + error_v)
-
-            if "band" in ablate:  # perf probe: no band, no fp32 re-test
-                u_sel, v_sel = u, v
-                accept_geom = (u > 0) & (v > 0) & (u + v < 1)
-            elif fallback == "both" and not is_f32:
-                Ox32, Oy32, Dx32, Dy32 = b32(2), b32(3), b32(4), b32(5)
-                u32 = Ox32 + t * Dx32
-                v32 = Oy32 + t * Dy32
-                ok32 = (u32 > 0) & (v32 > 0) & (u32 + v32 < 1)
-                u_sel = jnp.where(ambiguous, u32, u)
-                v_sel = jnp.where(ambiguous, v32, v)
-                accept_geom = (ambiguous & ok32) | (~ambiguous & dtype_accept)
-            elif fallback == "both":
-                strict = (u > 0) & (v > 0) & (u + v < 1)
-                u_sel, v_sel = u, v
-                accept_geom = (ambiguous & strict) | (~ambiguous & dtype_accept)
+        # precision must be explicit: the framework's global
+        # jax_default_matmul_precision='highest' would stamp fp32
+        # contract precision onto the bf16 dots, which Mosaic rejects
+        # ("Bad lhs type"); DEFAULT on bf16 inputs is the MXU-native
+        # single-pass bf16 x bf16 -> f32-accumulate mode.
+        dflt = jax.lax.Precision.DEFAULT
+        if is_f32:
+            m32 = jax.lax.dot_general(
+                a32, B32, DN, preferred_element_type=F32,
+                precision=_M32_PRECISION,
+            )
+        else:
+            # manual bf16x3 (see docstring): Mosaic's HIGHEST costs
+            # ~5 ms/launch at 1080p and HIGH is unimplemented.  The
+            # three partial products ride ONE dot by concatenating
+            # along the contraction axis (K=24 — still well under the
+            # MXU's 128-deep array, so it costs one pass where three
+            # separate K=8 dots cost three): measured 2.1 ms/launch
+            # at 1080p (11.0 -> 8.9 ms).
+            bh = B32.astype(jnp.bfloat16)
+            bl = (B32 - bh.astype(F32)).astype(jnp.bfloat16)
+            ah = a32[0:8, :]
+            al = a32[8:16, :]
+            d3 = lambda x, y: jax.lax.dot_general(
+                x, y, DN, preferred_element_type=F32, precision=dflt
+            )
+            if "prec" in ablate:  # perf probe: single-pass (inexact)
+                m32 = d3(ah, bh)
             else:
-                u_sel, v_sel = u, v
-                accept_geom = dtype_accept
+                a_cat = jnp.concatenate([ah, al, ah], axis=0)
+                b_cat = jnp.concatenate([bh, bh, bl], axis=0)
+                m32 = d3(a_cat, b_cat)
+        if not mxu3:
+            mab = jax.lax.dot_general(
+                aab, Bab, DN, preferred_element_type=F32,
+                precision=(jax.lax.Precision.HIGHEST if is_f32 else dflt),
+            )
+            bab = lambda k: mab[k * tc : (k + 1) * tc]
+        b32 = lambda k: m32[k * tc : (k + 1) * tc]
+        Oz, Dz = b32(0), b32(1)
+        tri = b32(6)  # (tc, TR) exact f32 integers (radix-2^16 split)
+        if n32 == 9:
+            tri = tri + 65536.0 * b32(8)
+        obj = b32(7)
+        if mxu3:
+            # single f32-grade test: u/v ARE the bf16x3 rows; strict
+            # acceptance, no band, no dtype pass (the Aab slab does not
+            # even ride the launch)
+            Ox, Oy, Dx, Dy = b32(2), b32(3), b32(4), b32(5)
+        elif is_f32:
+            # u/v ARE the f32 rows; Aab carries only the 4 S blocks
+            Ox, Oy, Dx, Dy = b32(2), b32(3), b32(4), b32(5)
+            s_ox, s_oy, s_dx, s_dy = bab(0), bab(1), bab(2), bab(3)
+        else:
+            Ox, Oy, Dx, Dy = bab(0), bab(1), bab(2), bab(3)
+            s_ox, s_oy, s_dx, s_dy = bab(4), bab(5), bab(6), bab(7)
 
+        t = -Oz / Dz  # (tc, TR)
+        t_dx = t * Dx
+        t_dy = t * Dy
+        u = Ox + t_dx
+        v = Oy + t_dy
+
+        if mxu3:
+            u_sel, v_sel = u, v
+            accept_geom = (u > 0) & (v > 0) & (u + v < 1)
             if pack:
                 return _finish_chunk_packed(
                     accept_geom, u_sel, v_sel, t, tri, c, tc,
@@ -397,6 +356,46 @@ def _kernel(
                 accept_geom, u_sel, v_sel, t, tri, obj,
                 mind, maxd, skip, outf_ref, ids_ref, tr, ablate,
             )
+
+        # the 0.2*(d1+d2) factor on the S terms is folded into the S
+        # rows at table build (host side); only the |.|-of-computed
+        # terms keep kernel-side constants
+        error_u = s_ox + t * s_dx + c1 * jnp.abs(Ox) + c3 * jnp.abs(t_dx)
+        error_v = s_oy + t * s_dy + c1 * jnp.abs(Oy) + c3 * jnp.abs(t_dy)
+
+        w = 1.0 - u - v
+        in_band = lambda x, err: (x >= -err) & (x <= 0)
+        ambiguous = in_band(u, error_u) | in_band(v, error_v) | in_band(w, error_u + error_v)
+        dtype_accept = (u > -error_u) & (v > -error_v) & (u + v < 1 + error_u + error_v)
+
+        if "band" in ablate:  # perf probe: no band, no fp32 re-test
+            u_sel, v_sel = u, v
+            accept_geom = (u > 0) & (v > 0) & (u + v < 1)
+        elif fallback == "both" and not is_f32:
+            Ox32, Oy32, Dx32, Dy32 = b32(2), b32(3), b32(4), b32(5)
+            u32 = Ox32 + t * Dx32
+            v32 = Oy32 + t * Dy32
+            ok32 = (u32 > 0) & (v32 > 0) & (u32 + v32 < 1)
+            u_sel = jnp.where(ambiguous, u32, u)
+            v_sel = jnp.where(ambiguous, v32, v)
+            accept_geom = (ambiguous & ok32) | (~ambiguous & dtype_accept)
+        elif fallback == "both":
+            strict = (u > 0) & (v > 0) & (u + v < 1)
+            u_sel, v_sel = u, v
+            accept_geom = (ambiguous & strict) | (~ambiguous & dtype_accept)
+        else:
+            u_sel, v_sel = u, v
+            accept_geom = dtype_accept
+
+        if pack:
+            return _finish_chunk_packed(
+                accept_geom, u_sel, v_sel, t, tri, c, tc,
+                mind, maxd, skip, outf_ref, ids_ref, tr,
+            )
+        return _finish_chunk(
+            accept_geom, u_sel, v_sel, t, tri, obj,
+            mind, maxd, skip, outf_ref, ids_ref, tr, ablate,
+        )
 
     if single:
         # one chunk: c = 0 is STATIC (static slab loads, no prefetch list,
@@ -562,6 +561,11 @@ def _chunk_predicates(frame, origins_f32, dirs_f32, min_dist, max_dist, grid, r_
     inv = 1.0 / d
     big = jnp.float32(3e38)
 
+    # NOTE: deliberately NOT ray_aabb_entry (the rays x boxes form below at
+    # :1143): this runs one box vs all rays under lax.map to bound the
+    # intermediates, and additionally rejects boxes entirely behind the
+    # lane's min_dist (tmax > min_dist) — the entry-bound form has no exit
+    # value to test.  Keep the 0.02 scene slop in sync with it.
     def obj_hit(args):
         lo, hi = args  # (3,)
         t1 = (lo[None, :] - o) * inv

@@ -266,6 +266,12 @@ def shade(
         eval_dir = jnp.where(lo_rough[:, None], diff_dir, dir_hi)
         brdf_e = material_brdf(metallic, roughness, view_dir, eval_dir, normal)
 
+        # REFERENCE QUIRK (`rt/rtrt/cuda.hpp:1926-1949`): the low-roughness
+        # hemisphere lobe's multiplier is cosine * 2pi = cos/pdf_hemisphere
+        # WITHOUT the 0.4*(1-metallic) lobe-selection probability that the
+        # high-roughness branch folds into pdf_diff — the reference's own
+        # estimator is inconsistent across its roughness<0.1 threshold and
+        # we reproduce it exactly (parity over unbiasedness)
         mult_c_scalar = cos_diff * jnp.asarray(2.0 * jnp.pi, dt)
         mult_hi_scalar = cos_sel / pdf_sel
         # low-branch lobe-c and the whole high branch share the BRDF value;

@@ -82,18 +82,31 @@ def _load_radiance_hdr_checked(path: str) -> np.ndarray:
     for y in range(h):
         if w < 8 or w > 0x7FFF or buf[i] != 2 or buf[i + 1] != 2 or buf[i + 2] & 0x80:
             # flat / old-RLE scanline: 4-byte pixels; [1,1,1,n] repeats the
-            # previous pixel n << (8*consecutive_count) times
+            # PREVIOUS pixel n << (8*consecutive_count) times.  Radiance's
+            # oldreadcolrs copies scan[-1], i.e. with rows decoded into one
+            # contiguous buffer a run at x == 0 repeats the previous ROW's
+            # last pixel; a run before any pixel exists is corrupt.
             x = 0
             shift = 0
             while x < w:
                 px = buf[i : i + 4]
                 i += 4
-                if px[0] == 1 and px[1] == 1 and px[2] == 1 and x > 0:
+                if px[0] == 1 and px[1] == 1 and px[2] == 1 and (x > 0 or y > 0):
                     n = int(px[3]) << shift
-                    rgbe[y, x : x + n] = rgbe[y, x - 1]
+                    if x + n > w:
+                        raise ValueError(
+                            f"{path}: old-RLE run overruns row {y} "
+                            f"(x={x} + n={n} > width={w})"
+                        )
+                    prev = rgbe[y, x - 1] if x > 0 else rgbe[y - 1, w - 1]
+                    rgbe[y, x : x + n] = prev
                     x += n
                     shift += 8
                 else:
+                    if px[0] == 1 and px[1] == 1 and px[2] == 1:
+                        raise ValueError(
+                            f"{path}: old-RLE run before any decoded pixel"
+                        )
                     rgbe[y, x] = px
                     x += 1
                     shift = 0
@@ -117,6 +130,10 @@ def _load_radiance_hdr_checked(path: str) -> np.ndarray:
                     rgbe[y, x : x + n, c] = buf[i : i + n]
                     i += n
                 x += n
+            if x != w:  # a run crossed the row boundary: corrupt stream
+                raise ValueError(
+                    f"{path}: RLE run overruns row {y} component {c}"
+                )
     # decode: rgb = mantissa * 2^(e-136); e == 0 -> black (stb semantics)
     e = rgbe[..., 3].astype(np.int32)
     scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0).astype(np.float32)

@@ -179,6 +179,39 @@ def test_radiance_hdr_old_rle_repeat(tmp_path):
     np.testing.assert_allclose(dec, np.tile([[3.0, 2.0, 1.0]], (1, w, 1)), rtol=0.01)
 
 
+def test_radiance_hdr_old_rle_row_boundary(tmp_path):
+    """An old-style run at x == 0 repeats the previous ROW's last pixel
+    (Radiance's oldreadcolrs copies scan[-1] of the contiguous buffer); a
+    run before any decoded pixel, and a run overrunning its row, raise."""
+    from low_precision_raytracer_tpu.utils.image import load_radiance_hdr
+
+    w = 5  # < 8 -> forced flat/old format
+    hdr = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+    row0 = b"".join(_rgbe_encode([float(i + 1), 0.5, 0.25]) for i in range(w))
+    # row 1 starts with a run of 3 (repeat row 0's LAST pixel), then 2 literals
+    row1 = bytes([1, 1, 1, 3]) + _rgbe_encode([9.0, 1.0, 1.0]) * 2
+    p = tmp_path / "rowrun.hdr"
+    p.write_bytes(hdr + f"-Y 2 +X {w}\n".encode() + row0 + row1)
+    dec = load_radiance_hdr(str(p))
+    np.testing.assert_allclose(dec[1, :3], np.tile([[5.0, 0.5, 0.25]], (3, 1)), rtol=0.02)
+    np.testing.assert_allclose(dec[1, 3:], np.tile([[9.0, 1.0, 1.0]], (2, 1)), rtol=0.02)
+
+    import pytest
+
+    # run before any pixel exists: corrupt
+    p2 = tmp_path / "leadrun.hdr"
+    p2.write_bytes(hdr + f"-Y 1 +X {w}\n".encode() + bytes([1, 1, 1, 2]) + row0[4:])
+    with pytest.raises(ValueError):
+        load_radiance_hdr(str(p2))
+    # run overruns the row: corrupt
+    p3 = tmp_path / "overrun.hdr"
+    p3.write_bytes(
+        hdr + f"-Y 1 +X {w}\n".encode() + row0[:4] + bytes([1, 1, 1, 200])
+    )
+    with pytest.raises(ValueError):
+        load_radiance_hdr(str(p3))
+
+
 def test_load_hdr_equirect_dispatch(tmp_path):
     from low_precision_raytracer_tpu.utils.image import load_hdr_equirect
 

@@ -92,3 +92,26 @@ def test_transform_matrix_cache_tracks_mutation():
     np.testing.assert_allclose(
         np.linalg.det(m2[:3, :3]), 1.0, rtol=1e-5
     )
+
+
+def test_geometry_edit_invalidates_m_cache():
+    """The frame-independent M-matrix cache keys on mesh array IDENTITY and
+    freezes the arrays: replacing a mesh's vertices re-keys the cache,
+    while an in-place edit raises instead of serving stale M matrices."""
+    import pytest
+
+    from low_precision_raytracer_tpu.models.scene import _host_m_cache
+
+    host = cornell_box_scene()
+    m0, v20, _ = _host_m_cache(host)
+    # in-place mutation is rejected (arrays frozen on first cache)
+    with pytest.raises(ValueError):
+        host.meshes[0].positions[0, 0] = 99.0
+    # replacing the array re-keys: new M matrices, not the cached ones
+    mesh = host.meshes[0]
+    moved = mesh.positions.copy()
+    moved[:, 0] += 0.25
+    mesh.positions = moved
+    m1, v21, _ = _host_m_cache(host)
+    assert not np.array_equal(m0, m1)
+    assert not np.array_equal(v20, v21)
