@@ -34,6 +34,12 @@ def _build_scene(name_or_path: str):
     from low_precision_raytracer_tpu.models.gltf import load_gltf
 
     scene = load_gltf(name_or_path)
+    if not scene.meshes:
+        # the default camera/headlight rigs below aggregate mesh AABBs
+        raise SystemExit(
+            "scene has no meshes — nothing to render (camera/light-only "
+            "glTF files are valid but not renderable)"
+        )
     if scene.active_camera is None:
         # rig a default camera like the explorer does when the file has none
         from low_precision_raytracer_tpu.models.hierarchy import CameraObject
@@ -79,6 +85,9 @@ def cmd_render(args) -> int:
     from low_precision_raytracer_tpu.config import DemoSettings, RenderConfig
     from low_precision_raytracer_tpu.render.renderer import Renderer
     from low_precision_raytracer_tpu.utils.image import save_png
+
+    if args.frames < 1:
+        raise SystemExit("--frames must be >= 1")
 
     cfg = RenderConfig(
         width=args.width,

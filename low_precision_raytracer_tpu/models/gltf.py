@@ -159,7 +159,9 @@ class _Model:
                 sv["bufferView"], sv.get("byteOffset", 0), sc, n, comp,
                 stride_override=n * vsz,
             )
-            if indices.size and indices.max() >= count:
+            if indices.size and (indices.max() >= count or indices.min() < 0):
+                # signed component types could otherwise wrap via numpy
+                # negative indexing and silently corrupt geometry
                 raise GLTFError("sparse accessor index out of range")
             out = out.copy()
             out[indices] = values
@@ -178,7 +180,7 @@ class _Model:
         uri = img["uri"]
         if uri.startswith("data:"):
             return base64.b64decode(uri.split(",", 1)[1])
-        with open(os.path.join(self.base_dir, uri), "rb") as f:
+        with open(os.path.join(self.base_dir, _decode_uri(uri)), "rb") as f:
             return f.read()
 
 
@@ -193,9 +195,18 @@ def _load_buffers(gltf: dict, glb_bin: bytes | None, base_dir: str) -> list[byte
         elif uri.startswith("data:"):
             out.append(base64.b64decode(uri.split(",", 1)[1]))
         else:
-            with open(os.path.join(base_dir, uri), "rb") as f:
+            with open(os.path.join(base_dir, _decode_uri(uri)), "rb") as f:
                 out.append(f.read())
     return out
+
+
+def _decode_uri(uri: str) -> str:
+    """External resource URIs are percent-encoded per the glTF 2.0 spec
+    ('wood%20floor.bin' names the file 'wood floor.bin'); tinygltf decodes
+    them in the reference."""
+    from urllib.parse import unquote
+
+    return unquote(uri)
 
 
 def _parse_glb(data: bytes):
@@ -331,8 +342,17 @@ def _load_animations(model: _Model) -> dict[int, Animation]:
                 continue
             times = model.accessor(sampler["input"]).astype(np.float32).reshape(-1)
             values = model.accessor(sampler["output"]).astype(np.float32)
+            interp = sampler.get("interpolation", "LINEAR")
+            step = interp == "STEP"
+            if interp == "CUBICSPLINE":
+                # output rows are (in-tangent, value, out-tangent) per key:
+                # keep the value rows and lerp them — an approximation (the
+                # reference ignores interpolation entirely and lerps the
+                # raw 3K rows, i.e. garbage; `rt/rtrt/loader.cu:698-717`)
+                warn("CUBICSPLINE animation approximated as LINEAR")
+                values = values.reshape(len(times), 3, -1)[:, 1, :]
             a = out.setdefault(node, Animation())
-            s = Sampler(times=times, values=values)
+            s = Sampler(times=times, values=values, step=step)
             if path == "translation":
                 a.translation = s
             elif path == "scale":
@@ -405,8 +425,12 @@ def _load_material(model: _Model, mat: dict, loader: _TextureLoader) -> Material
 
 
 def _build_node(model: _Model, node_id: int, scene: HostScene,
-                mesh_table, animations, parent: Object) -> Object:
+                mesh_table, animations, parent: Object,
+                _path: frozenset = frozenset()) -> Object:
     """`build_object_hierarchy` (`rt/rtrt/loader.cu:543-690`)."""
+    if node_id in _path:  # a node cycle would otherwise recurse unboundedly
+        raise GLTFError(f"node hierarchy cycle through node {node_id}")
+    _path = _path | {node_id}
     node = model.gltf["nodes"][node_id]
     light_id = (
         node.get("extensions", {}).get("KHR_lights_punctual", {}).get("light", -1)
@@ -490,7 +514,10 @@ def _build_node(model: _Model, node_id: int, scene: HostScene,
     out.name = node.get("name", "")
     out.parent = parent
     for child_id in node.get("children", []):
-        out.children.append(_build_node(model, child_id, scene, mesh_table, animations, out))
+        out.children.append(
+            _build_node(model, child_id, scene, mesh_table, animations, out,
+                        _path=_path)
+        )
     return out
 
 
@@ -507,7 +534,7 @@ def load_gltf(path: str, scene: HostScene | None = None) -> HostScene:
     except GLTFError:
         raise
     except (KeyError, IndexError, ValueError, TypeError, OSError,
-            struct.error) as e:
+            struct.error, RecursionError) as e:
         raise GLTFError(
             f"malformed glTF {path!r}: {type(e).__name__}: {e}"
         ) from e

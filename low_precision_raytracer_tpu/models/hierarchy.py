@@ -34,6 +34,7 @@ class Sampler:
 
     times: np.ndarray | None = None  # (K,)
     values: np.ndarray | None = None  # (K, D)
+    step: bool = False  # STEP interpolation: hold values[i] over segment i
 
     def sample(self, time: float, default):
         if self.times is None or len(self.times) == 0:
@@ -47,6 +48,8 @@ class Sampler:
         i = int(np.searchsorted(self.times[1:], time, side="left"))
         i = min(i, len(self.times) - 2)
         t0, t1 = float(self.times[i]), float(self.times[i + 1])
+        if self.step:
+            return np.asarray(self.values[i], np.float32)
         # duplicated keyframe times (step-like exports) make a zero-length
         # segment: take its end value instead of dividing by zero
         u = (time - t0) / (t1 - t0) if t1 > t0 else 1.0

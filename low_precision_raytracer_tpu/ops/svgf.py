@@ -63,6 +63,8 @@ def _tap_tables(stride, dt):
 def _pow_int(x, n: int):
     """x**n via binary squaring (n static) — avoids the generic pow
     (exp(log)) lowering, which dominates stencil runtime on the VPU."""
+    if n <= 0:
+        return jnp.ones_like(x)  # x^0 == 1 (sigma_n = 0 disables the stop)
     result = None
     base = x
     while n > 0:
@@ -104,7 +106,9 @@ def init_svgf_state(height, width, dtype) -> SVGFState:
 def preprocess_normal_depth(normal, depth):
     """Depth gradients with forward diff at the border, backward elsewhere
     (`preprocess_normal_depth`, `rt/rtrt/cuda.hpp:1442-1473`).
-    normal: (H, W, 3); depth: (H, W).  -> (normal, depth, grad (H, W, 2))."""
+    normal: (H, W, 3); depth: (H, W).  -> grad (H, W, 2); normal/depth pass
+    through unchanged at the call site (unlike the reference's in-place
+    kernel, there is nothing to write back)."""
     gx = depth - jnp.roll(depth, 1, axis=1)
     gx = gx.at[:, 0].set(depth[:, 1] - depth[:, 0])
     gy = depth - jnp.roll(depth, 1, axis=0)

@@ -58,6 +58,38 @@ def resolve_cfg(scene, frame, cfg: RenderConfig) -> RenderConfig:
     return cfg
 
 
+def incoherent_reorders(scene, frame, cfg: RenderConfig, prec: Precision) -> bool:
+    """Would a `coherent=False` launch leave pixel order?  True when trace()
+    below would route it through the morton-sorted tile path, the per-ray
+    wavefront, or the sorted packet walk.  The fuse/unfuse decision in
+    render/renderer.py consults THIS (single source of truth) — a stale
+    copy of these gates there silently unfuses launches trace() would have
+    kept pixel-ordered, or vice versa."""
+    impl = cfg.traversal_impl
+    if impl == "auto":
+        impl = resolve_impl(scene, frame, cfg)
+    ti = _instance_tris(frame)
+    n_obj = len(frame.obj_layout)
+    if impl == "dense_pallas":
+        from low_precision_raytracer_tpu.ops.dense_pallas import TC
+
+        fb = resolve_fallback(cfg.triangle_fallback, prec, "dense_pallas")
+        if (
+            cfg.incoherent_impl == "wavefront"
+            and not prec.is_f32
+            and fb == "mxu3"
+            and frame.dense_chunk_lo is not None
+            and ti > 4 * TC
+            and ti <= cfg.packet_bvh_max_tris
+        ):
+            return True
+        return n_obj > 1 and ti > 4 * TC and cfg.incoherent_sort != "none"
+    if impl == "pallas":
+        # the packet walk's own sort gate (see trace() below)
+        return n_obj > 1 and ti > 4096
+    return False  # 'dense' / 'jax' never reorder
+
+
 def resolve_fallback(fb: str, prec: Precision, impl: str) -> str:
     """Per-backend triangle-fallback resolution: 'mxu3' exists only in the
     Pallas kernels (dense + packet) and only for sub-fp32 dtypes (see

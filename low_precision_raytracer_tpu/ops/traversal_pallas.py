@@ -529,10 +529,15 @@ def _leaf_schedule(lo, hi, o_f32, d_f32, min_dist, max_dist, grid, maxc):
     count = jnp.sum(active, axis=1, dtype=jnp.int32)
     count = jnp.where((count > take) | blk_over, -1, count)
 
-    # per-packet EXIT CAP: no hit can lie beyond the farthest active-leaf
-    # exit, so miss lanes (sky) stop gating the early break once every hit
-    # lane has converged.  Quantized UP to stay conservative; overflow
-    # packets don't know their true active set -> unbounded.
+    # per-packet EXIT CAP, quantized UP to stay conservative; overflow
+    # packets don't know their true active set -> unbounded.  HONESTY NOTE:
+    # for non-overflow packets this cap is provably inert as an early-exit
+    # lever — every listed leaf's floor-quantized entry is <= this
+    # ceil-quantized max-exit by construction, so the break can only ever
+    # fire through converged hit lanes' best_t (miss lanes genuinely must
+    # test every listed leaf; there is nothing to skip).  Kept because the
+    # [count | qcap | keys] row layout is DMA-tile-aligned and shared with
+    # the kernel; fold the word out with the next measured kernel revision.
     t_cap = jnp.max(
         jnp.where(active > 0, jnp.minimum(tmax, big), 0.0), axis=1
     )  # (G,)

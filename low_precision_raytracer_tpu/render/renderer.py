@@ -132,12 +132,12 @@ def _trace_di_gi(scene, frame, shade_out, prec, cfg, *, want_gi, coherent):
     L = shade_out.lights.valid.shape[1]
     dt = prec.dtype
     lights = shade_out.lights
-    # would an incoherent launch morton-sort on this scene?  (static; same
-    # gate as ops/trace.py) — if not, fusing coherent shadow rays in is free
-    from low_precision_raytracer_tpu.ops.dense_pallas import TC as _TC
-    from low_precision_raytracer_tpu.ops.trace import _instance_tris
+    # would an incoherent launch leave pixel order on this scene?  (static;
+    # THE same gates as ops/trace.py via its incoherent_reorders helper) —
+    # if not, fusing coherent shadow rays in is free
+    from low_precision_raytracer_tpu.ops.trace import incoherent_reorders
 
-    sorts = len(frame.obj_layout) > 1 and _instance_tris(frame) > 4 * _TC
+    sorts = incoherent_reorders(scene, frame, cfg, prec)
     if not want_gi or L == 0 or (coherent and sorts):
         di = _trace_di(
             scene, frame, shade_out.source, lights, shade_out.skip_tri,

@@ -150,7 +150,8 @@ class GLBBuilder:
         self.lights.append(light)
         return len(self.lights) - 1
 
-    def add_animation(self, node: int, path: str, times, values) -> None:
+    def add_animation(self, node: int, path: str, times, values,
+                      interpolation: str = "LINEAR") -> None:
         times = np.asarray(times, np.float32).reshape(-1, 1)
         values = np.asarray(values, np.float32)
         t_acc = self.add_accessor(times, "SCALAR", 5126)
@@ -159,7 +160,9 @@ class GLBBuilder:
         if not self.animations:
             self.animations.append({"channels": [], "samplers": []})
         anim = self.animations[0]
-        anim["samplers"].append({"input": t_acc, "output": v_acc, "interpolation": "LINEAR"})
+        anim["samplers"].append(
+            {"input": t_acc, "output": v_acc, "interpolation": interpolation}
+        )
         anim["channels"].append(
             {"sampler": len(anim["samplers"]) - 1, "target": {"node": node, "path": path}}
         )

@@ -52,6 +52,71 @@ def test_tangent_synthesis(tmp_path):
     np.testing.assert_allclose(dots, 0, atol=1e-5)
 
 
+def test_animation_interpolation_modes(tmp_path):
+    """STEP holds the segment's start value exactly; CUBICSPLINE loads its
+    value rows (in-tangent, VALUE, out-tangent triplets) and lerps them —
+    the reference lerps the raw 3K rows, i.e. garbage (`loader.cu:698`)."""
+    b = GLBBuilder()
+    n = b.add_node(name="stepper")
+    b.add_animation(n, "translation", [0, 1, 2], [[0, 0, 0], [0, 1, 0], [0, 2, 0]],
+                    interpolation="STEP")
+    n2 = b.add_node(name="spliner")
+    # CUBICSPLINE: (in-tangent, value, out-tangent) per key
+    cs = [[9, 9, 9], [0, 0, 0], [9, 9, 9],
+          [9, 9, 9], [0, 4, 0], [9, 9, 9]]
+    b.add_animation(n2, "translation", [0, 1], cs, interpolation="CUBICSPLINE")
+    path = str(tmp_path / "interp.glb")
+    b.write_glb(path)
+    scene = load_gltf(path)
+    scene.root.apply_animation(0.75)
+    stepper = scene.root.search("stepper")
+    np.testing.assert_allclose(stepper.translation, [0, 0, 0], atol=1e-6)  # held
+    spliner = scene.root.search("spliner")
+    # value rows lerped: 0.75 between [0,0,0] and [0,4,0]
+    np.testing.assert_allclose(spliner.translation, [0, 3, 0], atol=1e-5)
+
+
+def _triangle_builder():
+    b = GLBBuilder()
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    nrm = np.tile([0, 0, 1], (3, 1)).astype(np.float32)
+    mid = b.add_mesh(pos, [0, 1, 2], normals=nrm)
+    b.add_node(name="tri", mesh=mid)
+    return b
+
+
+def test_external_buffer_percent_encoded_uri(tmp_path):
+    """glTF external resource URIs are percent-encoded; 'my%20buf.bin'
+    names the file 'my buf.bin' (tinygltf decodes these in the reference)."""
+    import json
+
+    b = _triangle_builder()
+    g = b.gltf_dict()
+    (tmp_path / "my buf.bin").write_bytes(bytes(b.bin))
+    g["buffers"][0]["uri"] = "my%20buf.bin"
+    p = tmp_path / "ext.gltf"
+    p.write_text(json.dumps(g))
+    scene = load_gltf(str(p))
+    assert scene.meshes and scene.meshes[0].n_triangles == 1
+
+
+def test_node_cycle_raises_gltferror(tmp_path):
+    import base64
+    import json
+
+    b = _triangle_builder()
+    g = b.gltf_dict()
+    g["nodes"][0].setdefault("children", []).append(0)  # node is its own child
+    g["buffers"][0]["uri"] = (
+        "data:application/octet-stream;base64,"
+        + base64.b64encode(bytes(b.bin)).decode()
+    )
+    p = tmp_path / "cycle.gltf"
+    p.write_text(json.dumps(g))
+    with pytest.raises(GLTFError):
+        load_gltf(str(p))
+
+
 def test_animation_channels(tmp_path):
     path = str(tmp_path / "anim.glb")
     cube_glb(path, with_animation=True)
