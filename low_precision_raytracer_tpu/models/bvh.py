@@ -146,6 +146,11 @@ def triangle_aabbs(positions, indices):
 
     positions: (V, 3) fp32; indices: (T, 3) i32.
     """
+    from low_precision_raytracer_tpu.models.native import native_triangle_aabbs
+
+    nat = native_triangle_aabbs(positions, indices)
+    if nat is not None:  # C++ path: no (T, 3, 3) fancy-index temporary
+        return nat
     positions = np.asarray(positions, np.float32)
     indices = np.asarray(indices)
     tri = positions[indices]  # (T, 3, 3)

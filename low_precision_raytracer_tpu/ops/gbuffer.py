@@ -67,9 +67,12 @@ def _interpolate_onehot(scene, frame, hit: Hit, dtype):
         l2w = jnp.dot(
             onehot_o, frame.obj_l2w.reshape(O, 16), preferred_element_type=jnp.float32
         ).astype(dt).reshape(-1, 4, 4)
+        # material ids ride the one-hot matmul in f32, NOT the render dtype:
+        # bf16 represents integers exactly only up to 256, so ids above that
+        # would quantize to a NEIGHBORING material before the matmul
         mat = jnp.dot(
-            onehot_o,
-            frame.obj_material.astype(dt)[:, None],
+            onehot_o.astype(jnp.float32),
+            frame.obj_material.astype(jnp.float32)[:, None],
             preferred_element_type=jnp.float32,
         )[:, 0].astype(jnp.int32)
         return attr, l2w, mat

@@ -44,7 +44,13 @@ def sample_texture(scene, tex_id, uv):
         xi = jnp.mod(xi.astype(jnp.int32), w)
         yi = jnp.mod(yi.astype(jnp.int32), h)
         idx = off + yi * w + xi
-        return jnp.take(scene.tex_data, idx, axis=0, mode="clip").astype(f32) / 255.0
+        raw = jnp.take(scene.tex_data, idx, axis=0, mode="clip").astype(f32) / 255.0
+        # decode EACH texel to linear BEFORE the bilinear blend — exactly
+        # what cudaTextureDesc.sRGB does on read in the reference; blending
+        # raw sRGB then decoding darkens filtered regions (0-and-1 neighbours
+        # average to linear 0.5 there, 0.21 the wrong way)
+        rgb = jnp.where(srgb[..., None], _srgb_to_linear(raw[..., :3]), raw[..., :3])
+        return jnp.concatenate([rgb, raw[..., 3:4]], axis=-1)
 
     c00 = texel(x0, y0)
     c10 = texel(x0 + 1, y0)
@@ -52,10 +58,7 @@ def sample_texture(scene, tex_id, uv):
     c11 = texel(x0 + 1, y0 + 1)
     top = c00 * (1 - fu)[..., None] + c10 * fu[..., None]
     bot = c01 * (1 - fu)[..., None] + c11 * fu[..., None]
-    out = top * (1 - fv)[..., None] + bot * fv[..., None]
-
-    rgb = jnp.where(srgb[..., None], _srgb_to_linear(out[..., :3]), out[..., :3])
-    return jnp.concatenate([rgb, out[..., 3:4]], axis=-1)
+    return top * (1 - fv)[..., None] + bot * fv[..., None]
 
 
 def sample_skybox(scene, frame, directions):

@@ -78,7 +78,13 @@ struct Builder {
         const float* key = split_key;
         std::stable_sort(idx, idx + size, [key, axis](int64_t a, int64_t b) {
             float ka = key[a * 3 + axis], kb = key[b * 3 + axis];
-            if (ka != kb) return ka < kb;
+            // NaN keys sort LAST (like numpy), and NaN==NaN falls through to
+            // the index tie-break: without this, comp(x, NaN) == comp(NaN, x)
+            // == false makes NaN "equivalent" to every key while finite keys
+            // still order — not a strict weak ordering, UB in stable_sort.
+            bool na = ka != ka, nb = kb != kb;
+            if (na != nb) return nb;
+            if (!na && ka != kb) return ka < kb;
             return a < b;
         });
 

@@ -67,6 +67,25 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_preserves_key_impl(tmp_path):
+    """The production TPU key is rbg (4-word data); the checkpoint must
+    round-trip its PRNG IMPLEMENTATION, not just its data — wrapping rbg
+    data with the default threefry impl yields a wrong-shaped batched key
+    that jax.random.split rejects."""
+    cfg = RenderConfig(width=8, height=8, precision="bf16")
+    state = init_frame_state(cfg, n_objects=1)
+    key = jax.random.key(7, impl="rbg")
+    path = str(tmp_path / "ck_rbg.npz")
+    save_checkpoint(path, state, key, 2)
+    _, k2, _ = load_checkpoint(path)
+    assert str(jax.random.key_impl(k2)) == "rbg"
+    assert k2.shape == ()  # scalar typed key, splittable
+    jax.random.split(k2)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(k2)), np.asarray(jax.random.key_data(key))
+    )
+
+
 def test_fallback_rate_bf16_exceeds_fp32():
     """bf16's wider error bands must produce a higher fp32-fallback rate."""
     host = cornell_box_scene()
