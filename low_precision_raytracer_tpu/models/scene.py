@@ -268,7 +268,6 @@ class FrameInput:
     dense_n: jnp.ndarray = None  # (TI, 3, 3) dtype
     dense_n_f32: jnp.ndarray = None  # (TI, 3, 3) f32
     dense_e: jnp.ndarray = None  # (TI, 3) f32
-    dense_e_dt: jnp.ndarray = None  # (TI, 3) dtype
     dense_tri: jnp.ndarray = None  # (TI,) i32 global triangle id
     dense_obj: jnp.ndarray = None  # (TI,) i32 inscene object id
     dense_center: jnp.ndarray = None  # (3,) f32 scene centre
@@ -638,7 +637,7 @@ def _dense_coefficients(host: HostScene, flat: FlatScene, t_off, prec: Precision
     n_obj = flat.obj_mesh.shape[0]
     ti = int(np.sum(t_off[flat.obj_mesh + 1] - t_off[flat.obj_mesh]))
     none = dict(
-        dense_n=None, dense_n_f32=None, dense_e=None, dense_e_dt=None,
+        dense_n=None, dense_n_f32=None, dense_e=None,
         dense_tri=None, dense_obj=None, dense_center=None,
         dense_chunk_lo=None, dense_chunk_hi=None,
         dense_leaf_lo=None, dense_leaf_hi=None,
@@ -740,7 +739,6 @@ def _dense_coefficients(host: HostScene, flat: FlatScene, t_off, prec: Precision
         dense_n=jnp.asarray(n_all, dtype=dt),
         dense_n_f32=jnp.asarray(n_all),
         dense_e=jnp.asarray(e_all),
-        dense_e_dt=jnp.asarray(e_all, dtype=dt),
         dense_tri=jnp.asarray(np.concatenate(tris)),
         dense_obj=jnp.asarray(np.concatenate(objs)),
         dense_center=jnp.asarray(center.astype(np.float32)),

@@ -48,7 +48,11 @@ def specular_brdf(V, H, L, N, alpha):
     nh2 = nh * nh
     denom = (one - nh2) + nh2 * a2
     d_val = a2 / (jnp.asarray(jnp.pi, dt) * jnp.maximum(denom * denom, jnp.asarray(1e-12, dt)))
-    out = d_val / div1 / div2
+    # div1/div2 can be exactly 0 at alpha = 0 when a sample lands in the
+    # tangent plane (bf16 rounds the N.L dot to 0): clamp like denom so
+    # 0/0 never mints a NaN the bad-mask below cannot catch
+    eps = jnp.asarray(1e-12, dt)
+    out = d_val / jnp.maximum(div1, eps) / jnp.maximum(div2, eps)
     bad = (nh <= 0) | (hl <= 0) | (hv <= 0)
     return jnp.where(bad, jnp.asarray(0.0, dt), out)
 

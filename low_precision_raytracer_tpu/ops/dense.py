@@ -78,7 +78,6 @@ def trace_rays_dense(
     n_dt = frame.dense_n.reshape(TI, 9)
     n_f32 = frame.dense_n_f32.reshape(TI, 9)
     e_f32 = frame.dense_e
-    e_dt = frame.dense_e_dt
     tri_ids = frame.dense_tri
     obj_ids = frame.dense_obj
 

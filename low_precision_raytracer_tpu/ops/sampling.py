@@ -19,7 +19,12 @@ def sample_ggx(a2, u1, u2):
     """
     dt = u1.dtype
     one = jnp.asarray(1.0, dt)
-    z = jnp.sqrt((one - u1) / (one + a2 * u1 - u1))  # cos theta
+    # cancellation-free denominator (1 - u1) + a2*u1 (mathematically
+    # 1 + (a2-1)*u1): in bf16 the naive form rounds fl(1 + a2*u1) to 1 for
+    # a2 < 2^-9, making z == 1 for EVERY sample — glossy metals in the
+    # roughness band [0.1, 0.21) would render as perfect mirrors (same
+    # cancellation class as d_ggx_opti below)
+    z = jnp.sqrt((one - u1) / ((one - u1) + a2 * u1))  # cos theta
     r = jnp.sqrt(jnp.maximum(0.0, one - z * z).astype(dt))  # sin theta
     phi = jnp.asarray(2.0 * jnp.pi, dt) * u2
     x = r * jnp.cos(phi)

@@ -2,15 +2,17 @@
 kernel + sync, `rt/gui/imgui_window.cu:86-91`).
 
 Production frames are ONE fused jit program; this harness re-executes the
-schedule as separately-jitted stages with `block_until_ready` between them,
-producing a timing dict keyed by the reference's stage names.  Use only for
-profiling — stage boundaries inhibit XLA fusion, exactly like the
-reference's sync-after-every-launch discipline."""
+schedule as separately-jitted stages with host-transfer sync between them,
+producing a timing dict keyed by the reference's 12 stage names.  Every
+stage runs the SAME code path production does (the vmapped SVGF pair with
+prefetched taps, f32 reprojection positions, payload-carrying temporal
+maps) so the breakdown is decision-grade.  Use only for profiling — stage
+boundaries inhibit XLA fusion, exactly like the reference's
+sync-after-every-launch discipline."""
 
 from __future__ import annotations
 
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -18,10 +20,19 @@ import jax.numpy as jnp
 from low_precision_raytracer_tpu.config import get_precision
 from low_precision_raytracer_tpu.models.scene import flatten_frame
 from low_precision_raytracer_tpu.ops.camera import primary_ray_grid
+from low_precision_raytracer_tpu.ops.compose import (
+    add_denoised_color,
+    tonemap_gamma,
+    write_clean_color,
+)
 from low_precision_raytracer_tpu.ops.gbuffer import fill_gbuffer
 from low_precision_raytracer_tpu.ops.reproject import generate_temporal_maps
 from low_precision_raytracer_tpu.ops.shade import gbuffer_to_shade_input, shade
-from low_precision_raytracer_tpu.ops.svgf import preprocess_normal_depth, svgf_denoise
+from low_precision_raytracer_tpu.ops.svgf import (
+    preprocess_normal_depth,
+    svgf_denoise_pair,
+)
+from low_precision_raytracer_tpu.ops.taa import temporal_anti_aliasing
 from low_precision_raytracer_tpu.render.renderer import _gi_shade_input, _trace_di
 
 
@@ -65,11 +76,42 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
         g_flat, d = _timed("Primary Ray", stats, primary, frame)
     g2d = {k: v.reshape((H, W) + v.shape[1:]) for k, v in g_flat.items()}
 
-    tmap_fn = jax.jit(
-        lambda g2d, frame, state, k: generate_temporal_maps(g2d, frame, state, W, H, dt, k)
-    )
+    # temporal maps exactly as render_frame builds them: payload channels
+    # fetched in the same pass, f32-reconstructed reprojection positions
+    def tmaps(g2d, frame, state, k):
+        if cfg.demo.svgf:
+            svgf_payload = jnp.concatenate(
+                [
+                    state.svgf_colored.color_history,
+                    state.svgf_colored.miu1[..., None],
+                    state.svgf_colored.miu2[..., None],
+                    state.svgf_white.color_history,
+                    state.svgf_white.miu1[..., None],
+                    state.svgf_white.miu2[..., None],
+                ],
+                axis=-1,
+            )
+        else:
+            svgf_payload = None
+        taa_payload = state.taa_history if cfg.taa_on else None
+        if cfg.prec.is_f32:
+            pos32 = None
+        else:
+            o32, d32 = primary_ray_grid(
+                frame.cam_l2w_f32, frame.cam_fov_y_f32, W, H, jnp.float32
+            )
+            pos32 = o32 + g2d["t"].reshape(H, W)[..., None].astype(jnp.float32) * d32
+        return generate_temporal_maps(
+            g2d, frame, state, W, H, dt, k,
+            svgf_payload=svgf_payload, taa_payload=taa_payload,
+            n_meshes=scene.n_meshes, position_f32=pos32,
+        )
+
+    tmap_fn = jax.jit(tmaps)
     for _ in range(2):
-        svgf_map, taa_map, _, _ = _timed("Generate Temporal Map", stats, tmap_fn, g2d, frame, state, k_taa)
+        svgf_map, taa_map, svgf_taps, taa_taps = _timed(
+            "Generate Temporal Map", stats, tmap_fn, g2d, frame, state, k_taa
+        )
 
     shade_fn = jax.jit(
         lambda sin0, d, k: shade(
@@ -86,6 +128,11 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
     )
     for _ in range(2):
         di0 = _timed("Trace DI Ray #1", stats, di_fn, out0.source, out0.lights, out0.skip_tri)
+
+    acc_fn = jax.jit(lambda out, di: out.intensity + jnp.sum(di, axis=1) + out.di_sky)
+    for _ in range(2):
+        intensity0 = _timed("Accumulate DI #1", stats, acc_fn, out0, di0)
+    intensity1 = jnp.zeros((R, 3), dt)
 
     if cfg.gi_on:
         from low_precision_raytracer_tpu.ops.trace import trace as _trace
@@ -111,24 +158,67 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
         for _ in range(2):
             out1 = _timed("Shade #2", stats, shade1_fn, sin1, out0.view_dir_out, k1)
         for _ in range(2):
-            _timed("Trace DI #2", stats, di_fn, out1.source, out1.lights, out1.skip_tri)
+            di1 = _timed("Trace DI #2", stats, di_fn, out1.source, out1.lights, out1.skip_tri)
+        for _ in range(2):
+            intensity1 = _timed("Accumulate DI #2", stats, acc_fn, out1, di1)
 
+    # clean-colour split + the PRODUCTION denoiser: ONE vmapped pass over
+    # both instances with the prefetched temporal taps (render_frame's
+    # exact path — a single-instance run doubled would misprice it)
+    clean, mul_c, mul_w = write_clean_color(
+        intensity0.reshape(H, W, 3),
+        intensity1.reshape(H, W, 3),
+        out0.gi_multiplier.reshape(H, W, 3),
+        cfg.demo,
+    )
     if cfg.demo.svgf:
-        mul = jnp.abs(out0.gi_multiplier.reshape(H, W, 3))
-        grad_fn = jax.jit(lambda n, z: preprocess_normal_depth(n, z))
-        grad = grad_fn(g2d["normal"], g2d["depth"])
-        svgf_fn = jax.jit(
-            lambda c, st, m, n, z, gr: svgf_denoise(
-                c, st, m, n, z, gr, cfg.svgf,
+        def svgf_pair(mul_c, mul_w, svgf_map, svgf_taps, n, z, st):
+            grad = preprocess_normal_depth(n, z)
+            pre_c = (svgf_taps[..., 0:3], svgf_taps[..., 3], svgf_taps[..., 4])
+            pre_w = (svgf_taps[..., 5:8], svgf_taps[..., 8], svgf_taps[..., 9])
+            mul2 = jnp.stack([mul_c, mul_w])
+            st2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b]), st.svgf_colored, st.svgf_white
+            )
+            pre2 = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), pre_c, pre_w)
+            return svgf_denoise_pair(
+                mul2, st2, svgf_map, n, z, grad, cfg.svgf,
                 cfg.svgf.color_mix_weight, cfg.svgf.moments_mix_weight,
+                prefetch2=pre2,
+            )
+
+        svgf_fn = jax.jit(svgf_pair)
+        for _ in range(2):
+            mul2, _ = _timed(
+                "SVGF", stats, svgf_fn,
+                mul_c, mul_w, svgf_map, svgf_taps, g2d["normal"], g2d["depth"], state,
+            )
+        mul_c, mul_w = mul2[0], mul2[1]
+
+    color = add_denoised_color(
+        clean, mul_c, mul_w, out0.albedo.reshape(H, W, 3), cfg.demo
+    )
+    if cfg.taa_on:
+        taa_fn = jax.jit(
+            lambda c, hist, tm, taps: temporal_anti_aliasing(
+                c, hist, tm, cfg.taa_mix_weight, hist_pre=taps
             )
         )
         for _ in range(2):
-            _timed(
-                "SVGF", stats, svgf_fn,
-                mul, state.svgf_colored, svgf_map, g2d["normal"], g2d["depth"], grad,
-            )
-        stats["SVGF"] *= 2  # run twice per frame (colored + white)
+            color = _timed("TAA", stats, taa_fn, color, state.taa_history, taa_map, taa_taps)
+
+    backup_fn = jax.jit(
+        lambda c, g2d: (
+            tonemap_gamma(c),
+            jnp.where(
+                g2d["valid"],
+                jnp.take(frame.obj_mesh, g2d["obj"], mode="clip"),
+                -1,
+            ).astype(jnp.int32),
+        )
+    )
+    for _ in range(2):
+        _timed("Backup Temporal Data", stats, backup_fn, color, g2d)
 
     total = sum(stats.values())
     stats["TOTAL (staged)"] = total

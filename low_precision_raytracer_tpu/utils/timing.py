@@ -1,14 +1,14 @@
 """Per-stage timing harness (reference §5.1: `Renderer::timing` +
 the ImGui statistics tree, `rt/gui/imgui_window.cu:86-91, 492-500`).
 
-Production frames run as one fused jit program; the profiler re-runs the
-stages with `block_until_ready` between them ONLY in profile mode, producing
-a timing dict keyed by the reference's stage names."""
+Production frames run as one fused jit program; the profiler
+(render/profile.py) re-runs the stages with host-transfer sync between
+them ONLY in profile mode, producing a timing dict keyed by the
+reference's stage names."""
 
 from __future__ import annotations
 
 import time
-from contextlib import contextmanager
 
 import jax
 
@@ -29,43 +29,17 @@ STAGE_NAMES = [
 ]
 
 
-class StageTimer:
-    def __init__(self):
-        self.stats: dict[str, float] = {}
-
-    @contextmanager
-    def stage(self, name: str, *sync_values):
-        t0 = time.perf_counter()
-        yield
-        for v in sync_values:
-            jax.block_until_ready(v)
-        self.stats[name] = time.perf_counter() - t0
-
-    def record(self, name: str, fn, *args, **kw):
-        t0 = time.perf_counter()
-        out = fn(*args, **kw)
-        jax.block_until_ready(out)
-        self.stats[name] = time.perf_counter() - t0
-        return out
-
-    def fps(self) -> float:
-        total = sum(self.stats.values())
-        return 1.0 / total if total > 0 else float("inf")
-
-    def report(self) -> str:
-        lines = [f"{k:>24s}: {v * 1e3:8.3f} ms" for k, v in self.stats.items()]
-        lines.append(f"{'TOTAL':>24s}: {sum(self.stats.values()) * 1e3:8.3f} ms ({self.fps():.1f} FPS)")
-        return "\n".join(lines)
-
-
 def sync(tree):
-    """Force completion.  `block_until_ready` is not trustworthy on tunneled
-    platforms (axon returns early); a host transfer of one element is."""
+    """Force completion of EVERY leaf's producing computation.
+    `block_until_ready` is not trustworthy on tunneled platforms (axon
+    returns early); a host transfer of one element per leaf is.  Leaves of
+    one jit program share a completion event, so the per-leaf transfers
+    are cheap; separately dispatched programs each get synced."""
     import numpy as np
 
-    leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "shape")]
-    for leaf in leaves[:1]:
-        np.asarray(leaf.reshape(-1)[:1])
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "shape"):
+            np.asarray(leaf.reshape(-1)[:1]) if leaf.size else None
     return tree
 
 

@@ -21,7 +21,7 @@ from low_precision_raytracer_tpu.models.scene import flatten_frame
 CFG = dict(max_direct_lights=4, width=64, height=64)
 
 DENSE_FIELDS = (
-    "dense_n", "dense_n_f32", "dense_e", "dense_e_dt", "dense_tri",
+    "dense_n", "dense_n_f32", "dense_e", "dense_tri",
     "dense_obj", "dense_center", "dense_chunk_lo", "dense_chunk_hi",
     "dense_leaf_lo", "dense_leaf_hi",
 )
