@@ -46,6 +46,17 @@ def _mm_f32(a, b):
     )
 
 
+def _mm_bound(a, b):
+    """Error-BOUND matmul: explicit DEFAULT precision (single bf16 pass on
+    TPU even for fp32 inputs — the config pins the global default to
+    HIGHEST, so this must opt out).  A conservative bound scaled by the 0.2
+    fudge factor gains nothing from the ~6-pass exact fp32 decomposition;
+    dense_pallas computes its S blocks the same way."""
+    return jnp.dot(
+        a, b, preferred_element_type=F32, precision=jax.lax.Precision.DEFAULT
+    )
+
+
 def trace_rays_dense(
     scene,
     frame,
@@ -107,11 +118,14 @@ def trace_rays_dense(
         u = Ox + t_dx
         v = Oy + t_dy
 
-        # error bounds on sum-of-|partials| (abs matmuls, conservative)
-        s_ox = mm(jnp.abs(o_c), a0) + jnp.abs(e_f32[:, 0])
-        s_dx = mm(jnp.abs(d_c), a0)
-        s_oy = mm(jnp.abs(o_c), a1) + jnp.abs(e_f32[:, 1])
-        s_dy = mm(jnp.abs(d_c), a1)
+        # error bounds on sum-of-|partials| (abs matmuls, conservative) —
+        # single-pass DEFAULT precision even in fp32 mode (_mm_bound): the
+        # exact 6-pass fp32 decomposition buys nothing for a fudge-scaled
+        # bound and costs ~6x on 4 of the ~10 matmuls per chunk
+        s_ox = _mm_bound(jnp.abs(o_c), a0) + jnp.abs(e_f32[:, 0])
+        s_dx = _mm_bound(jnp.abs(d_c), a0)
+        s_oy = _mm_bound(jnp.abs(o_c), a1) + jnp.abs(e_f32[:, 1])
+        s_dy = _mm_bound(jnp.abs(d_c), a1)
         error_u = (d12 * s_ox + t * d12 * s_dx + d1 * (jnp.abs(Ox) + 3 * jnp.abs(t_dx))) * 0.2
         error_v = (d12 * s_oy + t * d12 * s_dy + d1 * (jnp.abs(Oy) + 3 * jnp.abs(t_dy))) * 0.2
 

@@ -54,24 +54,11 @@ def tangent_to_world(vec, n, t, b):
     )
 
 
-def uniform_hemisphere(normal, g1, g2, g3):
-    """Uniform hemisphere direction via normalized gaussian + flip
-    (the reference's "should be cosine weighted" sampler,
-    `rt/rtrt/cuda.hpp:1920-1931`).  Returns (dir, cosine)."""
-    dt = normal.dtype
-    v = jnp.stack([g1, g2, g3], axis=-1).astype(dt)
-    v = v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-    cosine = jnp.sum(v * normal, axis=-1)
-    flip = cosine < 0
-    v = jnp.where(flip[..., None], -v, v)
-    cosine = jnp.abs(cosine)
-    return v, cosine
-
-
 def uniform_hemisphere_trig(normal, tangent, bitangent, u1, u2):
     """Uniform hemisphere direction from TWO uniforms in an existing
     orthonormal frame: z = u1 (uniform cos theta IS uniform area on the
-    hemisphere), phi = 2*pi*u2.  Same law as `uniform_hemisphere`, but no
+    hemisphere), phi = 2*pi*u2.  Same law as the reference's normalized-
+    gaussian sampler (`rt/rtrt/cuda.hpp:1920-1931`), but no
     gaussians: threefry `normal()` draws cost ~5.6 ms/frame at 1080p on TPU
     (erfinv chains + 1.5x the bits) where uniforms are ~free.  The frame
     may be built around the UNFLIPPED normal — tangent/bitangent stay
