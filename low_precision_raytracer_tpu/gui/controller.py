@@ -54,8 +54,13 @@ class MoveController:
         if self._speed == self.max_speed * state:
             delta = self._speed * dt
         elif abs(self._speed + state * dt * self.acceleration) > self.max_speed:
-            # this step would cross max speed: integrate the ramp then cruise
-            t_mid = (self.max_speed - abs(self._speed)) / (dt * self.acceleration)
+            # this step would cross max speed: integrate the ramp then cruise.
+            # t_mid is SECONDS until the crossing — the reference divides by
+            # (dt * acceleration) (`rt/gui/controller.hpp:71`), a dimensionless
+            # fraction it then uses as seconds, overshooting position by up to
+            # hundreds of units right at the crossing; fixed here like the
+            # double-add below
+            t_mid = (self.max_speed - abs(self._speed)) / self.acceleration
             delta += (2 * self._speed + state * t_mid * self.acceleration) * t_mid / 2
             delta += (dt - t_mid) * self.max_speed * state
             self._speed = self.max_speed * state
@@ -96,7 +101,10 @@ class HoldRotateController:
         return self.acc_x, self.acc_y, self.acc_z
 
     def _clip(self) -> None:
-        if self.acc_x < math.pi:
+        # wrap yaw into (-pi, pi]; the reference tests `acc_x < M_PI`
+        # (`rt/gui/controller.hpp:100`), sending EVERY in-range value
+        # through +2pi then -2pi each event — fixed to the intended bound
+        if self.acc_x < -math.pi:
             self.acc_x += 2 * math.pi
         if self.acc_x > math.pi:
             self.acc_x -= 2 * math.pi

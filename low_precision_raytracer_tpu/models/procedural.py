@@ -122,8 +122,13 @@ def animated_cornell_scene():
     half = np.array([0, 1, 0, 0], np.float32)
     three_q = np.array([0, np.sin(3 * np.pi / 4), 0, np.cos(3 * np.pi / 4)], np.float32)
     ident = np.array([0, 0, 0, 1], np.float32)
+    # the loop closes on -ident (same rotation as ident): three_q . ident is
+    # NEGATIVE, and the component lerp (deliberately slerp-free, reference
+    # parity) would otherwise cross near-zero quaternions over t in (3, 4) —
+    # a non-uniform reverse spin in the quarter of every loop that this
+    # scene's temporal benchmarks exercise
     tall.animation.rotation = Sampler(
-        times=times, values=np.stack([ident, quarter, half, three_q, ident])
+        times=times, values=np.stack([ident, quarter, half, three_q, -ident])
     )
     tall.animation.translation = Sampler(
         times=np.array([0.0, 2.0, 4.0], np.float32),

@@ -40,6 +40,12 @@ def fallback_rate(scene, frame, origins, directions, prec: Precision):
     u = Ox + t * Dx
     v = Oy + t * Dy
 
+    # KEEP IN SYNC with the canonical band algebra in ops/triangle.py
+    # (:103-115) — this diagnostic re-states it in the dense matmul form
+    # (like ops/dense.py) because it must count ALL (ray, tri) tests, not
+    # the per-hit scalar path; if the 0.2 scale, the one-sided band, or the
+    # delta propagation changes there, change it here or the reported
+    # fp32-fallback rate stops measuring what the kernels actually do
     d1 = jnp.asarray(prec.delta1, F32)
     d2 = jnp.asarray(prec.delta2, F32)
     d12 = d1 + d2

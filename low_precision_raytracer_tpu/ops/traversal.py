@@ -85,7 +85,7 @@ def trace_rays(
     prec: Precision,
     find_any: bool = False,
     fallback: str = "both",
-    leaf_size: int = 4,
+    leaf_size: int | None = None,
     skip_tri=None,
     min_dist=0.0,
     max_dist=1e5,
@@ -97,6 +97,14 @@ def trace_rays(
     control, SURVEY.md 2.8) or None.
     min_dist/max_dist: scalars or (R,) f32.
     """
+    # the leaf loop must cover every triangle of the leaves the scene was
+    # BUILT with — a smaller caller value would silently test only the
+    # first k prims of each leaf (missed hits, no error)
+    if leaf_size is None:
+        leaf_size = scene.leaf_size
+    assert leaf_size >= scene.leaf_size, (
+        f"leaf_size {leaf_size} < scene build leaf_size {scene.leaf_size}"
+    )
     dt = prec.dtype
     f32 = jnp.float32
     R = origins.shape[0]
@@ -112,7 +120,14 @@ def trace_rays(
 
     n_tlas = frame.tlas_parent.shape[0]
     n_blas = scene.blas_parent.shape[0]
-    max_iters = 3 * (n_tlas + n_blas) + 64
+    # iteration bound: a ray re-walks a SHARED BLAS once per entered
+    # instance, so the bound must scale with the instance count, not the
+    # unique-mesh node total — 3*(n_tlas + n_blas) truncated grazing rays
+    # on instanced scenes (e.g. 64 icospheres sharing one BLAS), silently
+    # dropping hits.  The while_loop exits as soon as every lane is done,
+    # so a generous static bound costs converged launches nothing.
+    n_instances = max(len(frame.obj_layout), 1)
+    max_iters = 3 * (n_tlas + n_instances * n_blas) + 64
 
     class S(NamedTuple):
         it: jnp.ndarray

@@ -104,13 +104,35 @@ def render_frame_sharded(mesh: Mesh, scene, frame, state, cfg: RenderConfig, key
     frame_s = jax.device_put(frame, ns(frame_spec))
     state_s = jax.device_put(state, ns(state_spec))
 
-    fn = jax.jit(
+    # jit caches by callable IDENTITY: a fresh lambda per call would retrace
+    # and recompile the whole pipeline EVERY frame.  Cache the jitted step
+    # per (mesh, cfg) — frames 2+ of a sharded run hit the compiled program.
+    fn = _sharded_step(mesh, cfg, jax.tree.structure(scene), jax.tree.structure(state))
+    return fn(scene_s, frame_s, state_s, key)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _sharded_step(mesh, cfg, _scene_treedef, _state_treedef):
+    """Jitted sharded render step, cached on (mesh, cfg) — the treedefs key
+    structural changes (e.g. different FrameState versions) without holding
+    array references."""
+    ns = lambda spec: jax.tree.map(lambda s: NamedSharding(mesh, s), spec)
+    rep = P()  # scene/frame are fully replicated: one prefix sharding each
+    state_spec = _state_spec(None)
+    return jax.jit(
         lambda scene, frame, state, key: render_frame(scene, frame, state, cfg, key),
-        in_shardings=(ns(scene_spec), ns(frame_spec), ns(state_spec), None),
+        in_shardings=(
+            NamedSharding(mesh, rep),
+            NamedSharding(mesh, rep),
+            ns(state_spec),
+            None,
+        ),
         out_shardings=(
             NamedSharding(mesh, P(PIXEL_AXIS)),
             None,
             ns(state_spec),
         ),
     )
-    return fn(scene_s, frame_s, state_s, key)
