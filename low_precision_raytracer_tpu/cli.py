@@ -192,7 +192,7 @@ def cmd_parity(args) -> int:
     if frame.dense_n is not None:
         o, d = primary_ray_grid(frame.cam_l2w, frame.cam_fov_y, r.cfg.width,
                                 r.cfg.height, r.prec.dtype)
-        stats = fallback_rate(r.scene, frame, o.reshape(-1, 3), d.reshape(-1, 3), r.prec)
+        stats = fallback_rate(frame, o.reshape(-1, 3), d.reshape(-1, 3), r.prec)
         rate = float(stats["rate"])
     print(json.dumps({
         "precision": args.precision,

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from low_precision_raytracer_tpu.config import Precision, RenderConfig
+from low_precision_raytracer_tpu.config import RenderConfig
 from low_precision_raytracer_tpu.models.scene import pytree_dataclass
 from low_precision_raytracer_tpu.ops.svgf import SVGFState, init_svgf_state
 

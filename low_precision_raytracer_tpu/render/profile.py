@@ -220,6 +220,11 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
     for _ in range(2):
         _timed("Backup Temporal Data", stats, backup_fn, color, g2d)
 
+    from low_precision_raytracer_tpu.utils.timing import STAGE_NAMES
+
+    # the canonical reference stage-name list lives in utils/timing.py; a
+    # typo'd inline key here would silently diverge from it
+    assert set(stats) <= set(STAGE_NAMES), sorted(set(stats) - set(STAGE_NAMES))
     total = sum(stats.values())
     stats["TOTAL (staged)"] = total
     return stats

@@ -21,13 +21,18 @@ def debug_pixel(label: str, array, x: int, y: int):
     jax.debug.print(label + " @({x},{y}) = {v}", x=x, y=y, v=array[y, x])
 
 
-def pick_pixel(aux: dict, x: int, y: int) -> dict:
-    """Host-side pixel inspector over the renderer's aux dict."""
+def pick_pixel(aux: dict, x: int, y: int, height: int, width: int) -> dict:
+    """Host-side pixel inspector over the renderer's aux dict.  Only entries
+    whose leading dims are the (height, width) pixel grid are indexed —
+    non-pixel arrays (transform stacks, per-object tables) whose first two
+    dims merely admit [y, x] would otherwise be reported as pixel data."""
     out = {}
     for k, v in aux.items():
-        try:
-            if hasattr(v, "ndim") and v.ndim >= 2:
-                out[k] = jax.device_get(v[y, x])
-        except Exception:  # noqa: BLE001
-            pass
+        if (
+            hasattr(v, "ndim")
+            and v.ndim >= 2
+            and v.shape[0] == height
+            and v.shape[1] == width
+        ):
+            out[k] = jax.device_get(v[y, x])
     return out

@@ -9,7 +9,6 @@ up), per SURVEY.md 2.3, so a bf16 AABB always contains its fp32 original.
 
 from __future__ import annotations
 
-import ml_dtypes
 import numpy as np
 
 
@@ -21,7 +20,6 @@ def _next_down_bits(dtype, bits_dtype):
         x = np.asarray(x, dtype)
         b = x.view(bits_dtype)
         # For positive values (and +0): decrement bits.  For negative: increment.
-        pos = b.copy()
         is_neg = (x < 0) | ((x == 0) & (np.signbit(x)))
         stepped = np.where(is_neg, b + 1, b - 1)
         # exact zero (positive) steps to smallest negative subnormal

@@ -8,9 +8,8 @@ reference's stage names."""
 
 from __future__ import annotations
 
-import time
-
 import jax
+import jax.numpy as jnp
 
 # the reference's 12 stage names (`rt/gui/imgui_window.cu:154-328`)
 STAGE_NAMES = [
@@ -38,17 +37,11 @@ def sync(tree):
     import numpy as np
 
     for leaf in jax.tree.leaves(tree):
-        if hasattr(leaf, "shape"):
-            np.asarray(leaf.reshape(-1)[:1]) if leaf.size else None
+        if not (hasattr(leaf, "shape") and leaf.size):
+            continue
+        if jnp.issubdtype(leaf.dtype, jax.dtypes.extended):
+            # typed PRNG keys (key<rbg> on TPU) reject np.asarray; transfer
+            # their raw key data instead — same completion event
+            leaf = jax.random.key_data(leaf)
+        np.asarray(leaf.reshape(-1)[:1])
     return tree
-
-
-def time_fn(fn, *args, warmup=1, iters=10, **kw):
-    """Wall-clock a jitted callable with host-transfer sync."""
-    for _ in range(warmup):
-        sync(fn(*args, **kw))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args, **kw)
-        sync(out)
-    return (time.perf_counter() - t0) / iters

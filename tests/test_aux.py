@@ -11,7 +11,7 @@ from low_precision_raytracer_tpu.config import RenderConfig, get_precision
 from low_precision_raytracer_tpu.gui.controller import HoldRotateController, MoveController
 from low_precision_raytracer_tpu.models.hierarchy import build_flat_scene
 from low_precision_raytracer_tpu.models.procedural import cornell_box_scene
-from low_precision_raytracer_tpu.models.scene import build_scene_arrays, frame_input_from_flat
+from low_precision_raytracer_tpu.models.scene import frame_input_from_flat
 from low_precision_raytracer_tpu.ops.camera import primary_ray_grid
 from low_precision_raytracer_tpu.ops.diagnostics import fallback_rate
 from low_precision_raytracer_tpu.render.checkpoint import load_checkpoint, save_checkpoint
@@ -92,15 +92,55 @@ def test_fallback_rate_bf16_exceeds_fp32():
     rates = {}
     for name in ("fp32", "bf16"):
         prec = get_precision(name)
-        scene = build_scene_arrays(host, prec, leaf_size=4)
         flat = build_flat_scene(host.root, host.active_camera)
         frame = frame_input_from_flat(flat, host, prec)
         o, d = primary_ray_grid(frame.cam_l2w, flat.cam_fov_y, 24, 24, prec.dtype)
-        stats = fallback_rate(scene, frame, o.reshape(-1, 3), d.reshape(-1, 3), prec)
+        stats = fallback_rate(frame, o.reshape(-1, 3), d.reshape(-1, 3), prec)
         rates[name] = float(stats["rate"])
         assert 0.0 <= rates[name] <= 1.0
     assert rates["bf16"] >= rates["fp32"]
     assert rates["bf16"] > 0.0  # the band is actually exercised
+
+
+def test_fallback_rate_chunking_is_exact():
+    """Ray chunking must not change the counts (same tests, same bands)."""
+    host = cornell_box_scene()
+    prec = get_precision("bf16")
+    flat = build_flat_scene(host.root, host.active_camera)
+    frame = frame_input_from_flat(flat, host, prec)
+    o, d = primary_ray_grid(frame.cam_l2w, flat.cam_fov_y, 24, 24, prec.dtype)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    one = fallback_rate(frame, o, d, prec, chunk=o.shape[0])
+    many = fallback_rate(frame, o, d, prec, chunk=100)  # uneven tail chunk
+    assert one["tested"] == many["tested"]
+    assert one["ambiguous"] == many["ambiguous"]
+
+
+def test_pick_pixel_skips_non_pixel_arrays():
+    """pick_pixel must only index (H, W, ...) pixel grids — a (4, 4)
+    transform in the aux dict must not be reported as pixel data."""
+    from low_precision_raytracer_tpu.utils.debug import pick_pixel
+
+    H, W = 6, 8
+    aux = {
+        "albedo": jnp.arange(H * W * 3, dtype=jnp.float32).reshape(H, W, 3),
+        "depth": jnp.arange(H * W, dtype=jnp.float32).reshape(H, W),
+        "w2c": jnp.eye(4),
+        "n_rays": jnp.asarray(7),
+    }
+    rec = pick_pixel(aux, x=2, y=1, height=H, width=W)
+    assert set(rec) == {"albedo", "depth"}
+    np.testing.assert_allclose(rec["depth"], 1 * W + 2)
+
+
+def test_sync_handles_typed_prng_keys():
+    """utils.timing.sync must not crash on extended-dtype leaves (typed
+    rbg PRNG keys are part of renderer state on TPU)."""
+    from low_precision_raytracer_tpu.utils.timing import sync
+
+    tree = {"k": jax.random.key(0), "x": jnp.ones((3,))}
+    out = sync(tree)
+    assert out is tree
 
 
 # ---- Radiance RGBE (.hdr) decoder --------------------------------------
