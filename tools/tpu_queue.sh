@@ -25,6 +25,7 @@ run large_46k python tools/bench_large_scene.py 6 3
 run large_83k python tools/bench_large_scene.py 8 3
 run schedule_ab python tools/bench_schedule_ab.py 6 3 10 5
 run incoh_2m python tools/bench_incoherent_ab.py 10 5
+run stage_budget python -m low_precision_raytracer_tpu.cli render cornell --width 1920 --height 1080 --precision bf16 --frames 3 --profile
 run viewer_fps python tools/bench_viewer_fps.py 512 30
 echo ALL_DONE >> $L.progress
 rm -f $L.lock
