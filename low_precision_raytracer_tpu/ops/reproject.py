@@ -282,6 +282,10 @@ def fetch_weighted(arr, base_y, base_x, wgt, residuals, mesh=None):
     if mesh is not None and int(mesh.devices.size) > 1:
         num = weight_raw(_gather2x2_halo(a, base_y, base_x, mesh))
         return num if chan else num[..., 0]
+    assert residuals is not None, (
+        "fetch_weighted needs residuals off the halo path — callers must "
+        "normalize a 1-device mesh to None (generate_temporal_maps does)"
+    )
     my, mx, res_y, res_x, all_ok = residuals
     num = jax.lax.cond(
         all_ok,
@@ -380,6 +384,13 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
     (mesh+1) * 512 + count stays < 2^24, exact in f32."""
     dt = dtype
     H, W = height, width
+    # a 1-device mesh is semantically no mesh: the halo-exchange gathers
+    # exist to bound cross-shard reads, and the residual fast path (which
+    # this module disables under meshes) is both valid and faster there.
+    # fetch_weighted's residual unpack also REQUIRES residuals when it
+    # doesn't take the halo path, so the two conditions must agree.
+    if mesh is not None and int(mesh.devices.size) == 1:
+        mesh = None
     valid = g["valid"]
     fold = n_meshes is not None and n_meshes <= 254
 
@@ -482,14 +493,8 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
     taa_map = dict(frame_count=taa_count, weights=w_t, base_y=by2, base_x=bx2)
     taa_pre = fetch_payload(taa_payload, by2, bx2, w_t, taa_count, res_t)
 
+    # the "Backup Temporal Data" stage (`copy_last_frame_pixel_id` +
+    # `copy_last_frame_transform`, `rt/rtrt/cuda.hpp:2230-2263`) lives
+    # inline in render_frame's FrameState construction (render/renderer.py)
+    # — it is three field copies, not a kernel
     return svgf_map, taa_map, svgf_pre, taa_pre
-
-
-def backup_temporal_data(g, frame, state, clean_w2c):
-    """`copy_last_frame_pixel_id` + `copy_last_frame_transform`
-    (`rt/rtrt/cuda.hpp:2230-2263`): store per-pixel mesh id (-1 on empty),
-    per-OBJECT L2W, and the current W2C."""
-    mesh_id = jnp.where(
-        g["valid"], jnp.take(frame.obj_mesh, g["obj"], mode="clip"), -1
-    ).astype(jnp.int32)
-    return mesh_id, g["tri"].astype(jnp.int32), frame.obj_l2w_f32, clean_w2c

@@ -458,7 +458,7 @@ def svgf_denoise_pair(
 
             prefetch2 = jax.vmap(fetch)(state2)
         return svgf_pallas_pair_full(
-            color2, state2, svgf_map, depth, grad, normal, cfg,
+            color2, svgf_map, depth, grad, normal, cfg,
             color_taa_w, moments_taa_w, prefetch2, cfg.strides,
             interpret=interpret,
         )

@@ -43,12 +43,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from low_precision_raytracer_tpu.config import SVGFConfig
+from low_precision_raytracer_tpu.ops.svgf import GAUSS_G, WAVELET_H, _pow_int
 
 PAD = 32  # >= 2 * max stride (strides 1..16); multiple of RT
 RT = 32  # output rows per tile; halo DMA amplification (RT + 2*PAD) / RT = 3x
 
-GAUSS_G = (1.0 / 2.0, 1.0 / 4.0)
-WAVELET_H = (3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
 BIG = 1e30  # sentinel: exp(-BIG) == 0, BIG * finite_recip -> inf, exp(-inf) == 0
 
 # geometry channels, packed once per chain: sanitised depth, grad pre-scaled
@@ -62,19 +61,6 @@ N_GEO = 11
 C_R, C_G, C_B, C_VAR, C_FC, C_FV = range(6)
 N_CVI = 6  # per instance
 N_CV = 2 * N_CVI
-
-
-def _pow_int(x, n: int):
-    if n <= 0:
-        return jnp.ones_like(x)  # x^0 == 1 (sigma_n = 0 disables the stop)
-    result = None
-    base = x
-    while n > 0:
-        if n & 1:
-            result = base if result is None else result * base
-        base = base * base
-        n >>= 1
-    return result
 
 
 def _wavelet_kernel(
@@ -367,6 +353,11 @@ def wavelet_iter_pallas(geo, cv, stride: int, cfg: SVGFConfig, H: int, W: int,
                         interpret: bool = False):
     """One fused a-trous iteration over the instance pair.
     geo: (N_GEO, hp, wp); cv: (N_CV, hp, wp) -> next cv, same layout."""
+    assert 2 * stride <= PAD, (
+        f"wavelet_iter_pallas supports strides <= {PAD // 2} (halo pad "
+        f"PAD={PAD}); got {stride} — use wavelet_impl='xla' for wider "
+        f"strides or raise PAD (multiple of RT)"
+    )
     tiles, hp, wp = _padded_dims(H, W)
     rows_in = RT + 2 * PAD
     kernel = functools.partial(
@@ -719,13 +710,15 @@ def temporal_accum_pallas_pair(col6, geo7, ctr11, cfg: SVGFConfig,
     )(col6, geo7, ctr11)
 
 
-def svgf_pallas_pair_full(color2, state2, svgf_map, depth, grad, normal,
+def svgf_pallas_pair_full(color2, svgf_map, depth, grad, normal,
                           cfg: SVGFConfig, color_taa_w, moments_taa_w,
                           prefetch2, strides, interpret: bool = False):
     """The whole SVGF pair — fused temporal accumulation + the wavelet
     chain — on the packed channel-major layout (ONE pack, one unpack).
 
-    prefetch2: finished weighted fetches, leaves stacked (2, ...):
+    The temporal inputs arrive ENTIRELY through prefetch2 (the finished
+    weighted history fetches) + svgf_map's frame_count — not through an
+    SVGFState: finished weighted fetches, leaves stacked (2, ...):
     (hist (2, H, W, 3) f32, m1 (2, H, W) f32, m2 (2, H, W) f32).
     -> (out_color2 (2, H, W, 3) dt, new_state2 SVGFState with (2, ...)
     leaves)."""

@@ -47,6 +47,20 @@ def test_sharded_matches_single_device():
 
 
 @needs_devices
+def test_single_device_mesh_matches_no_mesh():
+    """A 1-device mesh is semantically no mesh: the temporal-fetch
+    residual fast path must still work (regression: fetch_weighted used to
+    crash unpacking residuals=None on size-1 meshes)."""
+    cfg, scene, frame, state, key = _setup()
+    img1, _, _ = render_frame(scene, frame, state, cfg, key)
+    mesh = make_pixel_mesh(1)
+    imgm, _, _ = render_frame_sharded(mesh, scene, frame, state, cfg, key)
+    np.testing.assert_allclose(
+        np.asarray(img1), np.asarray(imgm), rtol=2e-4, atol=2e-4
+    )
+
+
+@needs_devices
 @pytest.mark.parametrize("impl", ["dense_pallas", "pallas"])
 def test_sharded_pallas_kernels_per_shard(impl):
     """The production Pallas backends (all-pairs + packet BVH traversal)

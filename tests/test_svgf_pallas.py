@@ -87,7 +87,6 @@ def test_fused_temporal_matches_xla():
     temporal moments) must match the XLA temporal stages on valid pixels
     and produce the same validity masks."""
     from low_precision_raytracer_tpu.ops.svgf import (
-        SVGFState,
         temporal_accumulation_color,
         temporal_accumulation_moments,
     )
@@ -172,11 +171,8 @@ def test_fused_temporal_matches_xla():
     assert set(np.unique(fcm)).issubset({0.0, 1.0})
 
     # ---- end-to-end wrapper smoke test (full chain, both instances)
-    state2 = SVGFState(
-        miu1=m1_2, miu2=m2_2, color_history=hist2.astype(color2.dtype)
-    )
     out2, new_state2 = svgf_pallas_pair_full(
-        color2, state2, svgf_map, depth, grad, normal, cfg, w_c, w_m,
+        color2, svgf_map, depth, grad, normal, cfg, w_c, w_m,
         (hist2, m1_2, m2_2), (1, 2), interpret=True,
     )
     assert out2.shape == (2, H, W, 3)
