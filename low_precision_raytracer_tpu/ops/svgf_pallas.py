@@ -454,6 +454,7 @@ def _temporal_kernel(
     col_s,  # scratch (6, RT + _TROWS, wp)
     geo_s,  # scratch (7, RT + _TROWS, wp)
     ctr_s,  # scratch (N_CTR, RT + 4, wp)
+    tmp_s,  # scratch (RT, W): layout canonicalizer for the write-out
     sems,
     *,
     H: int,
@@ -478,7 +479,7 @@ def _temporal_kernel(
     def _body():
         _temporal_tile_body(
             col_hbm, geo_hbm, ctr_hbm, cv_ref, ext_ref, mst_ref,
-            col_s, geo_s, ctr_s, sems, j=i - 1, H=H, W=W,
+            col_s, geo_s, ctr_s, tmp_s, sems, j=i - 1, H=H, W=W,
             color_w=color_w, moments_w=moments_w, below=below,
             cfg_sigma_n=cfg_sigma_n, cfg_eps_z=cfg_eps_z,
         )
@@ -486,7 +487,7 @@ def _temporal_kernel(
 
 def _temporal_tile_body(
     col_hbm, geo_hbm, ctr_hbm, cv_ref, ext_ref, mst_ref,
-    col_s, geo_s, ctr_s, sems, *,
+    col_s, geo_s, ctr_s, tmp_s, sems, *,
     j, H, W, color_w, moments_w, below, cfg_sigma_n, cfg_eps_z,
 ):
     dt = jnp.float32
@@ -623,8 +624,17 @@ def _temporal_tile_body(
     inb = row_ok & (col_img >= 0) & (col_img < W)
 
     def wide(val):
+        # Canonicalize val's vreg layout through scratch first: the ctr()
+        # row slices at offset 2 give every write-out value a sublane offset
+        # of 2, and Mosaic's tpu.concatenate cannot relayout inputs whose
+        # non-concat-dim offset differs from the result ("result/input
+        # offset mismatch on non-concat dimension", observed on v5e at
+        # 1080p).  A full-ref store/load is a plain relayout and yields
+        # offset {0, 0}, which concat accepts.
+        tmp_s[...] = val
         full = jnp.concatenate(
-            [jnp.zeros((RT, PAD), dt), val, jnp.zeros((RT, Wp - W - PAD), dt)],
+            [jnp.zeros((RT, PAD), dt), tmp_s[...],
+             jnp.zeros((RT, Wp - W - PAD), dt)],
             axis=1,
         )
         return jnp.where(inb, full, zero)
@@ -701,6 +711,7 @@ def temporal_accum_pallas_pair(col6, geo7, ctr11, cfg: SVGFConfig,
             pltpu.VMEM((6, RT + _TROWS, wp), jnp.float32),
             pltpu.VMEM((7, RT + _TROWS, wp), jnp.float32),
             pltpu.VMEM((N_CTR, RT + 4, wp), jnp.float32),
+            pltpu.VMEM((RT, W), jnp.float32),  # wide() canonicalizer
             pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
