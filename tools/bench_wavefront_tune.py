@@ -96,6 +96,14 @@ def main():
         (16, 8, 2, 2048),   # wider rank batches
         (8, 4, 2, 2048),    # shorter candidate lists
         (16, 4, 4, 4096),   # finer groups (big scenes only; no-op when NC small)
+        # Q=1: the per-round sort groups the ONE rank actually tested, so
+        # tile distinct-id counts collapse to the rank's true spread (the
+        # Q=4 rounds scatter ranks 1..3 across ~CH_CAP ids per tile — the
+        # measured 46.5k shortfall).  More rounds pay more sorts; the p95
+        # per-ray visit depth is ~9.
+        (16, 1, 8, 2048),
+        (16, 1, 12, 2048),
+        (8, 1, 6, 2048),
     ]
     for (k, q, r, gw) in points:
         WF.K_CAND, WF.Q_RANKS, WF.N_ROUNDS, WF.GROUP_WIDTH = k, q, r, gw
