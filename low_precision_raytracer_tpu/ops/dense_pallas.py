@@ -101,6 +101,32 @@ def _finish_chunk(accept_geom, u_sel, v_sel, t, tri, obj,
     return 0
 
 
+def _finish_chunk_any(accept_geom, t, tri, mind, maxd, skip,
+                      outf_ref, ids_ref, tr):
+    """Any-hit epilogue (shadow rays): occlusion is a boolean, so winner
+    selection collapses to ONE cross-sublane reduction (the chunk's masked
+    t min) instead of reduce5's five — and at small chunk counts (Cornell)
+    the reductions are most of the body.  The stored t is the closest
+    accept among the chunks walked before the early exit fired; tri
+    becomes a 0/-1 hit marker (find_any consumers read only `tri >= 0`,
+    `render/renderer.py:86`, matching the reference's boolean
+    `di_intensity = visible ? multiplier : 0`, `rt/rtrt/cuda.hpp:2073-78`)
+    and obj stays -1."""
+    accept = (
+        accept_geom
+        & (t > mind)
+        & (t < maxd)
+        & (tri != skip)
+        & jnp.isfinite(t)
+    )
+    t_masked = jnp.where(accept, t, jnp.inf)
+    t_min = jnp.min(t_masked, axis=0, keepdims=True)  # (1, TR)
+    better = jnp.isfinite(t_min) & (t_min < outf_ref[0:1, :])
+    outf_ref[0:1, :] = jnp.where(better, t_min, outf_ref[0:1, :])
+    ids_ref[0:1, :] = jnp.where(better, jnp.int32(0), ids_ref[0:1, :])
+    return 0
+
+
 def _finish_chunk_packed(accept_geom, u_sel, v_sel, t, tri, c, tc,
                          mind, maxd, skip, outf_ref, ids_ref, tr):
     """Packed chunk epilogue ('pack' mode): 3 cross-sublane reductions per
@@ -347,6 +373,11 @@ def _kernel(
         if mxu3:
             u_sel, v_sel = u, v
             accept_geom = (u > 0) & (v > 0) & (u + v < 1)
+            if find_any and "anyfull" not in ablate:
+                return _finish_chunk_any(
+                    accept_geom, t, tri, mind, maxd, skip,
+                    outf_ref, ids_ref, tr,
+                )
             if pack:
                 return _finish_chunk_packed(
                     accept_geom, u_sel, v_sel, t, tri, c, tc,
@@ -387,6 +418,11 @@ def _kernel(
             u_sel, v_sel = u, v
             accept_geom = dtype_accept
 
+        if find_any and "anyfull" not in ablate:
+            return _finish_chunk_any(
+                accept_geom, t, tri, mind, maxd, skip,
+                outf_ref, ids_ref, tr,
+            )
         if pack:
             return _finish_chunk_packed(
                 accept_geom, u_sel, v_sel, t, tri, c, tc,

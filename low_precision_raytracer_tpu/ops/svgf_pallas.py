@@ -441,7 +441,14 @@ def _run_chain(geo, cv, strides, cfg, H, W, interpret):
 (T_H0R, T_H0G, T_H0B, T_H1R, T_H1G, T_H1B,
  T_M1_0, T_M1_1, T_M2_0, T_M2_1, T_FC) = range(11)
 N_CTR = 11
-_TROWS = 12  # slab halo rows: box9 (4) + moments reach (2) on each side
+_TROWS = 16  # slab halo rows: box9 (4) + moments reach (2) on each side
+# needs 6, but HBM->VMEM DMA slice offsets/lengths must align to the f32
+# sublane tiling (8): slab offset = j*RT + PAD - _TROWS//2 = 32j + 24 and
+# length RT + 16 = 48 are both 8-aligned (6 gave offset 32j+26 / length 44
+# -> "Slice shape along dimension 1 must be aligned to tiling", v5e)
+_CTR_OFF = _TROWS // 2 - 2  # row of (centre - 2) inside the ctr slab (the
+# ctr slab rides the same 8-aligned window as col/geo; stage-1 only needs
+# a 2-row halo but 2 is not DMA-alignable)
 
 
 def _temporal_kernel(
@@ -453,7 +460,7 @@ def _temporal_kernel(
     mst_ref,  # out (4, RT, wp): [miu1_0, miu1_1, miu2_0, miu2_1]
     col_s,  # scratch (6, RT + _TROWS, wp)
     geo_s,  # scratch (7, RT + _TROWS, wp)
-    ctr_s,  # scratch (N_CTR, RT + 4, wp)
+    ctr_s,  # scratch (N_CTR, RT + _TROWS, wp)
     tmp_s,  # scratch (RT, W): layout canonicalizer for the write-out
     sems,
     *,
@@ -502,7 +509,7 @@ def _temporal_tile_body(
             geo_hbm.at[:, pl.ds(slab0, RT + _TROWS), :], geo_s, sems.at[1]
         ),
         pltpu.make_async_copy(
-            ctr_hbm.at[:, pl.ds(j * RT + PAD - 2, RT + 4), :], ctr_s, sems.at[2]
+            ctr_hbm.at[:, pl.ds(slab0, RT + _TROWS), :], ctr_s, sems.at[2]
         ),
     ]
     for c in cs:
@@ -524,13 +531,16 @@ def _temporal_tile_body(
     # lerp, illuminance — computed 2 rows/cols beyond the centre so the
     # 5x5 moments taps read locally
     def box9(x_full):
-        """x_full: (RT+_TROWS, wp) -> (RT+4, We) 9x9 box sum."""
+        """x_full: (RT+_TROWS, wp) -> (RT+4, We) 9x9 box sum.  Stage-1 row
+        r sits at slab row half-2+r, so its 9-row window starts at
+        half-6+r."""
         csum = rotw(x_full, -4)
         for dj in range(-3, 5):
             csum = csum + rotw(x_full, dj)
-        out = csum[0 : RT + 4, :]
+        b0 = half - 6
+        out = csum[b0 : b0 + RT + 4, :]
         for di in range(1, 9):
-            out = out + csum[di : di + RT + 4, :]
+            out = out + csum[b0 + di : b0 + di + RT + 4, :]
         return out
 
     w_c = jnp.asarray(color_w, dt)
@@ -538,9 +548,11 @@ def _temporal_tile_body(
     il = [None, None]
     fil = [None, None]
     fin_il = [None, None]
-    # ctr_s rows already span exactly the stage-1 range (RT + 4 rows at
-    # centre - 2); col/geo slabs carry the extra box9 halo and need r1()
-    fc_s1 = rotw(ctr_s[T_FC], 0)  # (RT+4, We)
+    # ctr_s rides the same 8-aligned slab window as col/geo; cs1() takes
+    # the stage-1 row range (RT + 4 rows at centre - 2), r1() does the
+    # same for the col/geo slabs
+    cs1 = lambda ch: rotw(ch, 0)[_CTR_OFF : _CTR_OFF + RT + 4, :]
+    fc_s1 = cs1(ctr_s[T_FC])  # (RT+4, We)
     r1 = lambda x: x[half - 2 : half - 2 + RT + 4, :]  # (RT+_TROWS, .) -> (RT+4, .)
     one_s1 = r1(rotw(one_full, 0))
 
@@ -561,7 +573,7 @@ def _temporal_tile_body(
             stdc = jnp.sqrt(m2c - m1c * m1c)
             clamped = jnp.clip(p, m1c - 0.5 * stdc, m1c + 0.5 * stdc)
             p = jnp.where(jnp.isfinite(stdc), clamped, p)
-            h = rotw(ctr_s[3 * inst + c], 0)
+            h = cs1(ctr_s[3 * inst + c])
             hist = jnp.where(fc_s1 > 0, h, p)
             hist = jnp.where(jnp.isfinite(hist), hist, p)
             ic = w_c * p + (1.0 - w_c) * hist
@@ -650,8 +662,8 @@ def _temporal_tile_body(
         ilc = ctr(il[i])
         m1_sp = num[i] / wsum[i]
         m2_sp = num2[i] / wsum[i]
-        m1_pre = ctr(rotw(ctr_s[T_M1_0 + i], 0))
-        m2_pre = ctr(rotw(ctr_s[T_M2_0 + i], 0))
+        m1_pre = ctr(cs1(ctr_s[T_M1_0 + i]))
+        m2_pre = ctr(cs1(ctr_s[T_M2_0 + i]))
         m1_t = (1.0 - mw) * m1_pre + mw * ilc
         m1_t = jnp.where(jnp.isfinite(m1_t), m1_t, ilc)
         il2 = ilc * ilc
@@ -710,7 +722,7 @@ def temporal_accum_pallas_pair(col6, geo7, ctr11, cfg: SVGFConfig,
         scratch_shapes=[
             pltpu.VMEM((6, RT + _TROWS, wp), jnp.float32),
             pltpu.VMEM((7, RT + _TROWS, wp), jnp.float32),
-            pltpu.VMEM((N_CTR, RT + 4, wp), jnp.float32),
+            pltpu.VMEM((N_CTR, RT + _TROWS, wp), jnp.float32),
             pltpu.VMEM((RT, W), jnp.float32),  # wide() canonicalizer
             pltpu.SemaphoreType.DMA((3,)),
         ],

@@ -430,3 +430,25 @@ def test_topk_select_matches_sort(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(ht.tri) >= 0, np.asarray(href.tri) >= 0
     )
+
+
+def test_any_epilogue_matches_closest_occlusion():
+    """find_any launches now use the 1-reduction any-hit epilogue; its
+    occlusion mask must equal the closest-hit launch's (a blocker exists
+    within (mind, maxd) iff the closest hit does)."""
+    host = sponza_like_scene(pillar_grid=2, sphere_subdiv=1, with_skybox=False)
+    prec, scene, frame, o, d, hw = _setup(host, prec_name="bf16")
+    kw = dict(
+        prec=prec, fallback="mxu3", cull=True, tile_hw=hw, interpret=True,
+        min_dist=0.01, max_dist=50.0,
+    )
+    ha = trace_rays_dense_pallas(scene, frame, o, d, find_any=True, **kw)
+    hc = trace_rays_dense_pallas(scene, frame, o, d, find_any=False, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(ha.tri) >= 0, np.asarray(hc.tri) >= 0
+    )
+    # the any-hit t is still a real accept distance: never closer than the
+    # true closest hit, never beyond the cap
+    hit = np.asarray(ha.tri) >= 0
+    assert (np.asarray(ha.t)[hit] >= np.asarray(hc.t)[hit] - 1e-4).all()
+    assert (np.asarray(ha.t)[hit] < 50.0).all()
