@@ -74,7 +74,7 @@ SENT_BITS = int(np.float32(3e38).view(np.int32))
 
 def _assigned_kernel(active_ref, *refs,
                      tc: int, n32: int, q: int, find_any: bool,
-                     s_group: int, stream: bool):
+                     s_group: int, stream: bool, ch_cap: int):
     """Test each lane against the Q candidate GROUPS it brought along
     (a group = `s_group` consecutive chunks; s_group == 1 at small scene
     sizes, larger for big scenes so the XLA schedule sweep stays bounded).
@@ -104,7 +104,7 @@ def _assigned_kernel(active_ref, *refs,
     i = pl.program_id(0)
     g_total = pl.num_programs(0)
     count = active_ref[i]
-    base = g_total + i * CH_CAP
+    base = g_total + i * ch_cap
 
     bh = B32.astype(jnp.bfloat16)
     bl = (B32 - bh.astype(F32)).astype(jnp.bfloat16)
@@ -113,7 +113,7 @@ def _assigned_kernel(active_ref, *refs,
     dflt = jax.lax.Precision.DEFAULT
 
     def body(j):
-        g = active_ref[base + jnp.minimum(j, CH_CAP - 1)]
+        g = active_ref[base + jnp.minimum(j, ch_cap - 1)]
         if stream:
             cp = pltpu.make_async_copy(
                 a32_ref.at[pl.ds(g * (16 * s_group), 16 * s_group), :],
@@ -309,6 +309,11 @@ def trace_rays_wavefront(
     r_pad = (-R) % TR
     Rp = R + r_pad
     grid = Rp // TR
+    # the SMEM prefetch budget is ~1 MB: G * (ch_cap + 1) i32 words must
+    # fit (lane-expanded DI launches reach G ~ 8k tiles at 1080p x 2
+    # lights, where CH_CAP = 48 overflows).  Truncated lists only defer
+    # lanes to a later round (covered = False), never drop them.
+    ch_cap = max(4, min(CH_CAP, (192 * 1024) // grid - 1))
     orig_idx = jnp.arange(R, dtype=jnp.int32)
 
     best_t = jnp.full((R,), 1e5, F32)
@@ -332,7 +337,7 @@ def trace_rays_wavefront(
 
     kernel = functools.partial(
         _assigned_kernel, tc=tc, n32=n32, q=q, find_any=find_any,
-        s_group=s_group, stream=stream,
+        s_group=s_group, stream=stream, ch_cap=ch_cap,
     )
     const = lambda shape: pl.BlockSpec(
         shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -397,9 +402,9 @@ def trace_rays_wavefront(
         )
         is_real = tile_sorted < id_mask
         distinct = jnp.where(first & is_real, tile_sorted, jnp.int32(id_mask))
-        distinct = jnp.sort(distinct, axis=1)[:, :CH_CAP]
+        distinct = jnp.sort(distinct, axis=1)[:, :ch_cap]
         counts = jnp.sum(distinct < id_mask, axis=1, dtype=jnp.int32)
-        thresh = distinct[:, CH_CAP - 1]  # id_mask when list not full
+        thresh = distinct[:, ch_cap - 1]  # id_mask when list not full
         covered = ids_p <= jnp.repeat(thresh, TR)[:, None]  # (Rp, q)
         active = jnp.concatenate([counts, distinct.reshape(-1)])
 
