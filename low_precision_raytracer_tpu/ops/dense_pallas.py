@@ -850,7 +850,7 @@ def trace_rays_dense_pallas(
     stream: bool = False,  # HBM-streamed coefficient table (large scenes)
     ablate: str = "",  # perf-probe switches, see _kernel (not for production)
     epilogue: str = "reduce5",  # 'pack' = packed winner key epilogue
-    select: str = "sort",  # chunk-list selection: 'sort' | 'topk'
+    select: str = "topk",  # chunk-list selection: 'topk' | 'sort' (topk measured faster or tied at every size, parity 1.0)
 ) -> Hit:
     assert frame.dense_n is not None, "dense coefficients missing"
     # 'mxu3' (bf16/fp16 only): the manual bf16x3 MXU dot — already required
@@ -1319,7 +1319,7 @@ def trace_rays_dense_pallas_sorted(
     stream: bool = False,
     key_mode: str = "beam",
     epilogue: str = "reduce5",
-    select: str = "sort",
+    select: str = "topk",
 ) -> Hit:
     """Coherence-recovering launch for INCOHERENT rays (GI bounces,
     secondary shadow rays): a key-value `lax.sort` groups rays by

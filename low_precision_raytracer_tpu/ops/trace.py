@@ -213,8 +213,13 @@ def trace(
         stream = ti > cfg.dense_pallas_max_tris  # table too big for VMEM
         fb = resolve_fallback(cfg.triangle_fallback, prec, "dense_pallas")
         ep = "reduce5" if cfg.dense_epilogue == "auto" else cfg.dense_epilogue
+        # measured (tools/bench_schedule_ab.py, v5e 2026-08-19): topk wins
+        # or ties at every size — 46.5k primary 79.9 -> 65.1 ms, 2M primary
+        # 6550 -> 5372 ms, bounce 1690 -> 1658 ms — with tri agreement
+        # 1.00000 (it falls back to the argsort internally when the active
+        # set fits the list, so small scenes are unchanged)
         sel = (
-            "sort"
+            "topk"
             if cfg.dense_schedule_select == "auto"
             else cfg.dense_schedule_select
         )
