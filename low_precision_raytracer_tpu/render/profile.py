@@ -37,11 +37,14 @@ from low_precision_raytracer_tpu.render.renderer import _gi_shade_input, _trace_
 
 
 def _timed(name, stats, fn, *args):
-    from low_precision_raytracer_tpu.utils.timing import sync
+    from low_precision_raytracer_tpu.utils.timing import sync_one
 
     t0 = time.perf_counter()
     out = fn(*args)
-    sync(out)  # host transfer — block_until_ready returns early on tunnels
+    # one host transfer — block_until_ready returns early on tunnels, and
+    # per-leaf transfers each cost a tunnel round trip (fn is one jit
+    # program, so one leaf's completion implies all)
+    sync_one(out)
     stats[name] = time.perf_counter() - t0
     return out
 
