@@ -519,15 +519,20 @@ def _kernel(
     jax.lax.while_loop(w_cond, w_body, jnp.int32(0))
 
     # overflow sweep: runs bodies only while a lane could still improve
-    # beyond t_cut (never on tiles whose active set fit the list)
-    def s_body(j):
-        run_chunk(j)
-        return j + 1
+    # beyond t_cut (never on tiles whose active set fit the list).  The
+    # loop exists only when a list CAN overflow (n_chunks > maxc): its
+    # cond's cross-lane any() costs ~1-2us per tile even at zero
+    # iterations, which measured as +3.3 ms/launch on Cornell (2 chunks,
+    # 4045 tiles) — the bench regression 8.9 -> 12.2 ms/launch.
+    if n_chunks > maxc:
+        def s_body(j):
+            run_chunk(j)
+            return j + 1
 
-    def s_cond(j):
-        return (j < n_chunks) & jnp.any(unresolved())
+        def s_cond(j):
+            return (j < n_chunks) & jnp.any(unresolved())
 
-    jax.lax.while_loop(s_cond, s_body, jnp.int32(0))
+        jax.lax.while_loop(s_cond, s_body, jnp.int32(0))
 
 
 BLOCK_H, BLOCK_W = 8, 64  # screen-space ray tile (= TR rays), keeps tiles
