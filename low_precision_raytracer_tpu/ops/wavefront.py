@@ -58,9 +58,17 @@ from low_precision_raytracer_tpu.ops.dense_pallas import (
 
 F32 = jnp.float32
 K_CAND = 16   # candidate chunks per ray (p99 coverage measured ~14)
-Q_RANKS = 4   # candidate ranks tested per round
-N_ROUNDS = 4  # = K/Q; deferred lanes roll into the refill cycle or sweep
+Q_RANKS = 1   # candidate ranks tested per round (1: the round sort groups
+# exactly what the round tests — Q=4 scattered ranks 1..3 across ~CH_CAP
+# distinct ids per tile, measured 1.3x slower at 46.5k)
+N_ROUNDS = 16  # rank depth bound; the round loop exits early when every
+# ray is resolved (p95 visit depth ~9), so deep bounds are nearly free
 CH_CAP = 48   # per-tile distinct-group list cap (SMEM: G * (CH+1) words)
+WTR = 2048    # rays per kernel tile.  The assigned kernel is FIXED-COST
+# bound (~1-2 distinct group ids per tile after the rank sort), so wide
+# tiles amortize the per-tile init/prefetch/loop overhead AND let one
+# chunk body serve 4x the lanes; unlike the tile path, the body count
+# does not grow with TR here.
 GROUP_WIDTH = 2048   # max schedule sweep width -> s_group = ceil(NC / this)
 RESIDENT_BYTES = 48 * 1024 * 1024  # VMEM-resident table ceiling, else HBM
 CYCLE2_MIN_GROUPS = 512  # schedule a second candidate-refill cycle above this
@@ -106,6 +114,25 @@ def _assigned_kernel(active_ref, *refs,
     count = active_ref[i]
     base = g_total + i * ch_cap
 
+    # all-resolved tiles (clustered at the grid's end by the round sort's
+    # sentinel key) skip the ray-split passes too, not just the loop
+    @pl.when(count > 0)
+    def _live_tile():
+        _assigned_tile_body(
+            active_ref, a32_ref, rays_ref, outf_ref, ids_ref,
+            refs[4:] if stream else (), base=base, count=count,
+            tc=tc, n32=n32, q=q, find_any=find_any, s_group=s_group,
+            stream=stream, ch_cap=ch_cap, B32=B32, skip=skip, mind=mind,
+            maxd=maxd, ch_rows=ch_rows, tr=tr,
+        )
+
+
+def _assigned_tile_body(active_ref, a32_ref, rays_ref, outf_ref, ids_ref,
+                        scr_sem, *, base, count, tc, n32, q, find_any,
+                        s_group, stream, ch_cap, B32, skip, mind, maxd,
+                        ch_rows, tr):
+    if stream:
+        scr, sem = scr_sem
     bh = B32.astype(jnp.bfloat16)
     bl = (B32 - bh.astype(F32)).astype(jnp.bfloat16)
     b_cat = jnp.concatenate([bh, bh, bl], axis=0)
@@ -306,9 +333,9 @@ def trace_rays_wavefront(
     k = min(K_CAND, n_groups)
     live0 = maxd > min_dist
     q = min(Q_RANKS, k)
-    r_pad = (-R) % TR
+    r_pad = (-R) % WTR
     Rp = R + r_pad
-    grid = Rp // TR
+    grid = Rp // WTR
     # the SMEM prefetch budget is ~1 MB: G * (ch_cap + 1) i32 words must
     # fit (lane-expanded DI launches reach G ~ 8k tiles at 1080p x 2
     # lights, where CH_CAP = 48 overflows).  Truncated lists only defer
@@ -343,22 +370,32 @@ def trace_rays_wavefront(
         shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM
     )
     ray_block = lambda rows: pl.BlockSpec(
-        (rows, TR), lambda i, *_: (0, i), memory_space=pltpu.VMEM
+        (rows, WTR), lambda i, *_: (0, i), memory_space=pltpu.VMEM
     )
 
-    resolved = ~live0
-    emin = None
-    for cycle in range(n_cycles):
-      cand, tcut_e = _schedule(
-          glo, ghi, o_f32, d_f32, maxd, n_groups, id_bits, k, emin=emin
-      )
-      cand_entry = jax.lax.bitcast_convert_type(cand & ~id_mask, F32)
-      cand_id = cand & id_mask
-      ptr = jnp.zeros((R,), jnp.int32)  # first untested candidate rank
-      cap = jnp.where(live0, jnp.minimum(best_t, maxd), -jnp.inf)
-      resolved = resolved | (cap <= entry_at(ptr, cand_entry, tcut_e))
+    if stream:
+        table_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [
+            pltpu.VMEM((16 * s_group, a32t.shape[1]), a32t.dtype),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        table_spec = const(a32t.shape)
+        scratch = []
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[table_spec, ray_block(11 + q)],
+        out_specs=[ray_block(1), ray_block(2)],
+        scratch_shapes=scratch,
+    )
 
-      for _ in range(N_ROUNDS):
+    def padr(x, cval=0.0):
+        return jnp.pad(x, ((0, r_pad),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=cval) if r_pad else x
+
+    def round_step(best_t, best_row, best_pk, ptr, resolved,
+                   cand_id, cand_entry, tcut_e):
         # assignments: ranks ptr..ptr+q-1, clamped; invalid -> sentinel id
         ranks = jnp.minimum(ptr[:, None] + jnp.arange(q)[None, :], k - 1)
         a_ids = jnp.take_along_axis(cand_id, ranks, axis=1)  # (R, q)
@@ -381,10 +418,6 @@ def trace_rays_wavefront(
         skip_s, mind_s, maxd_s, org_s = srt[7], srt[8], srt[9], srt[10]
         ids_s = jnp.stack(srt[11:], axis=1)  # (R, q)
 
-        def padr(x, cval=0.0):
-            return jnp.pad(x, ((0, r_pad),) + ((0, 0),) * (x.ndim - 1),
-                           constant_values=cval) if r_pad else x
-
         o_p = padr(o_s)
         d_p = padr(d_s, 1.0)
         skip_p = padr(skip_s, -1)
@@ -393,8 +426,8 @@ def trace_rays_wavefront(
         ids_p = padr(ids_s, id_mask)
 
         # per-tile distinct chunk lists (ascending); covered = lanes whose
-        # id <= the CH_CAP-th distinct id (the list holds the SMALLEST ids)
-        tile_ids = ids_p.reshape(grid, TR * q)
+        # id <= the ch_cap-th distinct id (the list holds the SMALLEST ids)
+        tile_ids = ids_p.reshape(grid, WTR * q)
         tile_sorted = jnp.sort(tile_ids, axis=1)
         first = jnp.concatenate(
             [jnp.ones((grid, 1), bool),
@@ -405,7 +438,7 @@ def trace_rays_wavefront(
         distinct = jnp.sort(distinct, axis=1)[:, :ch_cap]
         counts = jnp.sum(distinct < id_mask, axis=1, dtype=jnp.int32)
         thresh = distinct[:, ch_cap - 1]  # id_mask when list not full
-        covered = ids_p <= jnp.repeat(thresh, TR)[:, None]  # (Rp, q)
+        covered = ids_p <= jnp.repeat(thresh, WTR)[:, None]  # (Rp, q)
         active = jnp.concatenate([counts, distinct.reshape(-1)])
 
         # rays recenter by dense_center to match the coefficient tables
@@ -424,22 +457,6 @@ def trace_rays_wavefront(
             axis=0,
         )  # (11 + q, Rp)
 
-        if stream:
-            table_spec = pl.BlockSpec(memory_space=pl.ANY)
-            scratch = [
-                pltpu.VMEM((16 * s_group, a32t.shape[1]), a32t.dtype),
-                pltpu.SemaphoreType.DMA,
-            ]
-        else:
-            table_spec = const(a32t.shape)
-            scratch = []
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(grid,),
-            in_specs=[table_spec, ray_block(11 + q)],
-            out_specs=[ray_block(1), ray_block(2)],
-            scratch_shapes=scratch,
-        )
         outf, oids = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -475,10 +492,62 @@ def trace_rays_wavefront(
         if find_any:
             resolved = resolved | (best_row >= 0)
         resolved = resolved | (cap <= entry_at(ptr, cand_entry, tcut_e))
+        return best_t, best_row, best_pk, ptr, resolved
 
-      # next cycle refills candidates past everything already tested
-      emin = jnp.where(resolved, jnp.float32(3e38),
-                       entry_at(ptr, cand_entry, tcut_e))
+    def run_cycle(carry, emin):
+        """One schedule + up-to-N_ROUNDS rank rounds.  The round loop is a
+        lax.while_loop with an ALL-RESOLVED early exit: typical bounce
+        rays retire after ~5 tested candidates (mean pre-trace candidate
+        count 4.9), so a deep N_ROUNDS bound costs nothing once the last
+        ray retires."""
+        best_t, best_row, best_pk, resolved = carry
+        cand, tcut_e = _schedule(
+            glo, ghi, o_f32, d_f32, maxd, n_groups, id_bits, k, emin=emin
+        )
+        cand_entry = jax.lax.bitcast_convert_type(cand & ~id_mask, F32)
+        cand_id = cand & id_mask
+        ptr = jnp.zeros((R,), jnp.int32)  # first untested candidate rank
+        cap = jnp.where(live0, jnp.minimum(best_t, maxd), -jnp.inf)
+        resolved = resolved | (cap <= entry_at(ptr, cand_entry, tcut_e))
+
+        def w_body(st):
+            rnd, bt, br, bp, p, res = st
+            bt, br, bp, p, res = round_step(
+                bt, br, bp, p, res, cand_id, cand_entry, tcut_e
+            )
+            return rnd + 1, bt, br, bp, p, res
+
+        def w_cond(st):
+            return (st[0] < N_ROUNDS) & jnp.any(~st[5])
+
+        st = jax.lax.while_loop(
+            w_cond, w_body,
+            (jnp.int32(0), best_t, best_row, best_pk, ptr, resolved),
+        )
+        _, best_t, best_row, best_pk, ptr, resolved = st
+        # next cycle refills candidates past everything already tested
+        emin2 = jnp.where(resolved, jnp.float32(3e38),
+                          entry_at(ptr, cand_entry, tcut_e))
+        return (best_t, best_row, best_pk, resolved), emin2
+
+    carry = (best_t, best_row, best_pk, ~live0)
+    carry, emin = run_cycle(carry, None)
+    if n_cycles == 2:
+        if interpret:
+            # keep both cycle paths covered by the CPU tests (running a
+            # cycle with every ray resolved is a no-op)
+            carry, _ = run_cycle(carry, emin)
+        else:
+            # the refill cycle pays a full (R, NG) schedule sweep; skip it
+            # at runtime when cycle 1 resolved everything (the common case
+            # — K covers ~99.5% of rays at 328k tris)
+            carry = jax.lax.cond(
+                jnp.any(~carry[3]),
+                lambda args: run_cycle(args[0], args[1])[0],
+                lambda args: args[0],
+                (carry, emin),
+            )
+    best_t, best_row, best_pk, resolved = carry
 
     # ---- decode the packed winners ----
     valid = best_row >= 0
