@@ -36,16 +36,26 @@ from low_precision_raytracer_tpu.ops.taa import temporal_anti_aliasing
 from low_precision_raytracer_tpu.render.renderer import _gi_shade_input, _trace_di
 
 
+_TIMED_ITERS = 8
+
+
 def _timed(name, stats, fn, *args):
+    """Chain _TIMED_ITERS identical calls and sync ONCE: a single host
+    transfer through the tunnel costs ~30 ms all by itself, so per-call
+    sync drowns every stage under a constant round-trip floor.  The N
+    dispatches queue asynchronously on device; dividing by N amortizes
+    the one round trip to ~4 ms of noise (same scheme as bench.py).
+    Stages are pure (explicit keys), so repeated identical calls are
+    well-defined."""
     from low_precision_raytracer_tpu.utils.timing import sync_one
 
-    t0 = time.perf_counter()
-    out = fn(*args)
-    # one host transfer — block_until_ready returns early on tunnels, and
-    # per-leaf transfers each cost a tunnel round trip (fn is one jit
-    # program, so one leaf's completion implies all)
+    out = fn(*args)  # warm (compile) outside the timed window
     sync_one(out)
-    stats[name] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(_TIMED_ITERS):
+        out = fn(*args)
+    sync_one(out)
+    stats[name] = (time.perf_counter() - t0) / _TIMED_ITERS
     return out
 
 
@@ -75,8 +85,7 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
         return g, d
 
     # warm up each stage once (compile), then measure
-    for _ in range(2):
-        g_flat, d = _timed("Primary Ray", stats, primary, frame)
+    g_flat, d = _timed("Primary Ray", stats, primary, frame)
     g2d = {k: v.reshape((H, W) + v.shape[1:]) for k, v in g_flat.items()}
 
     # temporal maps exactly as render_frame builds them: payload channels
@@ -111,10 +120,9 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
         )
 
     tmap_fn = jax.jit(tmaps)
-    for _ in range(2):
-        svgf_map, taa_map, svgf_taps, taa_taps = _timed(
-            "Generate Temporal Map", stats, tmap_fn, g2d, frame, state, k_taa
-        )
+    svgf_map, taa_map, svgf_taps, taa_taps = _timed(
+        "Generate Temporal Map", stats, tmap_fn, g2d, frame, state, k_taa
+    )
 
     shade_fn = jax.jit(
         lambda sin0, d, k: shade(
@@ -123,18 +131,15 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
         )
     )
     sin0 = gbuffer_to_shade_input(g_flat)
-    for _ in range(2):
-        out0 = _timed("Pixel Shade #1", stats, shade_fn, sin0, d, k0)
+    out0 = _timed("Pixel Shade #1", stats, shade_fn, sin0, d, k0)
 
     di_fn = jax.jit(
         lambda src, lights, skips: _trace_di(scene, frame, src, lights, skips, prec, cfg)
     )
-    for _ in range(2):
-        di0 = _timed("Trace DI Ray #1", stats, di_fn, out0.source, out0.lights, out0.skip_tri)
+    di0 = _timed("Trace DI Ray #1", stats, di_fn, out0.source, out0.lights, out0.skip_tri)
 
     acc_fn = jax.jit(lambda out, di: out.intensity + jnp.sum(di, axis=1) + out.di_sky)
-    for _ in range(2):
-        intensity0 = _timed("Accumulate DI #1", stats, acc_fn, out0, di0)
+    intensity0 = _timed("Accumulate DI #1", stats, acc_fn, out0, di0)
     intensity1 = jnp.zeros((R, 3), dt)
 
     if cfg.gi_on:
@@ -150,20 +155,16 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
             return _gi_shade_input(scene, frame, o, hit, prec)
 
         gi_fn = jax.jit(gi_trace)
-        for _ in range(2):
-            sin1 = _timed("Trace GI #1", stats, gi_fn, out0)
+        sin1 = _timed("Trace GI #1", stats, gi_fn, out0)
         shade1_fn = jax.jit(
             lambda sin1, vd, k: shade(
                 scene, frame, sin1, view_dir=vd, prec=prec, cfg=cfg,
                 first_round=False, no_gi=True, key=k,
             )
         )
-        for _ in range(2):
-            out1 = _timed("Shade #2", stats, shade1_fn, sin1, out0.view_dir_out, k1)
-        for _ in range(2):
-            di1 = _timed("Trace DI #2", stats, di_fn, out1.source, out1.lights, out1.skip_tri)
-        for _ in range(2):
-            intensity1 = _timed("Accumulate DI #2", stats, acc_fn, out1, di1)
+        out1 = _timed("Shade #2", stats, shade1_fn, sin1, out0.view_dir_out, k1)
+        di1 = _timed("Trace DI #2", stats, di_fn, out1.source, out1.lights, out1.skip_tri)
+        intensity1 = _timed("Accumulate DI #2", stats, acc_fn, out1, di1)
 
     # clean-colour split + the PRODUCTION denoiser: ONE vmapped pass over
     # both instances with the prefetched temporal taps (render_frame's
@@ -191,11 +192,10 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
             )
 
         svgf_fn = jax.jit(svgf_pair)
-        for _ in range(2):
-            mul2, _ = _timed(
-                "SVGF", stats, svgf_fn,
-                mul_c, mul_w, svgf_map, svgf_taps, g2d["normal"], g2d["depth"], state,
-            )
+        mul2, _ = _timed(
+            "SVGF", stats, svgf_fn,
+            mul_c, mul_w, svgf_map, svgf_taps, g2d["normal"], g2d["depth"], state,
+        )
         mul_c, mul_w = mul2[0], mul2[1]
 
     color = add_denoised_color(
@@ -207,8 +207,7 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
                 c, hist, tm, cfg.taa_mix_weight, hist_pre=taps
             )
         )
-        for _ in range(2):
-            color = _timed("TAA", stats, taa_fn, color, state.taa_history, taa_map, taa_taps)
+        color = _timed("TAA", stats, taa_fn, color, state.taa_history, taa_map, taa_taps)
 
     backup_fn = jax.jit(
         lambda c, g2d: (
@@ -220,8 +219,7 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
             ).astype(jnp.int32),
         )
     )
-    for _ in range(2):
-        _timed("Backup Temporal Data", stats, backup_fn, color, g2d)
+    _timed("Backup Temporal Data", stats, backup_fn, color, g2d)
 
     from low_precision_raytracer_tpu.utils.timing import STAGE_NAMES
 
