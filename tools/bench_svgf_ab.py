@@ -22,7 +22,9 @@ def main():
     W = int(sys.argv[1]) if len(sys.argv) > 1 else 1920
     H = int(sys.argv[2]) if len(sys.argv) > 2 else 1080
     frames = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    from low_precision_raytracer_tpu.config import RenderConfig, get_precision
+    from low_precision_raytracer_tpu.config import (
+        RenderConfig, SVGFConfig, get_precision,
+    )
     from low_precision_raytracer_tpu.models.procedural import cornell_box_scene
     from low_precision_raytracer_tpu.models.scene import (
         build_scene_arrays, flatten_frame,
@@ -37,7 +39,7 @@ def main():
 
     for impl in ("pallas", "pallas_wavelet", "xla"):
         cfg = RenderConfig(width=W, height=H, precision="bf16", gi_on=True,
-                           wavelet_impl=impl)
+                           svgf=SVGFConfig(wavelet_impl=impl))
         frame = flatten_frame(host, prec, max_direct_lights=cfg.max_direct_lights,
                               width=W, height=H)
         state = init_frame_state(cfg, len(frame.obj_layout))
