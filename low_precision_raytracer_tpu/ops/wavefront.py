@@ -57,18 +57,22 @@ from low_precision_raytracer_tpu.ops.dense_pallas import (
 )
 
 F32 = jnp.float32
-K_CAND = 16   # candidate chunks per ray (p99 coverage measured ~14)
-Q_RANKS = 1   # candidate ranks tested per round (1: the round sort groups
-# exactly what the round tests — Q=4 scattered ranks 1..3 across ~CH_CAP
-# distinct ids per tile, measured 1.3x slower at 46.5k)
-N_ROUNDS = 16  # rank depth bound; the round loop exits early when every
-# ray is resolved (p95 visit depth ~9), so deep bounds are nearly free
+# Defaults are the measured-best point of the 46.5k-tri bounce sweep
+# (tools/bench_wavefront_tune.py, v5e 2026-08-19: K=8 Q=4 r=2 -> 930 ms
+# vs 1076-1600 for the other points).  Q=1 with more rounds is NOT
+# better: each round pays full-R sorts + an XLA list build regardless of
+# how few rays stay live, so fewer/wider rounds win.
+K_CAND = 8    # candidate chunks per ray (mean pre-trace count 4.9; the
+# lax.cond refill cycle covers the deep tail)
+Q_RANKS = 4   # candidate ranks tested per round
+N_ROUNDS = 2  # = K/Q rank-depth bound; the round loop also exits early
+# when every ray is resolved
 CH_CAP = 48   # per-tile distinct-group list cap (SMEM: G * (CH+1) words)
-WTR = 2048    # rays per kernel tile.  The assigned kernel is FIXED-COST
-# bound (~1-2 distinct group ids per tile after the rank sort), so wide
-# tiles amortize the per-tile init/prefetch/loop overhead AND let one
-# chunk body serve 4x the lanes; unlike the tile path, the body count
-# does not grow with TR here.
+WTR = 512     # rays per kernel tile.  WIDER IS WORSE (measured 2048:
+# 1.6x slower overall): a chunk body's dot spans the whole tile width,
+# so 4x lanes per tile = 4x cost per body while the distinct-id count
+# per tile also grows ~4x — body work scales x4 for the same useful
+# lane-tests.
 GROUP_WIDTH = 2048   # max schedule sweep width -> s_group = ceil(NC / this)
 RESIDENT_BYTES = 48 * 1024 * 1024  # VMEM-resident table ceiling, else HBM
 CYCLE2_MIN_GROUPS = 512  # schedule a second candidate-refill cycle above this
