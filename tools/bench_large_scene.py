@@ -132,10 +132,13 @@ def main():
             img, aux, state = render_frame(scene, fr, state, cfg, sub)
         np.asarray(img[0, 0])
         n_rays = int(aux["n_rays"])
+        # dispatch-free timed loop: in-loop splits cost a tunnel round
+        # trip per frame (see bench.py)
+        subs = list(jax.random.split(key, 5))
+        np.asarray(jax.random.key_data(subs[-1]))
         t0 = time.perf_counter()
-        for _ in range(5):
-            key, sub = jax.random.split(key)
-            img, aux, state = render_frame(scene, fr, state, cfg, sub)
+        for i in range(5):
+            img, aux, state = render_frame(scene, fr, state, cfg, subs[i])
         np.asarray(img[0, 0])
         dt = (time.perf_counter() - t0) / 5
         print(f"[frame {impl}/{inc}] {dt*1e3:8.1f} ms/frame ({1/dt:.2f} fps), "
