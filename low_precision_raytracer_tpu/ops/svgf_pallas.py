@@ -46,9 +46,17 @@ from low_precision_raytracer_tpu.config import SVGFConfig
 from low_precision_raytracer_tpu.ops.svgf import GAUSS_G, WAVELET_H, _pow_int
 
 PAD = 32  # >= 2 * max stride (strides 1..16); multiple of RT
-RT = 32  # output rows per tile; halo DMA amplification (RT + 2*PAD) / RT = 3x
+RT = 32  # output rows per tile
 
 BIG = 1e30  # sentinel: exp(-BIG) == 0, BIG * finite_recip -> inf, exp(-inf) == 0
+
+
+def _halo(stride: int) -> int:
+    """Slab halo rows for one a-trous iteration: the 5x5 taps reach
+    2*stride rows, rounded up to the f32 sublane tiling (8) so the
+    HBM->VMEM DMA offset/length stay aligned.  Strides 1-4 need only an
+    8-row halo (slab 48 rows vs the fixed-PAD 96 — half the DMA)."""
+    return max(8, -(-2 * stride // 8) * 8)
 
 # geometry channels, packed once per chain: sanitised depth, grad pre-scaled
 # by sigma_z, sanitised normal, in-image indicator, per-instance sanitised
@@ -67,9 +75,9 @@ def _wavelet_kernel(
     geo_hbm,  # (N_GEO, hp, wp) f32, ANY
     cv_hbm,  # (N_CV, hp, wp) f32, ANY
     out_ref,  # (N_CV, RT, wp) f32, VMEM block at the tile's CENTER rows
-    geo_s,  # scratch (N_GEO, RT + 2*PAD, wp)
-    cv_s,  # scratch (N_CV, RT + 2*PAD, wp)
-    sems,
+    geo_s,  # scratch (2, N_GEO, RT + 2*halo, wp) — double-buffered slabs
+    cv_s,  # scratch (2, N_CV, RT + 2*halo, wp)
+    sems,  # (2, 2) DMA semaphores: [slot, geo|cv]
     *,
     stride: int,
     H: int,
@@ -81,42 +89,67 @@ def _wavelet_kernel(
 ):
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
+    halo = _halo(stride)
+    rows_in = RT + 2 * halo
+
+    def _copies(j, slot):
+        # body tile j's slab: rows [j*RT + PAD - halo, ... + rows_in) of the
+        # padded input — an 8-aligned offset/length window (halo % 8 == 0)
+        slab0 = j * RT + (PAD - halo)
+        return (
+            pltpu.make_async_copy(
+                geo_hbm.at[:, pl.ds(slab0, rows_in), :],
+                geo_s.at[slot], sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                cv_hbm.at[:, pl.ds(slab0, rows_in), :],
+                cv_s.at[slot], sems.at[slot, 1],
+            ),
+        )
+
     # tiles 0 and n-1 own the output buffer's top/bottom PAD rows (PAD == RT):
     # the masks' correctness relies on pad rows being ZERO, and the out
     # buffer is fresh (uninitialised) every iteration, so they must be written
-    is_pad_tile = (i == 0) | (i == n_tiles - 1)
+    @pl.when(i == 0)
+    def _first_pad_tile():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        for c in _copies(0, 0):  # prefetch body tile 0's slabs
+            c.start()
 
-    @pl.when(is_pad_tile)
-    def _zero_pads():
+    @pl.when(i == n_tiles - 1)
+    def _last_pad_tile():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    @pl.when(~is_pad_tile)
+    @pl.when((i >= 1) & (i <= n_tiles - 2))
     def _body():
+        j = i - 1
+        slot = jax.lax.rem(j, 2)
+
+        # start the NEXT body tile's slab DMA before waiting on ours: the
+        # copy-in overlaps this tile's tap loop (the single-buffer form
+        # serialized ~0.8 ms/iteration of HBM reads behind the compute)
+        @pl.when(i <= n_tiles - 3)
+        def _prefetch_next():
+            for c in _copies(j + 1, jax.lax.rem(j + 1, 2)):
+                c.start()
+
+        for c in _copies(j, slot):
+            c.wait()
         _wavelet_tile_body(
-            geo_hbm, cv_hbm, out_ref, geo_s, cv_s, sems,
-            j=i - 1, stride=stride, H=H, W=W,
+            out_ref, geo_s.at[slot], cv_s.at[slot],
+            j=j, stride=stride, halo=halo, H=H, W=W,
             cfg_sigma_n=cfg_sigma_n, cfg_sigma_l=cfg_sigma_l,
             cfg_eps=cfg_eps, cfg_eps_z=cfg_eps_z,
         )
 
 
 def _wavelet_tile_body(
-    geo_hbm, cv_hbm, out_ref, geo_s, cv_s, sems, *,
-    j, stride: int, H: int, W: int,
+    out_ref, geo_s, cv_s, *,
+    j, stride: int, halo: int, H: int, W: int,
     cfg_sigma_n: float, cfg_sigma_l: float, cfg_eps: float, cfg_eps_z: float,
 ):
-    slab0 = j * RT  # first slab row (abs); center row0 = slab0 + PAD
-
-    c1 = pltpu.make_async_copy(
-        geo_hbm.at[:, pl.ds(slab0, RT + 2 * PAD), :], geo_s, sems.at[0]
-    )
-    c2 = pltpu.make_async_copy(
-        cv_hbm.at[:, pl.ds(slab0, RT + 2 * PAD), :], cv_s, sems.at[1]
-    )
-    c1.start()
-    c2.start()
-    c1.wait()
-    c2.wait()
+    slab0 = j * RT  # first output row (image space); slab row r maps to
+    # image row slab0 - halo + r
 
     dt = jnp.float32
     sl = jnp.asarray(cfg_sigma_l, dt)
@@ -125,11 +158,13 @@ def _wavelet_tile_body(
 
     def rot(ch_slab, dj):
         # full-slab view at column offset dj (one lane rotate per call);
-        # row offsets slice the result cheaply per tap
+        # row offsets slice the result cheaply per tap.  Columns keep the
+        # full PAD (they are not DMA'd per tile); rows use the per-stride
+        # halo.
         return ch_slab[:, PAD + dj : PAD + dj + W]
 
     def rows(view, di):
-        return view[PAD + di : PAD + di + RT, :]
+        return view[halo + di : halo + di + RT, :]
 
     # sanitised tap copies: raw * mask is NaN-unsafe (0 * NaN), so select
     # once per slab; q-side invalid taps are killed by the mask channels
@@ -167,8 +202,10 @@ def _wavelet_tile_body(
             gnum[0] = gnum[0] + g * rows(vr[0], di)
             gnum[1] = gnum[1] + g * rows(vr[1], di)
             gden = gden + g * rows(on, di)
-    # per-instance luminance reciprocal, with the centre penalty folded in:
-    # arg_i = -(t1 + |dl|*recip2_i + pen_i); pen_i = BIG where p invalid
+    # per-instance luminance reciprocal; the centre penalty is NOT in the
+    # exp arg (that cost one add per tap per instance) — it zeroes den_c/
+    # den_v after the tap loop, routing dead centres through the same
+    # divide-by-zero -> non-finite -> fallback path
     recip2 = [1.0 / (sl * jnp.sqrt(gnum[i] / gden) + eps) for i in (0, 1)]
 
     num_r = [jnp.zeros((RT, W), dt) for _ in (0, 1)]
@@ -213,7 +250,7 @@ def _wavelet_tile_body(
 
             for i in (0, 1):
                 t2 = jnp.abs(il_p[i] - rows(il_r[i], di)) * recip2[i]
-                hw = hvn * jnp.exp(-(t1 + t2 + pen[i]))
+                hw = hvn * jnp.exp(-(t1 + t2))
                 hc = hw * rows(fc_r[i], di)
                 hv = hw * rows(fv_r[i], di)
                 num_r[i] = num_r[i] + hc * rows(c_r[i][0], di)
@@ -222,6 +259,14 @@ def _wavelet_tile_body(
                 den_c[i] = den_c[i] + hc
                 num_v[i] = num_v[i] + hv * hv * rows(c_r[i][3], di)
                 den_v[i] = den_v[i] + hv
+
+    # centre penalty (BIG where the centre's geometry/illum is invalid):
+    # force den to zero so num/den is non-finite and the value_or fallback
+    # fires — exactly the outcome the former in-arg penalty produced
+    for i in (0, 1):
+        dead = pen[i] > zero
+        den_c[i] = jnp.where(dead, zero, den_c[i])
+        den_v[i] = jnp.where(dead, zero, den_v[i])
 
     # ---- write-out: value_or fallback to the RAW centre
     # (`rt/rtrt/cuda.hpp:1432-1436`); masks updated so downstream iterations
@@ -359,7 +404,7 @@ def wavelet_iter_pallas(geo, cv, stride: int, cfg: SVGFConfig, H: int, W: int,
         f"strides or raise PAD (multiple of RT)"
     )
     tiles, hp, wp = _padded_dims(H, W)
-    rows_in = RT + 2 * PAD
+    rows_in = RT + 2 * _halo(stride)
     kernel = functools.partial(
         _wavelet_kernel,
         stride=stride,
@@ -387,9 +432,9 @@ def wavelet_iter_pallas(geo, cv, stride: int, cfg: SVGFConfig, H: int, W: int,
         ),
         out_shape=jax.ShapeDtypeStruct((N_CV, hp, wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((N_GEO, rows_in, wp), jnp.float32),
-            pltpu.VMEM((N_CV, rows_in, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, N_GEO, rows_in, wp), jnp.float32),
+            pltpu.VMEM((2, N_CV, rows_in, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
