@@ -38,14 +38,16 @@ def run(cfg_kw, scene_name, frames=8, warmup=2):
     state = init_frame_state(cfg, len(frame.obj_layout))
     from low_precision_raytracer_tpu.utils.rng import render_key
     key = render_key(0)
-    for _ in range(warmup):
-        key, sub = jax.random.split(key)
-        img, aux, state = render_frame(scene, frame, state, cfg, sub)
+    # dispatch-free timed loop (BASELINE.md "headline metrology bug"):
+    # pre-split every frame key on the host; in-loop dispatches bill
+    # real wall time on this tunnel
+    subs = list(jax.random.split(key, warmup + frames))
+    for i in range(warmup):
+        img, aux, state = render_frame(scene, frame, state, cfg, subs[i])
     np.asarray(img[0, 0])
     t0 = time.perf_counter()
-    for _ in range(frames):
-        key, sub = jax.random.split(key)
-        img, aux, state = render_frame(scene, frame, state, cfg, sub)
+    for i in range(frames):
+        img, aux, state = render_frame(scene, frame, state, cfg, subs[warmup + i])
     np.asarray(img[0, 0])
     return (time.perf_counter() - t0) / frames, cfg.traversal_impl
 
