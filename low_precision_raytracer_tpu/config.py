@@ -219,7 +219,9 @@ class RenderConfig:
     # 'none'   - no sort; keep pixel-order screen-block tiles and rely on
     #            the box-distance ordered early exit
     # (tools/bench_incoherent_ab.py measures all four on real scenes)
-    incoherent_sort: str = "beam"
+    # Default from the v5e A/B (2026-08-19, 46.5k-tri real hemisphere
+    # bounce): anchor 1406 ms < origin 1741 < beam 2867 ~ unsorted 3061.
+    incoherent_sort: str = "anchor"
     # incoherent-launch implementation:
     # 'tile'      - morton-sorted tile path (trace_rays_dense_pallas_sorted)
     # 'wavefront' - per-ray wavefront (ops/wavefront.py): exact per-ray
@@ -230,7 +232,13 @@ class RenderConfig:
     #               bf16/fp16 multi-chunk scenes up to the HBM-streamed
     #               table band (packet_bvh_max_tris, v2 group scheduling);
     #               other launches keep the tile path.
-    incoherent_impl: str = "tile"
+    # Default from the v5e A/B (2026-08-19): wavefront beats every tile
+    # sort key on the 46.5k incoherent bounce (930 ms tuned vs anchor
+    # 1406), and at 2M tris it is the only incoherent path that completes
+    # (the tile path's overflow sweep trips the TPU watchdog).  Launches
+    # outside the wavefront gate (fp32, non-mxu3, single-chunk scenes)
+    # fall through to the anchor-sorted tile path.
+    incoherent_impl: str = "wavefront"
     # dense Pallas kernel chunk epilogue:
     # 'reduce5' - exact winner tracking, 5 cross-sublane reductions/chunk
     # 'pack'    - (bf16/fp16 only) packed winner key: 3 reductions/chunk +
