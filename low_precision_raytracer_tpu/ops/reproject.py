@@ -295,6 +295,68 @@ def fetch_weighted(arr, base_y, base_x, wgt, residuals, mesh=None):
     return num if chan else num[..., 0]
 
 
+def fetch_weighted_packed(payload_cm, base_y, base_x, wgt, count, residuals,
+                          interpret: bool = False):
+    """Finished weighted fetch written directly in the SVGF temporal
+    kernel's padded channel-major ctr layout: -> (C + 1, hp, wp) f32 =
+    [gated fetches (sum_k w_k tap_k / sum w_k, 0 where count == 0) | count].
+
+    payload_cm: (C, H, W) history channels in the CONSUMER's channel order;
+    count: (H, W) i32 frame count (the gate).  Fast path = one Pallas pass
+    (svgf_pallas.coef_fetch_pallas — the XLA coefficient-plane form pays 16
+    HBM round trips of the (H, W, C) f32 accumulator); fallback = the flat
+    take path packed into the same layout.  Single-chip only (meshed
+    callers keep the halo fetch)."""
+    from low_precision_raytracer_tpu.ops.svgf_pallas import (
+        PAD,
+        _pad0,
+        _padded_dims,
+        coef_fetch_pallas,
+    )
+
+    C, H, W = payload_cm.shape
+    tiles, hp, wp = _padded_dims(H, W)
+    f32 = jnp.float32
+    my, mx, res_y, res_x, all_ok = residuals
+    count_f = count.astype(payload_cm.dtype)
+
+    def fast():
+        K = RES_K
+        P = jnp.pad(payload_cm, ((0, 0), (1, 1), (1, 1)))
+        Pr = jnp.roll(P, shift=(-my, -mx), axis=(1, 2))
+        E = jnp.pad(Pr, ((0, 0), (K, K), (K, K)), mode="wrap")
+        o = PAD - 1 - K
+        er = jnp.pad(
+            E,
+            ((0, 0), (o, hp - o - E.shape[1]), (o, wp - o - E.shape[2])),
+        )
+        pdt = payload_cm.dtype
+        rw = _pad0(
+            jnp.stack(
+                [res_y.astype(pdt), res_x.astype(pdt)]
+                + [wgt[..., k].astype(pdt) for k in range(4)]
+                + [count_f]
+            ),
+            H, W, hp, wp,
+        )
+        return coef_fetch_pallas(er, rw, H, W, interpret=interpret)
+
+    def slow():
+        a = jnp.moveaxis(payload_cm, 0, -1)  # (H, W, C)
+        taps = _gather2x2_take(a, base_y, base_x).astype(f32)
+        w32 = wgt.astype(f32)
+        num = jnp.sum(taps * w32[..., None], axis=2)
+        den = jnp.sum(w32, axis=-1)
+        out = num / jnp.where(den > 0, den, 1.0)[..., None]
+        out = jnp.where((count > 0)[..., None], out, 0.0)
+        chans = jnp.concatenate(
+            [jnp.moveaxis(out, -1, 0), count.astype(f32)[None]], axis=0
+        )
+        return _pad0(chans, H, W, hp, wp)
+
+    return jax.lax.cond(all_ok, fast, slow)
+
+
 def gather_taps(tmap, arr):
     """Raw 2x2 tap fetch for a map: (H, W, 4[, C]).  Pack several history
     channels into one (H, W, C) array and gather ONCE — gather index count,
@@ -366,7 +428,7 @@ def _footprint(fx, fy, H, W, dt):
 def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
                            svgf_payload=None, taa_payload=None,
                            n_meshes: int | None = None, position_f32=None,
-                           mesh=None):
+                           mesh=None, packed: bool = False):
     """`generate_temporal_map_step1/2` (`rt/rtrt/cuda.hpp:2265-2416`).
     -> (svgf_map, taa_map, svgf_taps, taa_taps).
 
@@ -377,6 +439,13 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
     validation weights are known lets the fast path contract over
     channel-free coefficient planes (fetch_weighted) instead of gathering
     raw 4-tap sets — consumers skip their weighted_taps reduce entirely.
+
+    `packed=True` (single-chip only): the SVGF payload arrives
+    CHANNEL-MAJOR (C, H, W) in the fused temporal kernel's ctr channel
+    order and its fetch returns in that kernel's padded ctr layout,
+    (C + 1, hp, wp) f32 with the frame-count plane appended — computed by
+    the fused Pallas coefficient-plane kernel on the fast path
+    (fetch_weighted_packed).  The TAA payload keeps the (H, W, C) form.
 
     With `n_meshes` <= 254 (static), the per-tap validation data — mesh id
     and SVGF frame count, both small integers that bf16 represents exactly —
@@ -451,10 +520,17 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
         ).astype(jnp.int32)
         return pk // 512 - 1, pk % 512
 
-    def fetch_payload(payload, by, bx, wgt, count, residuals):
-        """Finished weighted fetch: (H, W, C) f32, 0 where no history."""
+    def fetch_payload(payload, by, bx, wgt, count, residuals, pack=False):
+        """Finished weighted fetch: (H, W, C) f32, 0 where no history —
+        or the packed (C + 1, hp, wp) ctr layout when pack=True."""
         if payload is None:
             return None
+        if pack:
+            assert mesh is None, "packed fetch is single-chip only"
+            interp = jax.default_backend() == "cpu"
+            return fetch_weighted_packed(
+                payload, by, bx, wgt, count, residuals, interpret=interp
+            )
         num = fetch_weighted(payload, by, bx, wgt, residuals, mesh=mesh)
         den = jnp.sum(wgt.astype(jnp.float32), axis=-1)
         out = num / jnp.where(den > 0, den, 1.0)[..., None]
@@ -473,7 +549,9 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
     fc = jnp.max(jnp.where(tap_ok, tap_count, 0), axis=-1)
     new_count = jnp.where(any_ok & valid, jnp.minimum(fc + 1, 255), 0).astype(jnp.int32)
     svgf_map = dict(frame_count=new_count, weights=w_s, base_y=by, base_x=bx)
-    svgf_pre = fetch_payload(svgf_payload, by, bx, w_s, new_count, res_s)
+    svgf_pre = fetch_payload(
+        svgf_payload, by, bx, w_s, new_count, res_s, pack=packed
+    )
 
     # ---- TAA map (jittered bilinear, loose validation)
     # one bits draw, 16 bits per jitter axis (bf16 keeps ~8 of them anyway)

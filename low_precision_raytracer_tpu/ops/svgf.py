@@ -410,6 +410,7 @@ def svgf_denoise_pair(
     prefetch2=None,
     wavelet_impl: str | None = None,
     interpret: bool = False,
+    prefetch_ctr=None,  # (N_CTR, hp, wp) f32 packed fetches (pallas impl only)
 ):
     """Both denoiser instances (GI-colored + GI-white,
     `rt/gui/imgui_window.cu:231-239`) in one pass: the temporal stages run
@@ -428,6 +429,10 @@ def svgf_denoise_pair(
 
         impl = "pallas" if _jax.default_backend() == "tpu" else "xla"
     unroll = impl == "xla_halo"
+    assert prefetch_ctr is None or impl == "pallas", (
+        "prefetch_ctr is the pallas path's packed-layout input; resolve the "
+        "impl before choosing the packed fetch (render/renderer.py does)"
+    )
 
     if impl == "pallas":
         # fully fused path: temporal accumulation + wavelet chain in packed
@@ -442,6 +447,12 @@ def svgf_denoise_pair(
 
         interpret = interpret or _jax.default_backend() == "cpu"
 
+        if prefetch_ctr is not None:
+            return svgf_pallas_pair_full(
+                color2, svgf_map, depth, grad, normal, cfg,
+                color_taa_w, moments_taa_w, None, cfg.strides,
+                interpret=interpret, prefetch_ctr=prefetch_ctr,
+            )
         if prefetch2 is None:
             def fetch(state):
                 h = weighted_taps(

@@ -471,6 +471,152 @@ def _run_chain(geo, cv, strides, cfg, H, W, interpret):
 
 
 # ---------------------------------------------------------------------------
+# Fused coefficient-plane temporal fetch (reproject.fetch_weighted's fast
+# path as ONE Pallas pass): the 16 coefficient MACs run VMEM-resident per
+# row tile instead of 16 XLA passes that each round-trip the (H, W, C) f32
+# accumulator through HBM (~2.7 GB of intermediates at 1080p x 13 channels,
+# measured 3.3 ms -> this kernel + layout glue ~0.8 ms).  Writes the
+# temporal-accumulation kernel's padded channel-major ctr layout directly,
+# so the downstream pack pass disappears too.
+# ---------------------------------------------------------------------------
+
+_FK = 1  # residual radius (must equal reproject.RES_K)
+_FETCH_HALO = 8  # slab halo rows: taps reach [-1, 2], rounded to DMA tiling
+
+
+def _coef_fetch_kernel(
+    er_hbm,  # (C, hp, wp) payload dtype: rolled+wrap-padded history, image
+    # row y at er row PAD + y - 2 (see coef_fetch_pallas)
+    rw_hbm,  # (7, hp, wp) payload dtype: [res_y, res_x, w0..w3, count]
+    out_ref,  # (C + 1, RT, wp) f32 block at the tile's centre rows
+    er_s,  # scratch (C, RT + 2*_FETCH_HALO, wp)
+    rw_s,  # scratch (7, RT, wp)
+    sems,  # (2,) DMA semaphores
+    *,
+    C: int,
+    H: int,
+    W: int,
+):
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    @pl.when((i == 0) | (i == n_tiles - 1))
+    def _pad_tiles():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when((i >= 1) & (i <= n_tiles - 2))
+    def _body():
+        _coef_fetch_tile_body(
+            er_hbm, rw_hbm, out_ref, er_s, rw_s, sems, j=i - 1, C=C, H=H, W=W
+        )
+
+
+def _coef_fetch_tile_body(er_hbm, rw_hbm, out_ref, er_s, rw_s, sems, *,
+                          j, C, H, W):
+    dt = jnp.float32
+    zero = jnp.asarray(0.0, dt)
+    halo = _FETCH_HALO
+    cs = [
+        pltpu.make_async_copy(
+            er_hbm.at[:, pl.ds(j * RT + PAD - halo, RT + 2 * halo), :],
+            er_s, sems.at[0],
+        ),
+        pltpu.make_async_copy(
+            rw_hbm.at[:, pl.ds(j * RT + PAD, RT), :], rw_s, sems.at[1],
+        ),
+    ]
+    for c in cs:
+        c.start()
+    for c in cs:
+        c.wait()
+
+    rot = lambda ch, dj: ch[:, PAD + dj : PAD + dj + W]  # image-col view
+    res_y = rot(rw_s[0], 0).astype(dt)
+    res_x = rot(rw_s[1], 0).astype(dt)
+    wk = [rot(rw_s[2 + k], 0).astype(dt) for k in range(4)]
+    count = rot(rw_s[6], 0).astype(dt)
+
+    K = _FK
+    taps = ((0, 0), (0, 1), (1, 0), (1, 1))
+    num = [jnp.zeros((RT, W), dt) for _ in range(C)]
+    for vx in range(-K, K + 2):
+        er_rot = [rot(er_s[c], vx) for c in range(C)]  # one lane shift per c
+        for vy in range(-K, K + 2):
+            coeff = None
+            for k, (dy, dx) in enumerate(taps):
+                sy, sx = vy - dy, vx - dx
+                if -K <= sy <= K and -K <= sx <= K:
+                    term = jnp.where(
+                        (res_y == float(sy)) & (res_x == float(sx)), wk[k], zero
+                    )
+                    coeff = term if coeff is None else coeff + term
+            if coeff is None:
+                continue
+            for c in range(C):
+                v = er_rot[c][halo + vy : halo + vy + RT, :].astype(dt)
+                num[c] = num[c] + coeff * v
+
+    den = wk[0] + wk[1] + wk[2] + wk[3]
+    den_safe = jnp.where(den > 0, den, jnp.asarray(1.0, dt))
+    gate = count > 0
+
+    row_ok = (j * RT + jax.lax.broadcasted_iota(jnp.int32, (RT, 1), 0)) < H
+    Wp = out_ref.shape[2]
+    col_img = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1) - PAD
+    inb = row_ok & (col_img >= 0) & (col_img < W)
+
+    def wide(val):
+        full = jnp.concatenate(
+            [jnp.zeros((RT, PAD), dt), val, jnp.zeros((RT, Wp - W - PAD), dt)],
+            axis=1,
+        )
+        return jnp.where(inb, full, zero)
+
+    for c in range(C):
+        out_ref[c, :, :] = wide(jnp.where(gate, num[c] / den_safe, zero))
+    out_ref[C, :, :] = wide(count)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
+def coef_fetch_pallas(er, rw, H: int, W: int, interpret: bool = False):
+    """Fused weighted temporal fetch on the shifted-select fast path.
+
+    er: (C, hp, wp) rolled history in the padded channel-major layout —
+    the XLA-side E array (pad1 -> roll(-my,-mx) -> wrap-pad K) embedded so
+    E row r / col c sits at er[:, PAD - 1 - _FK + r, PAD - 1 - _FK + c]
+    (image pixel (y, x)'s centre view is then er[:, PAD + y, PAD + x]).
+    rw: (7, hp, wp) [res_y, res_x, w0..w3, count] planes, image origin at
+    (PAD, PAD).  -> (C + 1, hp, wp) f32: the gated finished fetches
+    (sum_k w_k tap_k / sum w_k, 0 where count == 0) + the count plane —
+    exactly the temporal-accumulation kernel's ctr layout when the
+    channels arrive in ctr order."""
+    C = er.shape[0]
+    tiles, hp, wp = _padded_dims(H, W)
+    kernel = functools.partial(_coef_fetch_kernel, C=C, H=H, W=W)
+    return pl.pallas_call(
+        kernel,
+        grid=(tiles + 2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (C + 1, RT, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((C + 1, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((C, RT + 2 * _FETCH_HALO, wp), er.dtype),
+            pltpu.VMEM((7, RT, wp), rw.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(er, rw)
+
+
+# ---------------------------------------------------------------------------
 # Fused temporal accumulation (both instances): 9x9 outlier clamp + history
 # lerp + illuminance + 5x5 bilateral/temporal moments + variance in ONE
 # kernel, writing the wavelet chain's packed cv layout directly
@@ -780,7 +926,8 @@ def temporal_accum_pallas_pair(col6, geo7, ctr11, cfg: SVGFConfig,
 
 def svgf_pallas_pair_full(color2, svgf_map, depth, grad, normal,
                           cfg: SVGFConfig, color_taa_w, moments_taa_w,
-                          prefetch2, strides, interpret: bool = False):
+                          prefetch2, strides, interpret: bool = False,
+                          prefetch_ctr=None):
     """The whole SVGF pair — fused temporal accumulation + the wavelet
     chain — on the packed channel-major layout (ONE pack, one unpack).
 
@@ -788,6 +935,10 @@ def svgf_pallas_pair_full(color2, svgf_map, depth, grad, normal,
     weighted history fetches) + svgf_map's frame_count — not through an
     SVGFState: finished weighted fetches, leaves stacked (2, ...):
     (hist (2, H, W, 3) f32, m1 (2, H, W) f32, m2 (2, H, W) f32).
+    `prefetch_ctr` instead supplies the fetches ALREADY in the ctr layout
+    ((N_CTR, hp, wp) f32 from reproject.fetch_weighted_packed — channel
+    order [h0 rgb, h1 rgb, m1_0, m1_1, m2_0, m2_1, frame_count]), skipping
+    the pack pass entirely.
     -> (out_color2 (2, H, W, 3) dt, new_state2 SVGFState with (2, ...)
     leaves)."""
     from low_precision_raytracer_tpu.ops.svgf import SVGFState
@@ -803,18 +954,21 @@ def svgf_pallas_pair_full(color2, svgf_map, depth, grad, normal,
                    c32[1, ..., 0], c32[1, ..., 1], c32[1, ..., 2]]),
         H, W, hp, wp,
     )
-    hist2, m1_2, m2_2 = prefetch2
-    h32 = hist2.astype(f32)
-    ctr11 = _pad0(
-        jnp.stack([
-            h32[0, ..., 0], h32[0, ..., 1], h32[0, ..., 2],
-            h32[1, ..., 0], h32[1, ..., 1], h32[1, ..., 2],
-            m1_2[0].astype(f32), m1_2[1].astype(f32),
-            m2_2[0].astype(f32), m2_2[1].astype(f32),
-            svgf_map["frame_count"].astype(f32),
-        ]),
-        H, W, hp, wp,
-    )
+    if prefetch_ctr is not None:
+        ctr11 = prefetch_ctr
+    else:
+        hist2, m1_2, m2_2 = prefetch2
+        h32 = hist2.astype(f32)
+        ctr11 = _pad0(
+            jnp.stack([
+                h32[0, ..., 0], h32[0, ..., 1], h32[0, ..., 2],
+                h32[1, ..., 0], h32[1, ..., 1], h32[1, ..., 2],
+                m1_2[0].astype(f32), m1_2[1].astype(f32),
+                m2_2[0].astype(f32), m2_2[1].astype(f32),
+                svgf_map["frame_count"].astype(f32),
+            ]),
+            H, W, hp, wp,
+        )
     cv, extra, mst = temporal_accum_pallas_pair(
         col6, geo7, ctr11, cfg, H=H, W=W,
         color_w=float(color_taa_w), moments_w=float(moments_taa_w),

@@ -208,8 +208,30 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
     g2d = {k: v.reshape((H, W) + v.shape[1:]) for k, v in g_flat.items()}
 
     # ---- "Generate Temporal Map" (+ all temporal history fetched in the
-    # same two gathers — one per tap set)
-    if cfg.demo.svgf:
+    # same two gathers — one per tap set).  On the single-chip fused-SVGF
+    # (Pallas) path the fetch goes packed: channel-major payload in the
+    # fused temporal kernel's ctr order, fetched by the Pallas
+    # coefficient-plane kernel straight into that kernel's padded layout
+    # (skips ~16 HBM round trips of the (H, W, C) f32 accumulator AND the
+    # downstream pack pass).
+    svgf_impl = cfg.svgf.wavelet_impl
+    if svgf_impl == "auto":
+        svgf_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    packed_fetch = cfg.demo.svgf and cfg.mesh is None and svgf_impl == "pallas"
+    if not cfg.demo.svgf:
+        svgf_payload = None
+    elif packed_fetch:
+        sc, sw = state.svgf_colored, state.svgf_white
+        svgf_payload = jnp.stack(
+            [
+                sc.color_history[..., 0], sc.color_history[..., 1],
+                sc.color_history[..., 2],
+                sw.color_history[..., 0], sw.color_history[..., 1],
+                sw.color_history[..., 2],
+                sc.miu1, sw.miu1, sc.miu2, sw.miu2,
+            ]
+        )  # (10, H, W) in ctr channel order
+    else:
         svgf_payload = jnp.concatenate(
             [
                 state.svgf_colored.color_history,
@@ -221,8 +243,6 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
             ],
             axis=-1,
         )  # (H, W, 10)
-    else:
-        svgf_payload = None
     taa_payload = state.taa_history if cfg.taa_on else None
     # f32 hit positions for reprojection: o32 + t * d32 over an f32 camera
     # grid (hit.t is always f32).  In bf16 mode the render-dtype G-buffer
@@ -240,6 +260,7 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
         svgf_payload=svgf_payload, taa_payload=taa_payload,
         n_meshes=scene.n_meshes, position_f32=pos32,
         mesh=cfg.mesh,  # multi-chip: halo-exchange fetch, no all-gathers
+        packed=packed_fetch,
     )
 
     # ---- "Pixel Shade #1"
@@ -317,8 +338,6 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
         normal2d = g2d["normal"]
         depth2d = g2d["depth"]
         grad = preprocess_normal_depth(normal2d, depth2d)
-        pre_c = (svgf_taps[..., 0:3], svgf_taps[..., 3], svgf_taps[..., 4])
-        pre_w = (svgf_taps[..., 5:8], svgf_taps[..., 8], svgf_taps[..., 9])
         # batch the two independent denoiser instances (GI-colored and
         # GI-white, `rt/gui/imgui_window.cu:231-239`) through ONE vmapped
         # pass: every stencil/filter runs once on (2, H, W) instead of
@@ -327,16 +346,24 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
         st2 = jax.tree_util.tree_map(
             lambda a, b: jnp.stack([a, b]), state.svgf_colored, state.svgf_white
         )
-        pre2 = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), pre_c, pre_w)
+        if packed_fetch:
+            pre2, pre_ctr = None, svgf_taps  # already in the ctr layout
+        else:
+            pre_c = (svgf_taps[..., 0:3], svgf_taps[..., 3], svgf_taps[..., 4])
+            pre_w = (svgf_taps[..., 5:8], svgf_taps[..., 8], svgf_taps[..., 9])
+            pre2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b]), pre_c, pre_w
+            )
+            pre_ctr = None
         mul2, new_st2 = svgf_denoise_pair(
             mul2, st2, svgf_map, normal2d, depth2d, grad, cfg.svgf,
             cfg.svgf.color_mix_weight, cfg.svgf.moments_mix_weight,
-            prefetch2=pre2,
+            prefetch2=pre2, prefetch_ctr=pre_ctr,
             # under a device mesh the unrolled-tap XLA wavelet partitions
             # via GSPMD halo ppermutes; the Pallas chain is not
             # shard_map-wrapped and would force a full re-replication of
             # the pixel arrays, and the looped-tap XLA form all-gathers
-            wavelet_impl="xla_halo" if cfg.mesh is not None else None,
+            wavelet_impl="xla_halo" if cfg.mesh is not None else svgf_impl,
         )
         mul_c, mul_w = mul2[0], mul2[1]
         new_colored = jax.tree_util.tree_map(lambda x: x[0], new_st2)

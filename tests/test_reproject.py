@@ -179,3 +179,59 @@ def test_fetch_weighted_matches_raw_paths():
     np.testing.assert_allclose(
         np.asarray(out_fb), np.asarray(ref), rtol=1e-6, atol=1e-6
     )
+
+
+def test_fetch_weighted_packed_matches_unpacked():
+    """fetch_weighted_packed (the Pallas coefficient-plane ctr-layout fetch
+    of the single-chip fused-SVGF path) must produce exactly the finished
+    gated fetch of the unpacked path, in the padded channel-major layout,
+    on BOTH the fast (Pallas kernel) and slow (flat take) branches."""
+    from low_precision_raytracer_tpu.ops.reproject import (
+        _residuals,
+        fetch_weighted,
+        fetch_weighted_packed,
+    )
+    from low_precision_raytracer_tpu.ops.svgf_pallas import PAD, _padded_dims
+
+    arr, by, bx, care = _mk(H=40, W=52, C=10)
+    H, W, C = arr.shape
+    wgt_raw = jax.random.uniform(jax.random.PRNGKey(9), (H, W, 4), jnp.float32)
+    wgt = jnp.where(care[..., None], wgt_raw, 0.0)
+    tot = jnp.sum(wgt, axis=-1)
+    wgt = jnp.where(care[..., None], wgt / jnp.where(tot > 0, tot, 1)[..., None], 0)
+    count = jnp.where(care, 7, 0).astype(jnp.int32)
+
+    res = _residuals(by, bx, care)
+    my, mx, res_y, res_x, _ = res
+    in_win = (jnp.abs(res_y) <= RES_K) & (jnp.abs(res_x) <= RES_K)
+
+    def reference(residuals):
+        num = fetch_weighted(arr, by, bx, wgt, residuals)
+        den = jnp.sum(wgt, axis=-1)
+        out = num / jnp.where(den > 0, den, 1.0)[..., None]
+        return jnp.where((count > 0)[..., None], out, 0.0)
+
+    payload_cm = jnp.moveaxis(arr, -1, 0)
+    tiles, hp, wp = _padded_dims(H, W)
+
+    for forced in (True, False):
+        res_f = (my, mx, res_y, res_x, jnp.asarray(forced))
+        ref = reference(res_f)
+        out = fetch_weighted_packed(
+            payload_cm, by, bx, wgt, count, res_f, interpret=True
+        )
+        assert out.shape == (C + 1, hp, wp)
+        img = np.asarray(out[:C, PAD : PAD + H, PAD : PAD + W])
+        cnt = np.asarray(out[C, PAD : PAD + H, PAD : PAD + W])
+        # on the fast branch, border-clipped anchors can leave the residual
+        # window; the dispatch only takes it when all_ok, so compare there
+        m = np.asarray(care & in_win)[None] if forced else 1.0
+        np.testing.assert_allclose(
+            img * m, np.moveaxis(np.asarray(ref), -1, 0) * m,
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_array_equal(cnt, np.asarray(count, np.float32))
+        # padding region stays zero
+        pad_mask = np.ones((hp, wp), bool)
+        pad_mask[PAD : PAD + H, PAD : PAD + W] = False
+        assert np.abs(np.asarray(out)[:, pad_mask]).max() == 0.0
