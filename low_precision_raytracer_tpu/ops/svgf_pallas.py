@@ -50,6 +50,11 @@ RT = 32  # output rows per tile
 
 BIG = 1e30  # sentinel: exp(-BIG) == 0, BIG * finite_recip -> inf, exp(-inf) == 0
 
+# strides whose wavelet iteration uses the slab-REUSE fill (VMEM shift of
+# the 2*halo overlap rows + RT-row HBM tail) instead of whole-slab DMA;
+# set from the per-stride v5e A/B (tools/bench_wavelet_micro.py --ab)
+WAVELET_REUSE_STRIDES: frozenset = frozenset()
+
 
 def _halo(stride: int) -> int:
     """Slab halo rows for one a-trous iteration: the 5x5 taps reach
@@ -86,15 +91,18 @@ def _wavelet_kernel(
     cfg_sigma_l: float,
     cfg_eps: float,
     cfg_eps_z: float,  # sigma_z * eps (grad pre-scaling folds sigma_z in)
+    reuse: bool,  # slab reuse: overlap rows via VMEM shift instead of HBM
 ):
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     halo = _halo(stride)
     rows_in = RT + 2 * halo
+    keep = rows_in - RT  # overlap rows shared by consecutive tiles' slabs
 
-    def _copies(j, slot):
-        # body tile j's slab: rows [j*RT + PAD - halo, ... + rows_in) of the
-        # padded input — an 8-aligned offset/length window (halo % 8 == 0)
+    def _full_copies(j, slot):
+        # body tile j's whole slab: rows [j*RT + PAD - halo, ... + rows_in)
+        # of the padded input — an 8-aligned offset/length window
+        # (halo % 8 == 0).  Only tile 0 pays this; later tiles reuse.
         slab0 = j * RT + (PAD - halo)
         return (
             pltpu.make_async_copy(
@@ -107,13 +115,43 @@ def _wavelet_kernel(
             ),
         )
 
+    def _tail_copies(j, slot):
+        # slab reuse, HBM part: consecutive slabs overlap by `keep` rows, so
+        # only the RT NEW bottom rows come from HBM (2-3x read deflation at
+        # strides 8/16, where keep = 2*halo is 1-2x RT)
+        tail0 = j * RT + (PAD - halo) + keep
+        return (
+            pltpu.make_async_copy(
+                geo_hbm.at[:, pl.ds(tail0, RT), :],
+                geo_s.at[slot, :, pl.ds(keep, RT), :], sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                cv_hbm.at[:, pl.ds(tail0, RT), :],
+                cv_s.at[slot, :, pl.ds(keep, RT), :], sems.at[slot, 1],
+            ),
+        )
+
+    def _shift_copies(src_slot, dst_slot):
+        # slab reuse, VMEM part: tile j's top `keep` rows are tile j-1's
+        # bottom `keep` rows — a local VMEM->VMEM copy, no HBM traffic
+        return (
+            pltpu.make_async_copy(
+                geo_s.at[src_slot, :, pl.ds(RT, keep), :],
+                geo_s.at[dst_slot, :, pl.ds(0, keep), :], sems.at[dst_slot, 2],
+            ),
+            pltpu.make_async_copy(
+                cv_s.at[src_slot, :, pl.ds(RT, keep), :],
+                cv_s.at[dst_slot, :, pl.ds(0, keep), :], sems.at[dst_slot, 3],
+            ),
+        )
+
     # tiles 0 and n-1 own the output buffer's top/bottom PAD rows (PAD == RT):
     # the masks' correctness relies on pad rows being ZERO, and the out
     # buffer is fresh (uninitialised) every iteration, so they must be written
     @pl.when(i == 0)
     def _first_pad_tile():
         out_ref[...] = jnp.zeros_like(out_ref)
-        for c in _copies(0, 0):  # prefetch body tile 0's slabs
+        for c in _full_copies(0, 0):  # prefetch body tile 0's slabs
             c.start()
 
     @pl.when(i == n_tiles - 1)
@@ -124,17 +162,47 @@ def _wavelet_kernel(
     def _body():
         j = i - 1
         slot = jax.lax.rem(j, 2)
+        nxt = 1 - slot
 
-        # start the NEXT body tile's slab DMA before waiting on ours: the
-        # copy-in overlaps this tile's tap loop (the single-buffer form
-        # serialized ~0.8 ms/iteration of HBM reads behind the compute)
-        @pl.when(i <= n_tiles - 3)
-        def _prefetch_next():
-            for c in _copies(j + 1, jax.lax.rem(j + 1, 2)):
-                c.start()
+        if reuse:
+            # start the NEXT body tile's HBM tail before waiting on our
+            # slab (it touches only the other scratch slot, whose reader —
+            # tile j-1's compute — finished last grid step)
+            @pl.when(i <= n_tiles - 3)
+            def _prefetch_next_tail():
+                for c in _tail_copies(j + 1, nxt):
+                    c.start()
 
-        for c in _copies(j, slot):
-            c.wait()
+            @pl.when(j == 0)
+            def _wait_full():
+                for c in _full_copies(0, 0):
+                    c.wait()
+
+            @pl.when(j > 0)
+            def _wait_reused():
+                for c in _tail_copies(j, slot):
+                    c.wait()
+                for c in _shift_copies(nxt, slot):
+                    c.wait()
+
+            # our slab is now complete -> its bottom rows are safe to
+            # reuse as the next tile's top rows; the copy overlaps this
+            # tile's tap loop
+            @pl.when(i <= n_tiles - 3)
+            def _prefetch_next_shift():
+                for c in _shift_copies(slot, nxt):
+                    c.start()
+        else:
+            # plain double-buffered slabs: start the NEXT tile's full-slab
+            # DMA before waiting on ours (maximal overlap, more HBM reads)
+            @pl.when(i <= n_tiles - 3)
+            def _prefetch_next():
+                for c in _full_copies(j + 1, nxt):
+                    c.start()
+
+            for c in _full_copies(j, slot):
+                c.wait()
+
         _wavelet_tile_body(
             out_ref, geo_s.at[slot], cv_s.at[slot],
             j=j, stride=stride, halo=halo, H=H, W=W,
@@ -393,16 +461,26 @@ def unpack_cv_pair(cv, H, W):
     return color, var
 
 
-@functools.partial(jax.jit, static_argnames=("stride", "cfg", "H", "W", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("stride", "cfg", "H", "W", "interpret", "reuse")
+)
 def wavelet_iter_pallas(geo, cv, stride: int, cfg: SVGFConfig, H: int, W: int,
-                        interpret: bool = False):
+                        interpret: bool = False, reuse: bool | None = None):
     """One fused a-trous iteration over the instance pair.
-    geo: (N_GEO, hp, wp); cv: (N_CV, hp, wp) -> next cv, same layout."""
+    geo: (N_GEO, hp, wp); cv: (N_CV, hp, wp) -> next cv, same layout.
+
+    `reuse` switches the slab-fill scheme (None -> measured default):
+    consecutive tiles' slabs overlap by 2*halo rows; the reuse scheme
+    fetches only the RT new rows from HBM and VMEM-shifts the overlap from
+    the previous slot, the plain scheme DMAs whole slabs with an
+    earlier-starting prefetch."""
     assert 2 * stride <= PAD, (
         f"wavelet_iter_pallas supports strides <= {PAD // 2} (halo pad "
         f"PAD={PAD}); got {stride} — use wavelet_impl='xla' for wider "
         f"strides or raise PAD (multiple of RT)"
     )
+    if reuse is None:
+        reuse = stride in WAVELET_REUSE_STRIDES
     tiles, hp, wp = _padded_dims(H, W)
     rows_in = RT + 2 * _halo(stride)
     kernel = functools.partial(
@@ -414,6 +492,7 @@ def wavelet_iter_pallas(geo, cv, stride: int, cfg: SVGFConfig, H: int, W: int,
         cfg_sigma_l=cfg.sigma_l,
         cfg_eps=cfg.eps,
         cfg_eps_z=cfg.sigma_z * cfg.eps,
+        reuse=reuse,
     )
     return pl.pallas_call(
         kernel,
@@ -434,7 +513,7 @@ def wavelet_iter_pallas(geo, cv, stride: int, cfg: SVGFConfig, H: int, W: int,
         scratch_shapes=[
             pltpu.VMEM((2, N_GEO, rows_in, wp), jnp.float32),
             pltpu.VMEM((2, N_CV, rows_in, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

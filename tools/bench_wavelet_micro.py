@@ -54,8 +54,11 @@ def main():
         return (time.perf_counter() - t0) / iters
 
     for s in (1, 2, 4, 8, 16):
-        dt = timed(lambda cv=cv, s=s: sp.wavelet_iter_pallas(geo, cv, s, cfg, H=H, W=W))
-        print(f"[wavelet] stride {s:2d}: {dt * 1e3:7.3f} ms")
+        for reuse in (False, True):
+            dt = timed(lambda cv=cv, s=s, r=reuse: sp.wavelet_iter_pallas(
+                geo, cv, s, cfg, H=H, W=W, reuse=r))
+            tag = "reuse" if reuse else "plain"
+            print(f"[wavelet] stride {s:2d} {tag}: {dt * 1e3:7.3f} ms")
 
     @jax.jit
     def chain(geo, cv):
@@ -63,7 +66,7 @@ def main():
         return out
 
     dt = timed(chain, geo, cv)
-    print(f"[wavelet] full 5-stride chain: {dt * 1e3:7.3f} ms")
+    print(f"[wavelet] full 5-stride chain (default scheme): {dt * 1e3:7.3f} ms")
 
     # fused temporal kernel
     tiles, hp, wp = sp._padded_dims(H, W)
