@@ -428,9 +428,18 @@ def _footprint(fx, fy, H, W, dt):
 def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
                            svgf_payload=None, taa_payload=None,
                            n_meshes: int | None = None, position_f32=None,
-                           mesh=None, packed: bool = False):
+                           mesh=None, packed: bool = False,
+                           want_taa: bool = True):
     """`generate_temporal_map_step1/2` (`rt/rtrt/cuda.hpp:2265-2416`).
     -> (svgf_map, taa_map, svgf_taps, taa_taps).
+
+    `want_taa=False` skips the TAA half entirely (jitter RNG draw, second
+    footprint, its validation gather and payload fetch) and returns
+    (svgf_map, None, svgf_taps, None).  Used when the TAA blend is the
+    exact identity (mix weight 1, the reference's default — see
+    render/renderer.py) so its map would be dead code XLA cannot prove
+    dead (it can't rule out non-finite history, so `hist * 0` doesn't
+    fold).
 
     svgf_payload/taa_payload: optional (H, W, C) history channels; their
     FINISHED weighted fetches are returned as (H, W, C) f32 (or None):
@@ -552,6 +561,9 @@ def generate_temporal_maps(g, frame, state, width: int, height: int, dtype, key,
     svgf_pre = fetch_payload(
         svgf_payload, by, bx, w_s, new_count, res_s, pack=packed
     )
+
+    if not want_taa:
+        return svgf_map, None, svgf_pre, None
 
     # ---- TAA map (jittered bilinear, loose validation)
     # one bits draw, 16 bits per jitter axis (bf16 keeps ~8 of them anyway)

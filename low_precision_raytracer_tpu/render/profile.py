@@ -105,7 +105,10 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
             )
         else:
             svgf_payload = None
-        taa_payload = state.taa_history if cfg.taa_on else None
+        # mirror render_frame: TAA at mix weight 1 is the exact identity
+        # (reference default) and its map half is statically elided
+        taa_active = cfg.taa_on and float(cfg.taa_mix_weight) != 1.0
+        taa_payload = state.taa_history if taa_active else None
         if cfg.prec.is_f32:
             pos32 = None
         else:
@@ -117,6 +120,7 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
             g2d, frame, state, W, H, dt, k,
             svgf_payload=svgf_payload, taa_payload=taa_payload,
             n_meshes=scene.n_meshes, position_f32=pos32,
+            want_taa=taa_active,
         )
 
     tmap_fn = jax.jit(tmaps)
@@ -201,7 +205,7 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
     color = add_denoised_color(
         clean, mul_c, mul_w, out0.albedo.reshape(H, W, 3), cfg.demo
     )
-    if cfg.taa_on:
+    if cfg.taa_on and taa_map is not None:
         taa_fn = jax.jit(
             lambda c, hist, tm, taps: temporal_anti_aliasing(
                 c, hist, tm, cfg.taa_mix_weight, hist_pre=taps

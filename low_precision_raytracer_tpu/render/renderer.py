@@ -243,7 +243,18 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
             ],
             axis=-1,
         )  # (H, W, 10)
-    taa_payload = state.taa_history if cfg.taa_on else None
+    # TAA at mix weight exactly 1 is the identity: the reference's own
+    # default (`taa_mix_weight = 1`, `rt/gui/imgui_window.cu:99`) makes its
+    # TAA kernel compute `hist * 0 + color * 1` — and `value_or` launders
+    # non-finite history first (`rt/rtrt/cuda.hpp:2436-2438`), so the result
+    # is bitwise `color`.  XLA cannot prove that (it can't rule out
+    # non-finite history, so `hist * 0` never folds); the weight is static
+    # config, so the whole TAA half — jitter RNG, second footprint, its
+    # validation gather, history fetch, blend — is elided HERE instead.
+    # Any weight < 1 takes the full path (tested bitwise-equal at w=1 in
+    # tests/test_reproject.py).
+    taa_active = cfg.taa_on and float(cfg.taa_mix_weight) != 1.0
+    taa_payload = state.taa_history if taa_active else None
     # f32 hit positions for reprojection: o32 + t * d32 over an f32 camera
     # grid (hit.t is always f32).  In bf16 mode the render-dtype G-buffer
     # position wobbles the reprojected footprint by pixels, rejecting
@@ -261,6 +272,7 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
         n_meshes=scene.n_meshes, position_f32=pos32,
         mesh=cfg.mesh,  # multi-chip: halo-exchange fetch, no all-gathers
         packed=packed_fetch,
+        want_taa=taa_active,
     )
 
     # ---- "Pixel Shade #1"
@@ -372,8 +384,8 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
         clean, mul_c, mul_w, out0.albedo.reshape(H, W, 3), cfg.demo
     )
 
-    # ---- "TAA"
-    if cfg.taa_on:
+    # ---- "TAA" (identity at mix weight 1 — statically elided, see above)
+    if taa_active:
         color = temporal_anti_aliasing(
             color, state.taa_history, taa_map, cfg.taa_mix_weight,
             hist_pre=taa_taps,

@@ -235,3 +235,48 @@ def test_fetch_weighted_packed_matches_unpacked():
         pad_mask = np.ones((hp, wp), bool)
         pad_mask[PAD : PAD + H, PAD : PAD + W] = False
         assert np.abs(np.asarray(out)[:, pad_mask]).max() == 0.0
+
+
+def test_taa_identity_at_weight_one():
+    """TAA at mix weight 1 is bitwise the identity — the property that lets
+    render_frame statically elide the whole TAA map half at the reference's
+    default weight (`taa_mix_weight = 1`, `rt/gui/imgui_window.cu:99`).
+    Must hold even for non-finite history (value_or launders it FIRST,
+    `rt/rtrt/cuda.hpp:2436-2438`; without that, inf * 0 would leak NaN)."""
+    import jax
+    from low_precision_raytracer_tpu.ops.taa import temporal_anti_aliasing
+
+    H, W = 6, 8
+    key = jax.random.PRNGKey(3)
+    color = jax.random.uniform(key, (H, W, 3), jnp.float32)
+    hist = jax.random.uniform(jax.random.PRNGKey(4), (H, W, 3), jnp.float32)
+    hist = hist.at[0, 0, 0].set(jnp.nan).at[1, 2, 1].set(jnp.inf)
+    count = jnp.ones((H, W), jnp.int32).at[2, 2].set(0)
+    tmap = dict(frame_count=count)
+    for dt in (jnp.float32, jnp.bfloat16):
+        c = color.astype(dt)
+        out = temporal_anti_aliasing(
+            c, hist.astype(dt), tmap, 1.0, hist_pre=hist.astype(jnp.float32)
+        )
+        np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                      np.asarray(c, np.float32))
+
+
+def test_render_taa_weight_one_elision_is_exact():
+    """A full frame with taa_on=True at weight 1.0 (map half elided) must be
+    bitwise identical to taa_on=False — TAA contributes nothing at the
+    reference default, elided or not."""
+    from low_precision_raytracer_tpu.config import RenderConfig
+    from low_precision_raytracer_tpu.models.procedural import cornell_box_scene
+    from low_precision_raytracer_tpu.render.renderer import Renderer
+
+    imgs = {}
+    for taa_on in (True, False):
+        cfg = RenderConfig(width=32, height=32, precision="fp32", gi_on=True,
+                           taa_on=taa_on, taa_mix_weight=1.0)
+        r = Renderer(cornell_box_scene(), cfg)
+        img = None
+        for _ in range(2):
+            img, _ = r.render()
+        imgs[taa_on] = np.asarray(img)
+    np.testing.assert_array_equal(imgs[True], imgs[False])
