@@ -165,6 +165,10 @@ class RenderConfig:
     demo: DemoSettings = DemoSettings()
     taa_mix_weight: float = 1.0
     taa_on: bool = True
+    # Test hook: run the full TAA path (jittered map build + history blend)
+    # even at taa_mix_weight=1, where the renderer normally elides the stage
+    # as a bitwise identity.  Lets tests compare elided vs full output.
+    taa_force_full: bool = False
 
     # 'both'  : compute dtype + fp32 triangle tests for every lane and select
     #           by the ambiguity band (exact reference semantics; on a vector
@@ -245,8 +249,10 @@ class RenderConfig:
     #             a 2-channel table take outside the kernel; t stays exact,
     #             u/v quantize to 1/16384, sub-truncation-window t ties may
     #             resolve differently (see _finish_chunk_packed)
-    # 'auto'    - 'reduce5' until the TPU A/B (tools/bench_epilogue_ab.py)
-    #             lands; flip after measurement
+    # 'auto'    - 'reduce5', set by the v5e A/B (2026-08-19,
+    #             tools/bench_epilogue_ab.py): reduce5 12.18/14.57 ms vs
+    #             pack 12.61/13.69 on Cornell, and pack LOSES at 46.5k
+    #             tris (110 vs 78 ms primary, agreement 0.938)
     dense_epilogue: str = "auto"
     # dense-kernel per-tile chunk-list selection (the schedule phase):
     # 'sort' - full-width stable argsort of the entry-bound key,
@@ -254,8 +260,10 @@ class RenderConfig:
     # 'topk' - exact nearest-(take+1) via lax.top_k, O(NC log take) — the
     #          schedule lever at 1M+ tris where NC reaches the thousands
     #          (same results up to equal-bound tiebreaks)
-    # 'auto' - 'sort' until the TPU A/B (tools/bench_schedule_ab.py) sets
-    #          the crossover; flip after measurement
+    # 'auto' - 'topk', set by the v5e A/B (2026-08-19,
+    #          tools/bench_schedule_ab.py): topk >= sort at every size
+    #          (46.5k primary 79.9 -> 65.1 ms; 2M 6550 -> 5372 ms) with
+    #          tri agreement 1.00000
     dense_schedule_select: str = "auto"
     # device mesh for multi-chip rendering (parallel/tiling.py sets this):
     # when present, the Pallas trace kernels run under shard_map with rays

@@ -107,7 +107,9 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
             svgf_payload = None
         # mirror render_frame: TAA at mix weight 1 is the exact identity
         # (reference default) and its map half is statically elided
-        taa_active = cfg.taa_on and float(cfg.taa_mix_weight) != 1.0
+        taa_active = cfg.taa_on and (
+            cfg.taa_force_full or float(cfg.taa_mix_weight) != 1.0
+        )
         taa_payload = state.taa_history if taa_active else None
         if cfg.prec.is_f32:
             pos32 = None

@@ -253,7 +253,9 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
     # validation gather, history fetch, blend — is elided HERE instead.
     # Any weight < 1 takes the full path (tested bitwise-equal at w=1 in
     # tests/test_reproject.py).
-    taa_active = cfg.taa_on and float(cfg.taa_mix_weight) != 1.0
+    taa_active = cfg.taa_on and (
+        cfg.taa_force_full or float(cfg.taa_mix_weight) != 1.0
+    )
     taa_payload = state.taa_history if taa_active else None
     # f32 hit positions for reprojection: o32 + t * d32 over an f32 camera
     # grid (hit.t is always f32).  In bf16 mode the render-dtype G-buffer

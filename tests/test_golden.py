@@ -10,6 +10,7 @@ import numpy as np
 
 from low_precision_raytracer_tpu.config import DemoSettings, RenderConfig
 from low_precision_raytracer_tpu.models.procedural import (
+    animated_cornell_scene,
     cornell_box_scene,
     single_mesh_scene,
     sponza_like_scene,
@@ -29,6 +30,13 @@ CONFIGS = {
         cornell_box_scene,
         RenderConfig(width=48, height=48, precision="fp32", gi_on=True),
     ),
+    # config 4: animated TRS scene with temporal reprojection + SVGF at
+    # 1 spp — rendered over 4 animation steps so the golden bakes in the
+    # reprojection/history behaviour, not just a cold first frame
+    "config4_animated_svgf": (
+        animated_cornell_scene,
+        RenderConfig(width=48, height=48, precision="fp32", gi_on=True),
+    ),
     "config5_sponza_sky": (
         lambda: sponza_like_scene(pillar_grid=2, sphere_subdiv=1),
         RenderConfig(width=48, height=48, precision="fp32", gi_on=True,
@@ -40,6 +48,11 @@ CONFIGS = {
 def _render(name):
     builder, cfg = CONFIGS[name]
     r = Renderer(builder(), cfg)
+    if name == "config4_animated_svgf":
+        img = None
+        for i in range(4):  # animation steps exercise reprojection + SVGF history
+            img, _ = r.render(time=i * 0.25)
+        return np.asarray(img, np.float32)
     img, _ = r.render()
     return np.asarray(img, np.float32)
 
@@ -63,6 +76,10 @@ def test_golden_config1():
 
 def test_golden_config2():
     _check("config2_cornell_gi")
+
+
+def test_golden_config4():
+    _check("config4_animated_svgf")
 
 
 def test_golden_config5():

@@ -263,20 +263,24 @@ def test_taa_identity_at_weight_one():
 
 
 def test_render_taa_weight_one_elision_is_exact():
-    """A full frame with taa_on=True at weight 1.0 (map half elided) must be
-    bitwise identical to taa_on=False — TAA contributes nothing at the
-    reference default, elided or not."""
+    """The elided TAA path (default at weight 1.0) must be bitwise identical
+    to the FULL path forced through map build + jittered gather + history
+    blend at the same weight — i.e. the elision really is exact, not just
+    two spellings of the same skip.  `taa_force_full=True` runs the real
+    temporal_anti_aliasing stage (`rt/rtrt/cuda.hpp:2418-2439` semantics) at
+    w=1, where value_or launders history before `hist * 0`."""
     from low_precision_raytracer_tpu.config import RenderConfig
     from low_precision_raytracer_tpu.models.procedural import cornell_box_scene
     from low_precision_raytracer_tpu.render.renderer import Renderer
 
     imgs = {}
-    for taa_on in (True, False):
+    for force_full in (True, False):
         cfg = RenderConfig(width=32, height=32, precision="fp32", gi_on=True,
-                           taa_on=taa_on, taa_mix_weight=1.0)
+                           taa_on=True, taa_mix_weight=1.0,
+                           taa_force_full=force_full)
         r = Renderer(cornell_box_scene(), cfg)
         img = None
         for _ in range(2):
             img, _ = r.render()
-        imgs[taa_on] = np.asarray(img)
+        imgs[force_full] = np.asarray(img)
     np.testing.assert_array_equal(imgs[True], imgs[False])
