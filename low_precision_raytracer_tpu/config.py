@@ -243,6 +243,13 @@ class RenderConfig:
     # outside the wavefront gate (fp32, non-mxu3, single-chunk scenes)
     # fall through to the anchor-sorted tile path.
     incoherent_impl: str = "wavefront"
+    # fused in-kernel DI shadow phase (ops/dense_pallas.run_di_phase):
+    # single-chunk closest-hit launches compute per-light shadow visibility
+    # from their own winner hit inside the same kernel, dropping the
+    # separate trace_di launch (frame launch count 1 + rounds + 1 ->
+    # 1 + rounds).  'auto' = on wherever ops.trace.di_fusible says the
+    # kernel supports it; 'off' forces the separate launch (A/B + fallback).
+    di_fuse: str = "auto"
     # dense Pallas kernel chunk epilogue:
     # 'reduce5' - exact winner tracking, 5 cross-sublane reductions/chunk
     # 'pack'    - (bf16/fp16 only) packed winner key: 3 reductions/chunk +
@@ -278,6 +285,7 @@ class RenderConfig:
         assert self.traversal_impl in ("auto", "jax", "dense", "dense_pallas", "pallas")
         assert self.incoherent_sort in ("anchor", "beam", "origin", "none")
         assert self.incoherent_impl in ("tile", "wavefront")
+        assert self.di_fuse in ("auto", "off")
         assert self.dense_epilogue in ("auto", "reduce5", "pack")
         assert self.dense_schedule_select in ("auto", "sort", "topk")
         assert self.max_bounces >= 1, "max_bounces counts the primary shade round"

@@ -196,6 +196,8 @@ def _kernel(
     guarded: bool = True,  # single-chunk: emit the dead-tile skip?
     ablate: str = "",
     pack: bool = False,  # packed epilogue (see _finish_chunk_packed)
+    di_lights: int = 0,  # fused DI phase: lights to shadow-test per winner
+    d_mov: float = 0.0,  # self-intersection moveforward for the DI phase
 ):
     """MXU-staged chunk body: the 14 linear-in-ray quantities of the
     triangle test come from lhs-transposed `dot_general`s per chunk
@@ -244,7 +246,16 @@ def _kernel(
     if not single:
         active_ref, *refs = refs  # (G + G*maxc,) i32: [counts | packed ids]
     r32 = 8 if is_f32 else 16  # A32 rows/chunk (bf16: 8 hi + 8 lo halves)
-    if stream and mxu3:
+    if di_lights:
+        # fused DI phase (single-chunk only): broadcast light-param rows in,
+        # per-lane visibility bitmask out (pallas ref order: inputs, outputs)
+        assert single and not stream and not pack and not find_any
+        if mxu3:
+            (a32_ref, rays_ref, lights_ref, outf_ref, ids_ref, vis_ref) = refs
+        else:
+            (a32_ref, aab_ref, rays_ref, lights_ref, outf_ref, ids_ref,
+             vis_ref) = refs
+    elif stream and mxu3:
         (a32_hbm, rays_ref, outf_ref, ids_ref, scr32, sem32) = refs
     elif stream:
         (a32_hbm, aab_hbm, rays_ref, outf_ref, ids_ref,
@@ -285,7 +296,8 @@ def _kernel(
         )
     ids_ref[:, :] = jnp.full((2, tr), -1, jnp.int32)
 
-    def run_chunk(c):
+    def load_slabs(c):
+        """-> (a32, aab | None) for chunk c (VMEM slice or HBM-streamed)."""
         if stream:
             cp32 = pltpu.make_async_copy(
                 a32_hbm.at[pl.ds(c * r32, r32), :], scr32, sem32
@@ -298,15 +310,18 @@ def _kernel(
                 cpab.start()
                 cp32.wait()
                 cpab.wait()
-                aab = scrab[:, :]
-            else:
-                cp32.wait()
-            a32 = scr32[:, :]
-        else:
-            a32 = a32_ref[pl.ds(c * r32, r32), :]
-            if not mxu3:
-                aab = aab_ref[pl.ds(c * 16, 16), :]
+                return scr32[:, :], scrab[:, :]
+            cp32.wait()
+            return scr32[:, :], None
+        a32 = a32_ref[pl.ds(c * r32, r32), :]
+        aab = None if mxu3 else aab_ref[pl.ds(c * 16, 16), :]
+        return a32, aab
 
+    def chunk_quants(a32, aab, B32v, Babv):
+        """All chunk math up to (but excluding) the distance/skip epilogue:
+        -> (t, tri, obj, u_sel, v_sel, accept_geom), each (tc, TR).
+        Parameterized on the ray operand so the fused DI phase can re-run
+        the same test block on in-kernel-built shadow rays."""
         # precision must be explicit: the framework's global
         # jax_default_matmul_precision='highest' would stamp fp32
         # contract precision onto the bf16 dots, which Mosaic rejects
@@ -315,7 +330,7 @@ def _kernel(
         dflt = jax.lax.Precision.DEFAULT
         if is_f32:
             m32 = jax.lax.dot_general(
-                a32, B32, DN, preferred_element_type=F32,
+                a32, B32v, DN, preferred_element_type=F32,
                 precision=_M32_PRECISION,
             )
         else:
@@ -326,8 +341,8 @@ def _kernel(
             # MXU's 128-deep array, so it costs one pass where three
             # separate K=8 dots cost three): measured 2.1 ms/launch
             # at 1080p (11.0 -> 8.9 ms).
-            bh = B32.astype(jnp.bfloat16)
-            bl = (B32 - bh.astype(F32)).astype(jnp.bfloat16)
+            bh = B32v.astype(jnp.bfloat16)
+            bl = (B32v - bh.astype(F32)).astype(jnp.bfloat16)
             ah = a32[0:8, :]
             al = a32[8:16, :]
             d3 = lambda x, y: jax.lax.dot_general(
@@ -341,7 +356,7 @@ def _kernel(
                 m32 = d3(a_cat, b_cat)
         if not mxu3:
             mab = jax.lax.dot_general(
-                aab, Bab, DN, preferred_element_type=F32,
+                aab, Babv, DN, preferred_element_type=F32,
                 precision=(jax.lax.Precision.HIGHEST if is_f32 else dflt),
             )
             bab = lambda k: mab[k * tc : (k + 1) * tc]
@@ -373,20 +388,7 @@ def _kernel(
         if mxu3:
             u_sel, v_sel = u, v
             accept_geom = (u > 0) & (v > 0) & (u + v < 1)
-            if find_any and "anyfull" not in ablate:
-                return _finish_chunk_any(
-                    accept_geom, t, tri, mind, maxd, skip,
-                    outf_ref, ids_ref, tr,
-                )
-            if pack:
-                return _finish_chunk_packed(
-                    accept_geom, u_sel, v_sel, t, tri, c, tc,
-                    mind, maxd, skip, outf_ref, ids_ref, tr,
-                )
-            return _finish_chunk(
-                accept_geom, u_sel, v_sel, t, tri, obj,
-                mind, maxd, skip, outf_ref, ids_ref, tr, ablate,
-            )
+            return t, tri, obj, u_sel, v_sel, accept_geom
 
         # the 0.2*(d1+d2) factor on the S terms is folded into the S
         # rows at table build (host side); only the |.|-of-computed
@@ -417,7 +419,14 @@ def _kernel(
         else:
             u_sel, v_sel = u, v
             accept_geom = dtype_accept
+        return t, tri, obj, u_sel, v_sel, accept_geom
 
+    def run_chunk(c):
+        a32, aab = load_slabs(c)
+        # Bab is hoisted outside the chunk walk (computed once per tile)
+        t, tri, obj, u_sel, v_sel, accept_geom = chunk_quants(
+            a32, aab, B32, None if mxu3 else Bab
+        )
         if find_any and "anyfull" not in ablate:
             return _finish_chunk_any(
                 accept_geom, t, tri, mind, maxd, skip,
@@ -433,19 +442,85 @@ def _kernel(
             mind, maxd, skip, outf_ref, ids_ref, tr, ablate,
         )
 
+    def run_di_phase():
+        """Fused DI shadow phase (single-chunk launches): from each lane's
+        closest-hit winner, build its <=L shadow rays IN-KERNEL (f32 hit
+        position o + t*d, light params as broadcast rows) and re-run the
+        chunk test block per light in any-hit mode.  Output: per-lane
+        visibility bitmask (bit l = light l unoccluded).  Replaces the
+        separate `trace_di_light` launch (`rt/rtrt/cuda.hpp:2058-2081`) —
+        the BRDF multiplier stays outside (ops/shade.py), exactly like the
+        reference's  `di_intensity = visible ? multiplier : 0` split.
+        Deviation (documented in trace_rays_dense_pallas): shadow direction
+        and range are computed in f32 from the kernel's own winner, where
+        the unfused path uses the dtype-rounded interpolated hit position —
+        boolean visibility differs only within the dtype epsilon of an
+        occluder silhouette, and moves TOWARD the fp32 oracle."""
+        a32, aab = load_slabs(0)
+        t_w = outf_ref[0:1, :]
+        got = ids_ref[0:1, :] >= 0
+        skipw = ids_ref[0:1, :].astype(F32)  # winner tri as exact f32 int
+        px = B32[0:1, :] + t_w * B32[4:5, :]
+        py = B32[1:2, :] + t_w * B32[5:6, :]
+        pz = B32[2:3, :] + t_w * B32[6:7, :]
+        one = jnp.ones((1, tr), F32)
+        zero = jnp.zeros((1, tr), F32)
+        vis = jnp.zeros((1, tr), jnp.int32)
+        for l in range(di_lights):
+            r0 = 4 * l
+            isdir = lights_ref[r0 : r0 + 1, :] > 0
+            ax = lights_ref[r0 + 1 : r0 + 2, :]
+            ay = lights_ref[r0 + 2 : r0 + 3, :]
+            az = lights_ref[r0 + 3 : r0 + 4, :]
+            dx = ax - px
+            dy = ay - py
+            dz = az - pz
+            dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            inv = 1.0 / jnp.maximum(dist, jnp.float32(1e-20))
+            sdx = jnp.where(isdir, ax, dx * inv)
+            sdy = jnp.where(isdir, ay, dy * inv)
+            sdz = jnp.where(isdir, az, dz * inv)
+            maxd_l = jnp.where(isdir, jnp.float32(1000.0), dist)
+            B32s = jnp.concatenate(
+                [px, py, pz, one, sdx, sdy, sdz, zero], axis=0
+            )
+            Babs = None
+            if not mxu3:
+                Babs = jnp.concatenate([B32s, jnp.abs(B32s)], axis=0)
+                if not is_f32:
+                    Babs = Babs.astype(jnp.bfloat16)
+            t2, tri2, _obj2, _u2, _v2, acc2 = chunk_quants(a32, aab, B32s, Babs)
+            blocked = jnp.any(
+                acc2
+                & (t2 > jnp.float32(d_mov))
+                & (t2 < maxd_l)
+                & (tri2 != skipw)
+                & jnp.isfinite(t2),
+                axis=0,
+                keepdims=True,
+            )
+            vis = vis | jnp.where(got & ~blocked, jnp.int32(1 << l), 0)
+        vis_ref[:, :] = vis
+
     if single:
         # one chunk: c = 0 is STATIC (static slab loads, no prefetch list,
         # no decode, no loop).  The ONE cross-lane reduction guards the
         # whole body: fused DI+GI launches arrive lane-major with invalid
         # command slots (maxd = 0) clustered into whole tiles, and an
         # all-dead tile skips its chunk entirely (~0.3us vs ~4us body).
+        if di_lights:
+            vis_ref[:, :] = jnp.zeros((1, tr), jnp.int32)
         if not guarded or "guard" in ablate:  # all-live launch: straight line
             run_chunk(0)
+            if di_lights:
+                run_di_phase()
             return
 
         @pl.when(jnp.any(maxd > mind))
         def _():
             run_chunk(0)
+            if di_lights:
+                run_di_phase()
         return
 
     i = pl.program_id(0)
@@ -856,6 +931,11 @@ def trace_rays_dense_pallas(
     ablate: str = "",  # perf-probe switches, see _kernel (not for production)
     epilogue: str = "reduce5",  # 'pack' = packed winner key epilogue
     select: str = "topk",  # chunk-list selection: 'topk' | 'sort' (topk measured faster or tied at every size, parity 1.0)
+    di_lights=None,  # dict(light_type (L,), light_pos (L,3), light_dir (L,3)):
+    # fuse the per-light shadow phase into this launch (single-chunk scenes
+    # only — the per-tile chunk schedule is built for THIS launch's rays, so
+    # multi-chunk shadow rays need their own launch).  Returns (Hit, vis)
+    # where vis (R,) i32 holds bit l = light l visible from the winner hit.
 ) -> Hit:
     assert frame.dense_n is not None, "dense coefficients missing"
     # 'mxu3' (bf16/fp16 only): the manual bf16x3 MXU dot — already required
@@ -944,6 +1024,11 @@ def trace_rays_dense_pallas(
     grid = Rp // tr
 
     single = n_chunks == 1
+    fuse_di = 0
+    if di_lights is not None:
+        Ld = int(di_lights["light_type"].shape[0])
+        fuse_di = Ld if (single and not find_any and not pack and Ld > 0) else 0
+        assert fuse_di, "di_lights requires a single-chunk closest-hit launch"
     if single:
         # no chunk scheduling at all: the kernel runs chunk 0 statically
         active = None
@@ -1031,6 +1116,8 @@ def trace_rays_dense_pallas(
         guarded=not all_live,
         ablate=ablate,
         pack=pack,
+        di_lights=fuse_di,
+        d_mov=float(prec.ray_moveforward_t),
     )
 
     # index maps take (grid index[, scalar-prefetch ref])
@@ -1081,27 +1168,58 @@ def trace_rays_dense_pallas(
         axis=0,
     )  # (11, Rp)
     in_specs = table_specs + [ray_block(11)]
+    extra_args = []
+    if fuse_di:
+        # per-light broadcast parameter rows, 4 per light: [is_directional,
+        # ax, ay, az] where a = -normalize(dir) (directional) or the
+        # RECENTERED position (point/spot) — same recentering as the rays
+        from low_precision_raytracer_tpu.models.hierarchy import (
+            LIGHT_DIRECTIONAL,
+        )
+
+        lt = di_lights["light_type"]
+        lp = di_lights["light_pos"].astype(F32) - c[None, :]
+        ld = di_lights["light_dir"].astype(F32)
+        nrm2 = jnp.sum(ld * ld, axis=1, keepdims=True)
+        ldn = ld / jnp.sqrt(jnp.maximum(nrm2, 1e-20))
+        isdir = lt == LIGHT_DIRECTIONAL
+        avec = jnp.where(isdir[:, None], -ldn, lp)
+        rows = jnp.concatenate([isdir.astype(F32)[:, None], avec], axis=1)
+        flat = rows.reshape(-1)  # (4L,)
+        flat = jnp.pad(flat, (0, (-(4 * fuse_di)) % 8))
+        light_rows = jnp.broadcast_to(flat[:, None], (flat.shape[0], tr))
+        in_specs = in_specs + [const(light_rows.shape)]
+        extra_args = [light_rows]
     nf = 1 if pack else 3
+    out_specs = [ray_block(nf), ray_block(2)]
+    out_shape = [
+        jax.ShapeDtypeStruct((nf, Rp), F32),
+        jax.ShapeDtypeStruct((2, Rp), jnp.int32),
+    ]
+    if fuse_di:
+        out_specs.append(ray_block(1))
+        out_shape.append(jax.ShapeDtypeStruct((1, Rp), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0 if single else 1,
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=[ray_block(nf), ray_block(2)],
+        out_specs=out_specs,
         scratch_shapes=scratch_shapes,
     )
-    args = ([] if single else [active]) + [*table_args, rays]
-    outf, ids = pl.pallas_call(
+    args = ([] if single else [active]) + [*table_args, rays] + extra_args
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nf, Rp), F32),
-            jax.ShapeDtypeStruct((2, Rp), jnp.int32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)
+    if fuse_di:
+        outf, ids, vis = outs
+    else:
+        outf, ids = outs
     def cut(x):
         x = x[:R]
         return from_blocks(x, H_t, W_t) if use_blocks else x
@@ -1121,8 +1239,11 @@ def trace_rays_dense_pallas(
         v_o = jnp.where(valid, (pk & 0x7FFF).astype(F32) * inv_q - 0.5, 0.0)
         return Hit(t=cut(outf[0]), u=u_o, v=v_o, tri=tri_o, obj=obj_o)
 
-    return Hit(t=cut(outf[0]), u=cut(outf[1]), v=cut(outf[2]),
-               tri=cut(ids[0]), obj=cut(ids[1]))
+    hit = Hit(t=cut(outf[0]), u=cut(outf[1]), v=cut(outf[2]),
+              tri=cut(ids[0]), obj=cut(ids[1]))
+    if fuse_di:
+        return hit, cut(vis[0])
+    return hit
 
 
 def _spread3(x):  # 7 bits -> every 3rd bit

@@ -158,7 +158,8 @@ def _interpolate_gather(scene, frame, hit: Hit, dtype):
     )
 
 
-def fill_gbuffer(scene, frame, origins, directions, prec: Precision, *, cfg: RenderConfig):
+def fill_gbuffer(scene, frame, origins, directions, prec: Precision, *, cfg: RenderConfig,
+                 di_lights=None):
     """Trace primary rays and produce the G-buffer pixel arrays.
 
     origins/directions: (R, 3) dtype.  Returns dict with `valid` mask plus
@@ -166,16 +167,26 @@ def fill_gbuffer(scene, frame, origins, directions, prec: Precision, *, cfg: Ren
     zero-fill, `rt/rtrt/cuda.hpp:1003-1011`) and `depth` (clip-space w aka
     ray t; the reference packs clip depth into normal_depth.w — we store the
     world-space hit distance which feeds SVGF's depth gradients).
+
+    `di_lights` (gate with ops.trace.di_fusible): the launch also computes
+    round-0 shadow visibility in-kernel; the bitmask lands in g["di_vis"].
     """
-    hit = trace(
-        scene,
-        frame,
-        origins,
-        directions,
-        prec=prec,
-        cfg=cfg,
-        find_any=False,
-    )
+    if di_lights is not None:
+        hit, vis = trace(
+            scene, frame, origins, directions, prec=prec, cfg=cfg,
+            find_any=False, di_lights=di_lights,
+        )
+    else:
+        vis = None
+        hit = trace(
+            scene,
+            frame,
+            origins,
+            directions,
+            prec=prec,
+            cfg=cfg,
+            find_any=False,
+        )
     attrs = interpolate_hit_attributes(scene, frame, hit, prec.dtype)
     valid = hit.tri >= 0
     vz = valid[..., None]
@@ -194,4 +205,6 @@ def fill_gbuffer(scene, frame, origins, directions, prec: Precision, *, cfg: Ren
         depth=jnp.where(valid, hit.t, 0.0).astype(prec.dtype),
         t=hit.t,
     )
+    if vis is not None:
+        g["di_vis"] = vis
     return g, hit

@@ -90,6 +90,28 @@ def incoherent_reorders(scene, frame, cfg: RenderConfig, prec: Precision) -> boo
     return False  # 'dense' / 'jax' never reorder
 
 
+def di_fusible(scene, frame, cfg: RenderConfig, prec: Precision) -> bool:
+    """Can closest-hit launches on this scene carry the fused in-kernel DI
+    shadow phase (ops/dense_pallas run_di_phase)?  True only for
+    single-chunk dense_pallas scenes with at least one light: the per-tile
+    chunk schedule is built from the LAUNCH's rays, so in-kernel shadow
+    rays (which head toward the lights instead) are only covered when the
+    whole scene is one statically-loaded chunk."""
+    from low_precision_raytracer_tpu.ops.dense_pallas import TC
+
+    if cfg.di_fuse == "off":
+        return False
+    impl = cfg.traversal_impl
+    if impl == "auto":
+        impl = resolve_impl(scene, frame, cfg)
+    if impl != "dense_pallas":
+        return False
+    if cfg.dense_epilogue == "pack":
+        return False  # the DI phase needs the full (unpacked) winner epilogue
+    ti = _instance_tris(frame)
+    return 0 < ti <= TC and frame.n_lights > 0
+
+
 def resolve_fallback(fb: str, prec: Precision, impl: str) -> str:
     """Per-backend triangle-fallback resolution: 'mxu3' exists only in the
     Pallas kernels (dense + packet) and only for sub-fp32 dtypes (see
@@ -118,6 +140,7 @@ def trace(
     max_dist=1e5,
     coherent: bool = True,
     lane_k: int = 1,
+    di_lights=None,  # gate with di_fusible(); returns (Hit, vis) when set
 ) -> Hit:
     """`coherent=False` marks launches whose rays are NOT in screen order
     (GI bounces, secondary shadow rays).  On multi-chunk scenes the dense
@@ -158,27 +181,31 @@ def trace(
 
         assert R % (n_dev * lane_k) == 0
 
-        def local_trace(scene, frame, o, d, s, mn, mx):
+        def local_trace(scene, frame, o, d, s, mn, mx, dl):
             return trace(
                 scene, frame, o, d, prec=prec, cfg=cfg_local,
                 find_any=find_any, skip_tri=s, min_dist=mn, max_dist=mx,
-                coherent=coherent, lane_k=lane_k,
+                coherent=coherent, lane_k=lane_k, di_lights=dl,
             )
 
         rep = lambda tree: jax.tree.map(lambda _: P(), tree)
         ray = P(axis)
+        hit_spec = Hit(t=ray, u=ray, v=ray, tri=ray, obj=ray)
         return jax.shard_map(
             local_trace,
             mesh=mesh,
-            in_specs=(rep(scene), rep(frame), ray, ray, ray, ray, ray),
-            out_specs=Hit(t=ray, u=ray, v=ray, tri=ray, obj=ray),
+            in_specs=(rep(scene), rep(frame), ray, ray, ray, ray, ray,
+                      rep(di_lights)),
+            out_specs=(hit_spec, ray) if di_lights is not None else hit_spec,
             check_vma=False,
-        )(scene, frame, origins, directions, skip_tri, min_dist, max_dist)
+        )(scene, frame, origins, directions, skip_tri, min_dist, max_dist,
+          di_lights)
 
     if lane_k > 1:
         import jax
         import jax.numpy as jnp
 
+        assert di_lights is None, "di fusion is for lane_k=1 launches"
         K = lane_k
         Rk = origins.shape[0]
         R0 = Rk // K
@@ -199,6 +226,9 @@ def trace(
     impl = cfg.traversal_impl
     if impl == "auto":  # resolve_cfg not applied — fall back inside trace
         impl = resolve_impl(scene, frame, cfg)
+    # di_lights is only honored by the single-chunk dense_pallas launch
+    # (see di_fusible); reaching any other backend with it is a caller bug
+    assert di_lights is None or impl == "dense_pallas"
     if impl == "dense_pallas":
         import jax
 
@@ -257,6 +287,19 @@ def trace(
             and ti > 4 * TC
             and cfg.incoherent_sort != "none"
         ):
+            # Measured hard limit (v5e, 2026-08-19, BASELINE.md): at 2M
+            # instance-tris the tile path's overflow sweep can run for
+            # minutes inside one kernel and trip the TPU watchdog, killing
+            # the worker.  The wavefront path completes there (6.3 s) —
+            # refuse the user-reachable crash instead of launching it.
+            if ti > (1 << 20) and jax.default_backend() == "tpu":
+                raise ValueError(
+                    f"incoherent tile path refused at {ti} instance-"
+                    "triangles (> 2^20): its overflow sweep trips the TPU "
+                    "watchdog at this scale (BASELINE.md round-3 "
+                    "measurements). Use incoherent_impl='wavefront' (the "
+                    "default) for incoherent launches on scenes this size."
+                )
             return trace_rays_dense_pallas_sorted(
                 scene,
                 frame,
@@ -290,6 +333,7 @@ def trace(
             stream=stream,
             epilogue=ep,
             select=sel,
+            di_lights=di_lights,
         )
     if impl == "dense":
         return trace_rays_dense(

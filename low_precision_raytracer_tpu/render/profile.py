@@ -33,7 +33,14 @@ from low_precision_raytracer_tpu.ops.svgf import (
     svgf_denoise_pair,
 )
 from low_precision_raytracer_tpu.ops.taa import temporal_anti_aliasing
-from low_precision_raytracer_tpu.render.renderer import _gi_shade_input, _trace_di
+from low_precision_raytracer_tpu.ops.trace import di_fusible
+from low_precision_raytracer_tpu.render.renderer import (
+    _di_from_vis,
+    _di_light_spec,
+    _gi_shade_input,
+    _trace_di,
+    _trace_gi_fused_di,
+)
 
 
 _TIMED_ITERS = 8
@@ -76,12 +83,17 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
     k_taa, k0, k1 = jax.random.split(key, 3)
     stats: dict[str, float] = {}
 
+    # mirror the production schedule: on single-chunk scenes the primary
+    # and GI launches carry the DI shadow phase in-kernel (fused), so the
+    # "Trace DI" stages measure only the visibility decode
+    di_spec = _di_light_spec(frame, cfg) if di_fusible(scene, frame, cfg, prec) else None
+
     @jax.jit
     def primary(frame):
         o, d = primary_ray_grid(frame.cam_l2w, frame.cam_fov_y, W, H, dt)
         o = o.reshape(R, 3)
         d = d.reshape(R, 3)
-        g, _ = fill_gbuffer(scene, frame, o, d, prec, cfg=cfg)
+        g, _ = fill_gbuffer(scene, frame, o, d, prec, cfg=cfg, di_lights=di_spec)
         return g, d
 
     # warm up each stage once (compile), then measure
@@ -139,10 +151,16 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
     sin0 = gbuffer_to_shade_input(g_flat)
     out0 = _timed("Pixel Shade #1", stats, shade_fn, sin0, d, k0)
 
-    di_fn = jax.jit(
-        lambda src, lights, skips: _trace_di(scene, frame, src, lights, skips, prec, cfg)
-    )
-    di0 = _timed("Trace DI Ray #1", stats, di_fn, out0.source, out0.lights, out0.skip_tri)
+    if di_spec is not None:
+        dec_fn = jax.jit(lambda vis, lights: _di_from_vis(vis, lights, dt))
+        di0 = _timed(
+            "Trace DI Ray #1", stats, dec_fn, g_flat["di_vis"], out0.lights
+        )
+    else:
+        di_fn = jax.jit(
+            lambda src, lights, skips: _trace_di(scene, frame, src, lights, skips, prec, cfg)
+        )
+        di0 = _timed("Trace DI Ray #1", stats, di_fn, out0.source, out0.lights, out0.skip_tri)
 
     acc_fn = jax.jit(lambda out, di: out.intensity + jnp.sum(di, axis=1) + out.di_sky)
     intensity0 = _timed("Accumulate DI #1", stats, acc_fn, out0, di0)
@@ -151,17 +169,23 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
     if cfg.gi_on:
         from low_precision_raytracer_tpu.ops.trace import trace as _trace
 
-        def gi_trace(o):
-            maxt = jnp.where(o.gi_valid, 1e5, 0.0)
-            hit = _trace(
-                scene, frame, o.source, o.gi_direction, prec=prec, cfg=cfg,
-                find_any=False, skip_tri=o.skip_tri,
-                min_dist=prec.ray_moveforward_t, max_dist=maxt, coherent=False,
+        if di_spec is not None:
+            gi_fn = jax.jit(
+                lambda o: _trace_gi_fused_di(scene, frame, o, prec, cfg, di_spec)
             )
-            return _gi_shade_input(scene, frame, o, hit, prec)
+            sin1, vis1 = _timed("Trace GI #1", stats, gi_fn, out0)
+        else:
+            def gi_trace(o):
+                maxt = jnp.where(o.gi_valid, 1e5, 0.0)
+                hit = _trace(
+                    scene, frame, o.source, o.gi_direction, prec=prec, cfg=cfg,
+                    find_any=False, skip_tri=o.skip_tri,
+                    min_dist=prec.ray_moveforward_t, max_dist=maxt, coherent=False,
+                )
+                return _gi_shade_input(scene, frame, o, hit, prec)
 
-        gi_fn = jax.jit(gi_trace)
-        sin1 = _timed("Trace GI #1", stats, gi_fn, out0)
+            gi_fn = jax.jit(gi_trace)
+            sin1 = _timed("Trace GI #1", stats, gi_fn, out0)
         shade1_fn = jax.jit(
             lambda sin1, vd, k: shade(
                 scene, frame, sin1, view_dir=vd, prec=prec, cfg=cfg,
@@ -169,7 +193,10 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
             )
         )
         out1 = _timed("Shade #2", stats, shade1_fn, sin1, out0.view_dir_out, k1)
-        di1 = _timed("Trace DI #2", stats, di_fn, out1.source, out1.lights, out1.skip_tri)
+        if di_spec is not None:
+            di1 = _timed("Trace DI #2", stats, dec_fn, vis1, out1.lights)
+        else:
+            di1 = _timed("Trace DI #2", stats, di_fn, out1.source, out1.lights, out1.skip_tri)
         intensity1 = _timed("Accumulate DI #2", stats, acc_fn, out1, di1)
 
     # clean-colour split + the PRODUCTION denoiser: ONE vmapped pass over

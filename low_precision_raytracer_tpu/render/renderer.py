@@ -47,7 +47,7 @@ from low_precision_raytracer_tpu.ops.svgf import (
     svgf_denoise_pair,
 )
 from low_precision_raytracer_tpu.ops.taa import temporal_anti_aliasing
-from low_precision_raytracer_tpu.ops.trace import trace
+from low_precision_raytracer_tpu.ops.trace import di_fusible, trace
 from low_precision_raytracer_tpu.render.framestate import FrameState, init_frame_state
 
 
@@ -111,6 +111,46 @@ def _gi_shade_input(scene, frame, shade_out, hit, prec):
         obj=jnp.maximum(hit.obj, 0),
         tri=jnp.maximum(hit.tri, 0),
     )
+
+
+def _di_light_spec(frame, cfg):
+    """The light arrays the fused in-kernel DI phase needs (sliced to the
+    same L every shade round uses)."""
+    L = min(frame.n_lights, cfg.max_direct_lights)
+    if L == 0:
+        return None
+    return dict(
+        light_type=frame.light_type[:L],
+        light_pos=frame.light_pos[:L],
+        light_dir=frame.light_dir[:L],
+    )
+
+
+def _di_from_vis(vis_bits, lights, dt):
+    """Decode the fused launch's visibility bitmask against this round's
+    light commands: `di_intensity = visible ? multiplier : 0`
+    (`rt/rtrt/cuda.hpp:2073-2078`).  -> (R, L, 3) dtype."""
+    L = lights.valid.shape[1]
+    bits = (vis_bits[:, None] >> jnp.arange(L, dtype=jnp.int32)[None, :]) & 1
+    ok = (bits > 0) & lights.valid
+    return ok.astype(dt)[..., None] * lights.multiplier
+
+
+def _trace_gi_fused_di(scene, frame, shade_out, prec, cfg, di_spec):
+    """GI bounce launch carrying the NEXT round's DI phase in-kernel
+    (single-chunk scenes, see ops.trace.di_fusible): one launch yields the
+    bounce hit AND the shadow visibility from that hit.
+    -> (gi ShadeInput, vis_bits (R,) i32)."""
+    maxt = jnp.where(shade_out.gi_valid, 1e5, 0.0)
+    hit, vis = trace(
+        scene, frame, shade_out.source, shade_out.gi_direction,
+        prec=prec, cfg=cfg, find_any=False,
+        skip_tri=shade_out.skip_tri,
+        min_dist=prec.ray_moveforward_t, max_dist=maxt,
+        coherent=False,
+        di_lights=di_spec,
+    )
+    return _gi_shade_input(scene, frame, shade_out, hit, prec), vis
 
 
 def _trace_di_gi(scene, frame, shade_out, prec, cfg, *, want_gi, coherent):
@@ -200,11 +240,16 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
     gi_rounds = cfg.max_bounces - 1 if cfg.gi_on else 0
     k_taa, k_shade0, *k_rounds = jax.random.split(key, 2 + max(gi_rounds, 1))
 
-    # ---- primary rays + traced G-buffer ("Primary Ray" stage)
+    # ---- primary rays + traced G-buffer ("Primary Ray" stage).  On
+    # single-chunk scenes the launch also computes round-0 shadow
+    # visibility in-kernel (fused DI phase — one launch fewer per round;
+    # the reference's separate `trace_di_light` schedule is
+    # `rt/gui/imgui_window.cu:156-223`).
+    di_spec = _di_light_spec(frame, cfg) if di_fusible(scene, frame, cfg, prec) else None
     o, d = primary_ray_grid(frame.cam_l2w, frame.cam_fov_y, W, H, dt)
     o = o.reshape(R, 3)
     d = d.reshape(R, 3)
-    g_flat, _ = fill_gbuffer(scene, frame, o, d, prec, cfg=cfg)
+    g_flat, _ = fill_gbuffer(scene, frame, o, d, prec, cfg=cfg, di_lights=di_spec)
     g2d = {k: v.reshape((H, W) + v.shape[1:]) for k, v in g_flat.items()}
 
     # ---- "Generate Temporal Map" (+ all temporal history fetched in the
@@ -291,12 +336,24 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
         key=k_shade0,
     )
 
-    # ---- "Trace DI Ray #1" + "Trace GI #1" fused (+ "Accumulate DI #1",
-    # skybox radiance): the round's shadow and bounce rays both depend only
-    # on this shade output, so they share one kernel launch
-    di0, sin_next = _trace_di_gi(
-        scene, frame, out0, prec, cfg, want_gi=gi_rounds >= 1, coherent=True
-    )
+    # ---- "Trace DI Ray #1" + "Trace GI #1" (+ "Accumulate DI #1", skybox
+    # radiance).  With the fused DI phase, round-0 visibility already rode
+    # the primary launch; the GI launch then carries round 1's DI phase —
+    # launch count per frame drops from 1 + (rounds+1) to 1 + rounds.
+    # Otherwise the round's shadow and bounce rays share one lane_k launch.
+    vis_next = None
+    if di_spec is not None:
+        di0 = _di_from_vis(g_flat["di_vis"], out0.lights, dt)
+        sin_next = None
+        if gi_rounds >= 1:
+            sin_next, vis_next = _trace_gi_fused_di(
+                scene, frame, out0, prec, cfg, di_spec
+            )
+    else:
+        di0, sin_next = _trace_di_gi(
+            scene, frame, out0, prec, cfg, want_gi=gi_rounds >= 1,
+            coherent=True,
+        )
     intensity0 = out0.intensity + jnp.sum(di0, axis=1) + out0.di_sky
 
     n_rays = jnp.asarray(R, jnp.int32) + jnp.sum(out0.lights.valid.astype(jnp.int32))
@@ -323,10 +380,17 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
             no_gi=last,
             key=k_rounds[r - 1],
         )
-        di_r, sin_next = _trace_di_gi(
-            scene, frame, out_r, prec, cfg, want_gi=not last,
-            coherent=False,  # rays from scattered bounce hit points
-        )
+        if di_spec is not None:
+            di_r = _di_from_vis(vis_next, out_r.lights, dt)
+            if not last:
+                sin_next, vis_next = _trace_gi_fused_di(
+                    scene, frame, out_r, prec, cfg, di_spec
+                )
+        else:
+            di_r, sin_next = _trace_di_gi(
+                scene, frame, out_r, prec, cfg, want_gi=not last,
+                coherent=False,  # rays from scattered bounce hit points
+            )
         contrib = out_r.intensity + jnp.sum(di_r, axis=1) + out_r.di_sky
         intensity1 = intensity1 + path_mult * contrib
         n_rays = (
