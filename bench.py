@@ -1,11 +1,17 @@
-"""Benchmark driver entry: prints ONE JSON line.
+"""Benchmark driver entry: prints one JSON line per metric, the HEADLINE
+metric last (the driver records the final line).
 
-Headline metric (BASELINE.md north star): Mrays/s/chip at bf16 on the
-Cornell-box wavefront pipeline at 1080p (GI on, SVGF + TAA on) — against the
+Headline (BASELINE.md north star): Mrays/s/chip at bf16 on the Cornell-box
+wavefront pipeline at 1080p (GI on, SVGF + TAA on) — against the
 300 Mrays/s/chip target.  Ray count = primary + valid shadow + valid bounce
 + valid bounce-shadow lanes, measured on device.
 
-Extra diagnostics (fps, fp32 comparison, PSNR parity) go to stderr.
+Secondary lines: bf16 parity (direct PSNR/SSIM + the ground-truth
+delta form), fp16 parity + fp32-fallback rate (the reference's flagship
+precision, `rt/gui/imgui_window.cu:746-752`), and the Sponza-class
+(BASELINE config 5) 1080p frame time.
+
+Extra diagnostics (fps, fp32 comparison) go to stderr.
 """
 
 from __future__ import annotations
@@ -18,10 +24,25 @@ import jax
 import numpy as np
 
 
-def parity_at_spec(width=1920, height=1080, precision="bf16", frames=8):
-    """North-star parity half (BASELINE.md): bf16+SVGF vs the fp32 pipeline
-    at 1080p, PSNR/SSIM after `frames` temporally-accumulated frames."""
-    from low_precision_raytracer_tpu.config import RenderConfig
+def parity_at_spec(width=1920, height=1080, precision="bf16", frames=8,
+                   truth_frames=0):
+    """North-star parity (BASELINE.md), BOTH forms:
+
+    - direct:  PSNR/SSIM(low-precision @ frames, fp32 @ frames) — the
+      difference metric reported since round 1;
+    - ground-truth (truth_frames > 0): PSNR(low @ frames, truth) vs
+      PSNR(fp32 @ frames, truth), the literal reading of "bf16+SVGF within
+      1 dB of fp32" — both pipelines scored against the SAME converged
+      reference, the DELTA between the scores is the headline.  Truth = the
+      linear-space average of `truth_frames` INDEPENDENT 1 spp fp32 frames
+      with the denoiser/TAA off (per-frame fresh keys, no shared temporal
+      history — an fp32-pipeline-derived truth like "fp32 at frame 32"
+      would share its history with the fp32 candidate and inflate its
+      score).
+
+    Returns dict(psnr, ssim[, psnr_vs_truth, fp32_psnr_vs_truth, delta_db]).
+    """
+    from low_precision_raytracer_tpu.config import DemoSettings, RenderConfig
     from low_precision_raytracer_tpu.models.procedural import cornell_box_scene
     from low_precision_raytracer_tpu.render.renderer import Renderer
     from low_precision_raytracer_tpu.utils.image import psnr, ssim
@@ -35,11 +56,60 @@ def parity_at_spec(width=1920, height=1080, precision="bf16", frames=8):
         for _ in range(frames):
             img, _ = r.render()
         imgs[prec] = np.asarray(img)
-    return psnr(imgs["fp32"], imgs[precision]), ssim(imgs["fp32"], imgs[precision])
+    out = dict(
+        psnr=psnr(imgs["fp32"], imgs[precision]),
+        ssim=ssim(imgs["fp32"], imgs[precision]),
+    )
+    if truth_frames > 0:
+        cfg = RenderConfig(width=width, height=height, precision="fp32",
+                           gi_on=True, taa_on=False,
+                           demo=DemoSettings(svgf=False))
+        r = Renderer(cornell_box_scene(), cfg)
+        acc = np.zeros((height, width, 3), np.float64)
+        for _ in range(truth_frames):
+            img, _ = r.render()
+            # accumulate in LINEAR radiance (the renderer gamma-encodes)
+            acc += np.asarray(img, np.float64) ** 2.2
+        truth = np.clip((acc / truth_frames) ** (1.0 / 2.2), 0.0, 1.0).astype(
+            np.float32
+        )
+        p_low = psnr(truth, imgs[precision])
+        p_f32 = psnr(truth, imgs["fp32"])
+        out.update(psnr_vs_truth=p_low, fp32_psnr_vs_truth=p_f32,
+                   delta_db=p_f32 - p_low)
+    return out
+
+
+def fallback_rate(width=256, height=256, precision="fp16"):
+    """fp32-fallback rate of the low-precision triangle test (the metric
+    the CUDA reference cannot observe, SURVEY.md §5.5) on the Cornell
+    primary launch."""
+    from low_precision_raytracer_tpu.config import RenderConfig, get_precision
+    from low_precision_raytracer_tpu.models.procedural import cornell_box_scene
+    from low_precision_raytracer_tpu.models.scene import (
+        build_scene_arrays,
+        flatten_frame,
+    )
+    from low_precision_raytracer_tpu.ops.camera import primary_ray_grid
+    from low_precision_raytracer_tpu.ops.diagnostics import (
+        fallback_rate as _rate,
+    )
+
+    prec = get_precision(precision)
+    cfg = RenderConfig(width=width, height=height, precision=precision)
+    host = cornell_box_scene()
+    scene = build_scene_arrays(host, prec, leaf_size=cfg.bvh_leaf_size)
+    frame = flatten_frame(host, prec, max_direct_lights=cfg.max_direct_lights,
+                          width=width, height=height)
+    o, d = primary_ray_grid(frame.cam_l2w, frame.cam_fov_y, width, height,
+                            prec.dtype)
+    return float(
+        _rate(frame, o.reshape(-1, 3), d.reshape(-1, 3), prec)["rate"]
+    )
 
 
 def bench(width=1920, height=1080, precision="bf16", frames=20, warmup=3,
-          wavelet_impl="auto"):
+          wavelet_impl="auto", scene_builder=None, label="Cornell"):
     from low_precision_raytracer_tpu.config import RenderConfig, SVGFConfig
     from low_precision_raytracer_tpu.models.procedural import cornell_box_scene
     from low_precision_raytracer_tpu.models.scene import build_scene_arrays, flatten_frame
@@ -48,7 +118,7 @@ def bench(width=1920, height=1080, precision="bf16", frames=20, warmup=3,
 
     cfg = RenderConfig(width=width, height=height, precision=precision, gi_on=True,
                        svgf=SVGFConfig(wavelet_impl=wavelet_impl))
-    host = cornell_box_scene()
+    host = scene_builder() if scene_builder is not None else cornell_box_scene()
     scene = build_scene_arrays(host, cfg.prec, leaf_size=cfg.bvh_leaf_size)
     frame = flatten_frame(
         host, cfg.prec, max_direct_lights=cfg.max_direct_lights, width=width, height=height
@@ -96,7 +166,7 @@ def bench(width=1920, height=1080, precision="bf16", frames=20, warmup=3,
 
     mrays = n_rays / dt / 1e6
     print(
-        f"[bench] {precision} {width}x{height}: {dt * 1e3:.1f} ms/frame "
+        f"[bench] {label} {precision} {width}x{height}: {dt * 1e3:.1f} ms/frame "
         f"({1 / dt:.2f} fps), {n_rays / 1e6:.2f} Mrays/frame -> {mrays:.1f} Mrays/s",
         file=sys.stderr,
     )
@@ -174,22 +244,68 @@ def main():
     _wait_for_queue_lock()
     _device_init_guard()
     try:
-        # parity line first; the headline metric stays the LAST line
+        # parity + secondary metric lines first; the headline stays LAST
         try:
-            p, s = parity_at_spec()
+            pr = parity_at_spec(truth_frames=64)
             print(
                 json.dumps(
                     {
                         "metric": "PSNR bf16+SVGF vs fp32, Cornell 1080p 8 frames",
-                        "value": round(float(p), 2),
+                        "value": round(float(pr["psnr"]), 2),
                         "unit": "dB",
-                        "ssim": round(float(s), 4),
-                        "target": "PSNR(bf16, fp32) >= 30 dB (direct difference metric)",
+                        "ssim": round(float(pr["ssim"]), 4),
+                        "psnr_vs_truth_bf16": round(float(pr["psnr_vs_truth"]), 2),
+                        "psnr_vs_truth_fp32": round(float(pr["fp32_psnr_vs_truth"]), 2),
+                        "delta_db_vs_truth": round(float(pr["delta_db"]), 2),
+                        "target": "direct PSNR >= 30 dB AND ground-truth delta <= 1 dB",
                     }
                 )
             )
         except Exception as e:  # noqa: BLE001
             print(f"[bench] parity failed: {e}", file=sys.stderr)
+        # fp16: the reference's FLAGSHIP precision
+        # (`rt/gui/imgui_window.cu:746-752`) measured end-to-end
+        try:
+            pr16 = parity_at_spec(precision="fp16")
+            fb16 = fallback_rate(precision="fp16")
+            print(
+                json.dumps(
+                    {
+                        "metric": "PSNR fp16+SVGF vs fp32, Cornell 1080p 8 frames",
+                        "value": round(float(pr16["psnr"]), 2),
+                        "unit": "dB",
+                        "ssim": round(float(pr16["ssim"]), 4),
+                        "fp32_fallback_rate": round(fb16, 6),
+                        "target": "PSNR(fp16, fp32) >= 30 dB",
+                    }
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] fp16 parity failed: {e}", file=sys.stderr)
+        # Sponza-class second metric (BASELINE config 5): the north star
+        # tracked on a reference-class scene, not just Cornell
+        try:
+            from low_precision_raytracer_tpu.models.procedural import (
+                sponza_like_scene,
+            )
+
+            s_mrays, s_dt, s_rays = bench(
+                frames=6, warmup=2, scene_builder=sponza_like_scene,
+                label="Sponza-class",
+            )
+            print(
+                json.dumps(
+                    {
+                        "metric": "Sponza-class 1080p bf16 full frame (GI+SVGF+TAA)",
+                        "value": round(s_dt * 1e3, 1),
+                        "unit": "ms/frame",
+                        "mrays_per_s": round(s_mrays, 2),
+                        "target": "<= 300 ms/frame (round-4 goal)",
+                    }
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] sponza bench failed: {e}", file=sys.stderr)
         # safety ladder: if the fused Pallas denoiser path fails to compile
         # on this toolchain, still report a real number on a proven path
         mrays = None

@@ -30,6 +30,13 @@ CONFIGS = {
         cornell_box_scene,
         RenderConfig(width=48, height=48, precision="fp32", gi_on=True),
     ),
+    # config 3: the low-precision trace+shade with fp32 accumulation — the
+    # reference's FLAGSHIP fp16 instantiation (`rt/gui/imgui_window.cu:
+    # 746-752`) pinned by a golden of its own
+    "config3_fp16": (
+        cornell_box_scene,
+        RenderConfig(width=48, height=48, precision="fp16", gi_on=True),
+    ),
     # config 4: animated TRS scene with temporal reprojection + SVGF at
     # 1 spp — rendered over 4 animation steps so the golden bakes in the
     # reprojection/history behaviour, not just a cold first frame
@@ -76,6 +83,12 @@ def test_golden_config1():
 
 def test_golden_config2():
     _check("config2_cornell_gi")
+
+
+def test_golden_config3_fp16():
+    # fp16 numerics differ across backends more than fp32; the golden is
+    # CPU-generated and the PSNR bar is accordingly a bit looser
+    _check("config3_fp16", min_psnr=30.0)
 
 
 def test_golden_config4():
