@@ -274,9 +274,11 @@ def main(argv=None) -> int:
                     default="auto", help="dense-kernel chunk epilogue")
     pr.add_argument("--incoherent-sort",
                     choices=["anchor", "beam", "origin", "none"],
-                    default="beam", help="bounce-launch coherence recovery")
+                    default="anchor", help="bounce-launch coherence recovery "
+                    "(default = the measured config default)")
     pr.add_argument("--incoherent-impl", choices=["tile", "wavefront"],
-                    default="tile", help="bounce-launch implementation")
+                    default="wavefront", help="bounce-launch implementation "
+                    "(default = the measured config default)")
     pr.add_argument("--bounces", type=int, default=2,
                     help="max_bounces incl. the primary shade round")
     pr.add_argument("--skybox", default=None, help="equirectangular HDR path")

@@ -29,11 +29,38 @@ from low_precision_raytracer_tpu.gui.controller import (
 )
 
 
+def _partial_jit(fn):
+    """jax.jit applied lazily (viewer import must not initialize a backend)."""
+    _cache = []
+
+    def wrapper(*a, **k):
+        if not _cache:
+            import jax
+
+            _cache.append(jax.jit(fn))
+        return _cache[0](*a, **k)
+
+    return wrapper
+
+
 class SceneExplorer:
     """Headless per-frame explorer loop; the web/UI layer only delivers
     events and displays the returned frames."""
 
     def __init__(self, host_scene, cfg):
+        self.cfg = cfg
+        # message console (reference: exceptions land in a capped in-app
+        # "Messages" list instead of crashing, `rt/gui/imgui_window.cu:
+        # 755-770`; cap 100 at `:766`)
+        self.messages: list[str] = []
+        self.frame_count = 0
+        self.last_frame_ms = 0.0
+        self._setup(host_scene)
+
+    def _setup(self, host_scene) -> None:
+        """(Re-)rig a scene: free camera + controllers + renderer.  Called
+        at construction and on runtime model open (the reference re-rigs
+        cameras the same way per load, `rt/gui/imgui_window.cu:592-627`)."""
         from low_precision_raytracer_tpu.models.hierarchy import CameraObject
         from low_precision_raytracer_tpu.render.renderer import Renderer
 
@@ -55,12 +82,51 @@ class SceneExplorer:
         # seed FOV controller from the scene camera
         self.look.acc_z = float(self.camera.fov_y)
 
-        self.renderer = Renderer(host_scene, cfg)
-        self.cfg = cfg
+        self.renderer = Renderer(host_scene, self.cfg)
         self.play_animation = host_scene.animated
         self._t0 = time.monotonic()
-        self.frame_count = 0
-        self.last_frame_ms = 0.0
+        self._pending = None  # in-flight device frame (pipelined transfer)
+
+    # ---- message console -------------------------------------------------
+    def log(self, msg: str) -> None:
+        self.messages.append(str(msg))
+        del self.messages[:-100]  # reference caps the console at 100
+
+    # ---- runtime open (reference "Open" button + HDR dialog,
+    # `rt/gui/imgui_window.cu:741-753`, `:544-556`) ------------------------
+    def open_model(self, path: str) -> None:
+        """Load a glTF/GLB (or builtin scene name) in the live session and
+        re-rig the cameras; errors go to the console, not the terminal."""
+        from low_precision_raytracer_tpu.cli import _build_scene
+
+        try:
+            host = _build_scene(path)
+        except SystemExit as e:  # _build_scene raises SystemExit on bad scenes
+            self.log(f"open '{path}' failed: {e}")
+            return
+        except Exception as e:  # noqa: BLE001
+            self.log(f"open '{path}' failed: {e!r}")
+            return
+        self._setup(host)
+        self.log(f"loaded model: {path} (first frame compiles)")
+
+    def open_skybox(self, path: str, exposure: float = 1.0) -> None:
+        """Load an equirectangular .hdr as the scene skybox in the live
+        session (reference HDR dialog, `rt/gui/imgui_window.cu:544-556`)."""
+        from low_precision_raytracer_tpu.models.scene import Skybox
+        from low_precision_raytracer_tpu.render.renderer import Renderer
+        from low_precision_raytracer_tpu.utils.image import load_hdr_equirect
+
+        try:
+            data = load_hdr_equirect(path)
+        except Exception as e:  # noqa: BLE001
+            self.log(f"skybox '{path}' failed: {e!r}")
+            return
+        self.host.skybox = Skybox(data=data, exposure=float(exposure))
+        # scene arrays changed shape -> rebuild the renderer (state resets)
+        self.renderer = Renderer(self.host, self.cfg)
+        self._pending = None
+        self.log(f"loaded skybox: {path} (first frame compiles)")
 
     def handle_events(self, dt: float, keys: set[str], mouse=(0.0, 0.0),
                       right_down: bool = False, wheel: float = 0.0) -> None:
@@ -100,17 +166,36 @@ class SceneExplorer:
         )
         self.rig.translation = self.rig.translation + world
 
+    @staticmethod
+    @_partial_jit
+    def _to_u8(img):
+        """Device-side uint8 pack: clip/NaN-launder/scale ON DEVICE so the
+        host transfer is 3 bytes/px instead of 12 (the tunnel round trip
+        scales with payload).  NaN -> 0 first: NaN -> uint8 is a C-cast
+        with undefined result (random speckle instead of black)."""
+        import jax.numpy as jnp
+
+        c = jnp.nan_to_num(img.astype(jnp.float32))
+        return (jnp.clip(c, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
     def render_frame(self) -> np.ndarray:
-        """-> (H, W, 3) uint8."""
+        """-> (H, W, 3) uint8.
+
+        ONE-FRAME PIPELINE: dispatch frame N (host flatten + async device
+        render + device u8 pack), then transfer frame N-1's finished bytes
+        while N executes.  The host's transfer round trip and the device
+        render overlap instead of serializing — the round-3 viewer was
+        host-bound at 5.6 fps with a ~25 ms device render for exactly this
+        reason (BASELINE.md round-4 handoff item 4)."""
         t = time.monotonic() - self._t0 if self.play_animation else 0.0
         t0 = time.perf_counter()
-        img, _aux = self.renderer.render(time=t)
-        arr = np.asarray(img)
+        img, _aux = self.renderer.render(time=t)  # async dispatch
+        dev_u8 = self._to_u8(img)  # still async, on device
+        prev, self._pending = self._pending, dev_u8
+        arr = np.asarray(prev if prev is not None else dev_u8)  # sync N-1
         self.last_frame_ms = (time.perf_counter() - t0) * 1e3
         self.frame_count += 1
-        # nan_to_num first: NaN -> uint8 is a C-cast with undefined result,
-        # which would render as random speckle instead of black
-        return (np.clip(np.nan_to_num(arr), 0, 1) * 255).astype(np.uint8)
+        return arr
 
     def stats(self) -> dict:
         return {
@@ -151,6 +236,10 @@ class SceneExplorer:
         """Apply a (partial) settings dict from the UI."""
         import dataclasses
 
+        if upd.get("open_model"):
+            self.open_model(str(upd["open_model"]).strip())
+        if upd.get("open_skybox"):
+            self.open_skybox(str(upd["open_skybox"]).strip())
         cfg = self.renderer.cfg
         demo_kw, cfg_kw, svgf_kw = {}, {}, {}
         for k in self._BOOL_KEYS:
@@ -218,7 +307,14 @@ canvas { image-rendering:pixelated; border:1px solid #333; outline:none }
 <label>moments w <input type=range data-k=svgf_moments_w min=0 max=1 step=0.05></label>
 <label>taa w <input type=range data-k=taa_w min=0 max=1 step=0.05></label>
 <div class=note>first flip of a toggle jit-compiles that pipeline variant once</div>
+<br>
+<label>model <input type=text id=mpath size=36
+  placeholder=".glb/.gltf path or cornell|sponza|..."></label>
+<button id=mopen>Open model</button>
+<label>skybox <input type=text id=spath size=28 placeholder=".hdr path"></label>
+<button id=sopen>Open skybox</button>
 </div>
+<div id=msgs style="margin-top:6px;color:#da8;max-height:120px;overflow-y:auto"></div>
 <script>
 const keys = new Set(); let right=false, wheel=0, mx=0, my=0, upd=null;
 const img = document.getElementById('v');
@@ -233,12 +329,18 @@ addEventListener('mouseup', e => { if (e.button === 2) right = false; });
 img.onmousemove = e => { mx = e.offsetX; my = e.offsetY; };
 img.onwheel = e => { wheel += Math.sign(e.deltaY); e.preventDefault(); };
 let synced = false;
-for (const el of document.querySelectorAll('#panel input')) {
+for (const el of document.querySelectorAll('#panel input[data-k]')) {
   el.onchange = () => {
     upd = upd || {};
     upd[el.dataset.k] = el.type === 'checkbox' ? el.checked : parseFloat(el.value);
   };
 }
+document.getElementById('mopen').onclick = () => {
+  upd = upd || {}; upd.open_model = document.getElementById('mpath').value;
+};
+document.getElementById('sopen').onclick = () => {
+  upd = upd || {}; upd.open_skybox = document.getElementById('spath').value;
+};
 function syncPanel(settings) {
   if (synced) return; synced = true;
   for (const el of document.querySelectorAll('#panel input')) {
@@ -260,8 +362,11 @@ async function loop() {
   const r = await fetch('/frame', {method:'POST', body: JSON.stringify(inp)});
   const stats = JSON.parse(r.headers.get('x-stats'));
   syncPanel(stats.settings || {});
-  const {settings, ...rest} = stats;
+  const {settings, messages, ...rest} = stats;
   document.getElementById('s').textContent = JSON.stringify(rest);
+  if (messages && messages.length)
+    document.getElementById('msgs').innerHTML =
+      messages.map(m => '&gt; ' + m.replace(/</g, '&lt;')).join('<br>');
   const rgb = new Uint8Array(await r.arrayBuffer());
   const px = idat.data;
   for (let i = 0, j = 0; i < rgb.length; i += 3, j += 4) {
@@ -303,18 +408,27 @@ def serve(explorer: SceneExplorer, host: str = "127.0.0.1", port: int = 8008):
                 now = time.monotonic()
                 dt = min(now - last_t[0], 0.25)
                 last_t[0] = now
-                if inp.get("settings"):
-                    explorer.apply_settings(inp["settings"])
-                explorer.handle_events(
-                    dt,
-                    set(inp.get("keys", [])),
-                    tuple(inp.get("mouse") or (0, 0)),
-                    bool(inp.get("right", False)),
-                    float(inp.get("wheel", 0.0)),
-                )
-                frame = explorer.render_frame()
+                try:
+                    if inp.get("settings"):
+                        explorer.apply_settings(inp["settings"])
+                    explorer.handle_events(
+                        dt,
+                        set(inp.get("keys", [])),
+                        tuple(inp.get("mouse") or (0, 0)),
+                        bool(inp.get("right", False)),
+                        float(inp.get("wheel", 0.0)),
+                    )
+                    frame = explorer.render_frame()
+                except Exception as e:  # noqa: BLE001 — console, not crash
+                    # (reference catches per-frame exceptions into its
+                    # Messages window, `rt/gui/imgui_window.cu:755-770`)
+                    explorer.log(f"render failed: {e!r}")
+                    frame = np.zeros(
+                        (explorer.cfg.height, explorer.cfg.width, 3), np.uint8
+                    )
                 stats = explorer.stats()
                 stats["settings"] = explorer.settings()
+                stats["messages"] = list(explorer.messages)
             # raw RGB rows, not PNG: encode measured 26-40 ms/frame at
             # 512x512 on this host's single core — more than the device
             # render itself.  The page blits via canvas putImageData.

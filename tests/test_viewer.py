@@ -36,6 +36,7 @@ def test_explorer_camera_motion():
     fov0 = ex.camera.fov_y
     ex.handle_events(0.016, set(), wheel=3.0)
     assert ex.camera.fov_y != fov0
+    ex.render_frame()  # pipelined: this call returns frame N-1's bytes
     img1 = ex.render_frame()
     assert not np.array_equal(img0, img1)  # the view actually changed
 
@@ -96,11 +97,65 @@ def test_explorer_inspect_panel():
     ex.apply_settings({"add_direct_out": False, "taa_w": 0.5})
     s1 = ex.settings()
     assert s1["add_direct_out"] is False and s1["taa_w"] == 0.5
+    ex.render_frame()  # pipelined: flush the pre-toggle in-flight frame
     img1 = ex.render_frame()
     assert not np.array_equal(img0, img1)  # direct term removed
     # unknown keys are ignored, partial updates keep the rest
     ex.apply_settings({"nonsense": 1})
     assert ex.settings()["add_direct_out"] is False
+
+
+def test_explorer_runtime_open_and_console():
+    """Runtime model/skybox open + the capped message console (reference
+    `rt/gui/imgui_window.cu:741-770`): a bad path lands in the console
+    instead of crashing; a good builtin name re-rigs the scene live."""
+    ex = SceneExplorer(cornell_box_scene(), _small_cfg())
+    ex.render_frame()
+    # bad model path -> console message, explorer still renders
+    ex.apply_settings({"open_model": "/no/such/file.glb"})
+    assert any("failed" in m for m in ex.messages)
+    img = ex.render_frame()
+    assert img.shape == (32, 32, 3)
+    # good builtin name -> scene swapped, camera re-rigged
+    n0 = len(ex.messages)
+    ex.apply_settings({"open_model": "triangle"})
+    assert len(ex.messages) == n0 + 1 and "loaded model" in ex.messages[-1]
+    assert ex.rig.name == "free-cam-rig"
+    img2 = ex.render_frame()
+    img2 = ex.render_frame()  # flush the pipeline
+    assert img2.shape == (32, 32, 3)
+    # bad skybox path -> console, not crash
+    ex.apply_settings({"open_skybox": "/no/such/sky.hdr"})
+    assert "skybox" in ex.messages[-1] and "failed" in ex.messages[-1]
+    # console is capped at 100 like the reference (`:766`)
+    for i in range(150):
+        ex.log(f"m{i}")
+    assert len(ex.messages) == 100
+
+
+def test_explorer_render_exception_goes_to_console():
+    """A per-frame exception must surface in the in-app console (black
+    frame returned), not escape to the terminal."""
+    ex = SceneExplorer(cornell_box_scene(), _small_cfg())
+    srv = serve(ex, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+        def boom(*a, **k):
+            raise RuntimeError("injected failure")
+
+        ex.render_frame = boom
+        body = json.dumps({"keys": []}).encode()
+        req = urllib.request.Request(base + "/frame", data=body, method="POST")
+        resp = urllib.request.urlopen(req, timeout=120)
+        data = resp.read()
+        assert len(data) == 32 * 32 * 3  # black fallback frame
+        stats = json.loads(resp.headers["x-stats"])
+        assert any("render failed" in m for m in stats["messages"])
+    finally:
+        srv.shutdown()
 
 
 def test_explorer_http_settings_roundtrip():
