@@ -380,10 +380,19 @@ loop();
 
 
 def serve(explorer: SceneExplorer, host: str = "127.0.0.1", port: int = 8008):
-    """Blocking single-renderer HTTP loop; one frame per POST /frame."""
+    """Blocking single-renderer HTTP loop; one frame per POST /frame.
+
+    ALL JAX work runs on one persistent worker thread: ThreadingHTTPServer
+    spawns a fresh thread per request, and the pipelined frame path
+    transfers a device array that a PREVIOUS request dispatched — on the
+    tunneled TPU platform, cross-thread transfers of in-flight buffers
+    hang (measured: first HTTP frame never completed while the same loop
+    on one thread ran at 12 fps)."""
+    from concurrent.futures import ThreadPoolExecutor
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     lock = threading.Lock()
+    jax_worker = ThreadPoolExecutor(max_workers=1)
     last_t = [time.monotonic()]
     page = (
         _PAGE.replace("%W%", str(explorer.cfg.width))
@@ -404,7 +413,7 @@ def serve(explorer: SceneExplorer, host: str = "127.0.0.1", port: int = 8008):
         def do_POST(self):
             n = int(self.headers.get("content-length", 0))
             inp = json.loads(self.rfile.read(n) or b"{}")
-            with lock:  # one JAX renderer, serialized
+            def step():
                 now = time.monotonic()
                 dt = min(now - last_t[0], 0.25)
                 last_t[0] = now
@@ -429,6 +438,10 @@ def serve(explorer: SceneExplorer, host: str = "127.0.0.1", port: int = 8008):
                 stats = explorer.stats()
                 stats["settings"] = explorer.settings()
                 stats["messages"] = list(explorer.messages)
+                return frame, stats
+
+            with lock:  # one JAX renderer, serialized
+                frame, stats = jax_worker.submit(step).result()
             # raw RGB rows, not PNG: encode measured 26-40 ms/frame at
             # 512x512 on this host's single core — more than the device
             # render itself.  The page blits via canvas putImageData.

@@ -411,6 +411,7 @@ def svgf_denoise_pair(
     wavelet_impl: str | None = None,
     interpret: bool = False,
     prefetch_ctr=None,  # (N_CTR, hp, wp) f32 packed fetches (pallas impl only)
+    mesh=None,  # row-sharded device mesh: pallas wavelet runs per shard
 ):
     """Both denoiser instances (GI-colored + GI-white,
     `rt/gui/imgui_window.cu:231-239`) in one pass: the temporal stages run
@@ -428,7 +429,30 @@ def svgf_denoise_pair(
         import jax as _jax
 
         impl = "pallas" if _jax.default_backend() == "tpu" else "xla"
-    unroll = impl == "xla_halo"
+    if mesh is not None and int(mesh.devices.size) > 1:
+        n_dev = int(mesh.devices.size)
+        H = depth.shape[0]
+        if impl in ("pallas", "pallas_wavelet"):
+            from low_precision_raytracer_tpu.ops.svgf_pallas import PAD
+
+            if H % n_dev == 0 and H // n_dev >= PAD:
+                # multi-chip: the fused temporal kernel and the packed fetch
+                # are single-chip layouts, but the WAVELET chain (2/3 of the
+                # denoise cost) runs the same Pallas kernels per shard with
+                # bounded halo ppermutes
+                # (svgf_pallas.wavelet_chain_pallas_pair_sharded).  The
+                # temporal stages run in the unrolled-tap XLA form that
+                # GSPMD partitions with halo ppermutes.
+                impl = "pallas_sharded"
+            else:
+                # shards too short to carry the PAD-row halo (tiny test
+                # frames): the unrolled XLA stencils partition fine
+                impl = "xla_halo"
+        elif impl == "xla":
+            # looped-tap slices defeat XLA's halo analysis under GSPMD
+            # (all-gathers); the unrolled form partitions with ppermutes
+            impl = "xla_halo"
+    unroll = impl in ("xla_halo", "pallas_sharded")
     assert prefetch_ctr is None or impl == "pallas", (
         "prefetch_ctr is the pallas path's packed-layout input; resolve the "
         "impl before choosing the packed fetch (render/renderer.py does)"
@@ -495,6 +519,17 @@ def svgf_denoise_pair(
         integrated2, illum2, miu1_2, miu2_2, var2 = jax.vmap(temporal)(
             color2, state2, prefetch2
         )
+
+    if impl == "pallas_sharded":
+        from low_precision_raytracer_tpu.ops.svgf_pallas import (
+            wavelet_chain_pallas_pair_sharded,
+        )
+
+        out2, hist2 = wavelet_chain_pallas_pair_sharded(
+            integrated2, var2, depth, grad, normal, illum2, cfg.strides, cfg,
+            mesh, interpret=interpret or jax.default_backend() == "cpu",
+        )
+        return out2, SVGFState(miu1=miu1_2, miu2=miu2_2, color_history=hist2)
 
     if impl == "pallas_wavelet":
         # XLA temporal stages + the Pallas wavelet chain (the pre-fusion

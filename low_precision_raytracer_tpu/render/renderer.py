@@ -437,11 +437,12 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
             mul2, st2, svgf_map, normal2d, depth2d, grad, cfg.svgf,
             cfg.svgf.color_mix_weight, cfg.svgf.moments_mix_weight,
             prefetch2=pre2, prefetch_ctr=pre_ctr,
-            # under a device mesh the unrolled-tap XLA wavelet partitions
-            # via GSPMD halo ppermutes; the Pallas chain is not
-            # shard_map-wrapped and would force a full re-replication of
-            # the pixel arrays, and the looped-tap XLA form all-gathers
-            wavelet_impl="xla_halo" if cfg.mesh is not None else svgf_impl,
+            # under a device mesh the wavelet chain runs the SAME fused
+            # Pallas kernels per shard (bounded halo ppermutes, zero
+            # all-gathers — svgf_pallas.wavelet_chain_pallas_pair_sharded);
+            # the temporal stages take the unrolled-tap XLA form that GSPMD
+            # partitions with halo ppermutes
+            wavelet_impl=svgf_impl, mesh=cfg.mesh,
         )
         mul_c, mul_w = mul2[0], mul2[1]
         new_colored = jax.tree_util.tree_map(lambda x: x[0], new_st2)

