@@ -243,6 +243,20 @@ class RenderConfig:
     # outside the wavefront gate (fp32, non-mxu3, single-chunk scenes)
     # fall through to the anchor-sorted tile path.
     incoherent_impl: str = "wavefront"
+    # minimum instance-triangle count for the wavefront to take incoherent
+    # launches; below it the anchor-sorted tile path wins outright
+    # (v5e 2026-08-20, tools/bench_incoherent_ab.py: 1.3k tris — tile 89 ms
+    # vs wavefront 272/632; 46.5k — wavefront wins).  The sponza-class
+    # frame (5.3k tris) regressed 625 -> 2382 ms when the round-3 gate
+    # (ti > 512) pushed its bounce launches onto the wavefront.
+    wavefront_min_tris: int = 16384
+    # wavefront scheduling form (ops/wavefront.py):
+    # 'rounds'  - rank-major rounds: sort live rays by first untested
+    #             candidate, test Q ranks/lane per round
+    # 'oneshot' - chunk-major pair expansion: every (ray, candidate) pair
+    #             is one kernel lane, one global sort, one launch
+    # 'auto'    - the measured winner (see trace_rays_wavefront)
+    wavefront_mode: str = "auto"
     # fused in-kernel DI shadow phase (ops/dense_pallas.run_di_phase):
     # single-chunk closest-hit launches compute per-light shadow visibility
     # from their own winner hit inside the same kernel, dropping the
@@ -285,6 +299,7 @@ class RenderConfig:
         assert self.traversal_impl in ("auto", "jax", "dense", "dense_pallas", "pallas")
         assert self.incoherent_sort in ("anchor", "beam", "origin", "none")
         assert self.incoherent_impl in ("tile", "wavefront")
+        assert self.wavefront_mode in ("auto", "rounds", "oneshot")
         assert self.di_fuse in ("auto", "off")
         assert self.dense_epilogue in ("auto", "reduce5", "pack")
         assert self.dense_schedule_select in ("auto", "sort", "topk")

@@ -223,7 +223,7 @@ class SceneArrays:
         return self.tri_idx.shape[0]
 
 
-@pytree_dataclass(meta=("obj_layout", "n_lights"))
+@pytree_dataclass(meta=("obj_layout", "n_lights", "dense_morton"))
 class FrameInput:
     # object constants (`CUDAObjectConstantData`)
     obj_l2w: jnp.ndarray  # (O, 4, 4) dtype
@@ -293,6 +293,9 @@ class FrameInput:
     # MAX_DIRECT_LIGHT dead slots like the reference's fixed grid
     # (`rt/gui/imgui_window.cu:172-173`)
     n_lights: int = 0
+    # STATIC: dense table rows are morton-ordered by world centroid (chunk
+    # AABBs are tight spatial blobs; object->chunk culling is redundant)
+    dense_morton: bool = False
 
 
 def compute_m_matrices(positions_f32: np.ndarray, tri_idx: np.ndarray):
@@ -577,6 +580,8 @@ DENSE_COEFF_MAX_OBJECTS = 4096
 # triangles per culling chunk — MUST match the Pallas kernel's sublane
 # chunk size (ops/dense_pallas.py imports this as TC)
 DENSE_CHUNK_TRIS = 128
+# spatial (morton) dense-table order — see _dense_coefficients
+DENSE_MORTON = True
 # triangles per packet-BVH leaf — MUST match ops/traversal_pallas.py's LC.
 # Finer than the dense chunk: the packet traversal kernel culls and
 # early-terminates at this granularity (DENSE_CHUNK_TRIS % BVH_LEAF_TRIS == 0
@@ -639,6 +644,7 @@ def _dense_coefficients(host: HostScene, flat: FlatScene, t_off, prec: Precision
     none = dict(
         dense_n=None, dense_n_f32=None, dense_e=None,
         dense_tri=None, dense_obj=None, dense_center=None,
+        dense_morton=False,
         dense_chunk_lo=None, dense_chunk_hi=None,
         dense_leaf_lo=None, dense_leaf_hi=None,
     )
@@ -703,6 +709,46 @@ def _dense_coefficients(host: HostScene, flat: FlatScene, t_off, prec: Precision
     e_all = (np.concatenate(es) + n_all.astype(np.float64) @ center).astype(
         np.float32
     )
+    tri_all = np.concatenate(tris)
+    obj_all = np.concatenate(objs)
+    lo_raw = np.concatenate([v[0] for v in vws])
+    hi_raw = np.concatenate([v[1] for v in vws])
+
+    if DENSE_MORTON and ti > DENSE_CHUNK_TRIS:
+        # SPATIAL table order: sort the instance triangles by the morton
+        # code of their world centroid so each consecutive-128 kernel chunk
+        # is a compact 3D blob instead of an object-order slice.  Measured
+        # need (v5e 2026-08-20, 46.5k colonnade hemisphere bounce): with
+        # object-order chunks the chunk slabs overlap so much that 24% of
+        # rays see >16 candidate chunks ahead of their ORACLE hit distance
+        # — per-ray scheduling and the ordered early exit both starve.
+        # Every consumer indexes the table by row, so a global permutation
+        # is transparent; chunk->object culling switches to the (tight)
+        # chunk AABBs alone (ops/dense_pallas._chunk_predicates).
+        cen = (lo_raw + hi_raw) * 0.5
+        cmin = cen.min(axis=0)
+        ext = np.maximum(cen.max(axis=0) - cmin, 1e-30)
+        q = np.minimum((cen - cmin) / ext * 1024.0, 1023.0).astype(np.uint64)
+
+        def spread(x):
+            x = (x | (x << 32)) & np.uint64(0x1F00000000FFFF)
+            x = (x | (x << 16)) & np.uint64(0x1F0000FF0000FF)
+            x = (x | (x << 8)) & np.uint64(0x100F00F00F00F00F)
+            x = (x | (x << 4)) & np.uint64(0x10C30C30C30C30C3)
+            x = (x | (x << 2)) & np.uint64(0x1249249249249249)
+            return x
+
+        code = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+        order = np.argsort(code, kind="stable")
+        n_all = n_all[order]
+        e_all = e_all[order]
+        tri_all = tri_all[order]
+        obj_all = obj_all[order]
+        lo_raw = lo_raw[order]
+        hi_raw = hi_raw[order]
+        morton = True
+    else:
+        morton = False
 
     # per-chunk world AABBs (kernel chunk = DENSE_CHUNK_TRIS consecutive
     # instance triangles): finer culling granularity than whole objects.
@@ -710,12 +756,8 @@ def _dense_coefficients(host: HostScene, flat: FlatScene, t_off, prec: Precision
     # relative epsilon to stay conservative vs fp rounding.
     pad = (-ti) % DENSE_CHUNK_TRIS  # DENSE_CHUNK_TRIS % BVH_LEAF_TRIS == 0
     big = np.float32(1e30)
-    lo_t = np.pad(
-        np.concatenate([v[0] for v in vws]), ((0, pad), (0, 0)), constant_values=big
-    )
-    hi_t = np.pad(
-        np.concatenate([v[1] for v in vws]), ((0, pad), (0, 0)), constant_values=-big
-    )
+    lo_t = np.pad(lo_raw, ((0, pad), (0, 0)), constant_values=big)
+    hi_t = np.pad(hi_raw, ((0, pad), (0, 0)), constant_values=-big)
 
     def group_aabbs(n_per_group: int):
         """Conservatively-widened world AABBs of consecutive n_per_group
@@ -739,8 +781,9 @@ def _dense_coefficients(host: HostScene, flat: FlatScene, t_off, prec: Precision
         dense_n=jnp.asarray(n_all, dtype=dt),
         dense_n_f32=jnp.asarray(n_all),
         dense_e=jnp.asarray(e_all),
-        dense_tri=jnp.asarray(np.concatenate(tris)),
-        dense_obj=jnp.asarray(np.concatenate(objs)),
+        dense_tri=jnp.asarray(tri_all),
+        dense_obj=jnp.asarray(obj_all),
+        dense_morton=morton,
         dense_center=jnp.asarray(center.astype(np.float32)),
         dense_chunk_lo=jnp.asarray(chunk_lo),
         dense_chunk_hi=jnp.asarray(chunk_hi),

@@ -708,7 +708,13 @@ def _chunk_predicates(frame, origins_f32, dirs_f32, min_dist, max_dist, grid, r_
     use_obj_test = (
         obj_test
         if obj_test is not None
-        else (n_obj <= 512 or frame.dense_chunk_lo is None)
+        # morton-ordered tables: chunks span many objects and the chunk
+        # AABBs are tight spatial blobs — the object sweep is both WRONG
+        # to derive from obj_layout (rows are permuted) and redundant
+        else (
+            not getattr(frame, "dense_morton", False)
+            and (n_obj <= 512 or frame.dense_chunk_lo is None)
+        )
     )
     if use_obj_test:
         tile_obj = jax.lax.map(

@@ -428,7 +428,12 @@ def svgf_denoise_pair(
     if impl == "auto":
         import jax as _jax
 
-        impl = "pallas" if _jax.default_backend() == "tpu" else "xla"
+        # fp16 inputs: Mosaic rejects f16 on this toolchain — XLA stencils
+        on_tpu = (
+            _jax.default_backend() == "tpu"
+            and color2.dtype != jnp.float16
+        )
+        impl = "pallas" if on_tpu else "xla"
     if mesh is not None and int(mesh.devices.size) > 1:
         n_dev = int(mesh.devices.size)
         H = depth.shape[0]

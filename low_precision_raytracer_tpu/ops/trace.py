@@ -31,6 +31,11 @@ def resolve_impl(scene, frame, cfg: RenderConfig) -> str:
         n_obj = len(frame.obj_layout)
         ti = _instance_tris(frame)
         on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and cfg.precision == "fp16":
+            # Mosaic rejects f16 on this toolchain ("Unsupported type in
+            # mosaic dialect: 'f16'"), so fp16 renders take the XLA
+            # backends on TPU; bf16 is the native low-precision mode
+            on_tpu = False
         if on_tpu and ti > 0:
             # The dense Pallas kernel wins IN-FRAME at every measured size
             # (5.3k tris: dense 625 ms vs packet-routed 882 ms, round 2;
@@ -79,7 +84,7 @@ def incoherent_reorders(scene, frame, cfg: RenderConfig, prec: Precision) -> boo
             and not prec.is_f32
             and fb == "mxu3"
             and frame.dense_chunk_lo is not None
-            and ti > 4 * TC
+            and ti > max(4 * TC, cfg.wavefront_min_tris)
             and ti <= cfg.packet_bvh_max_tris
         ):
             return True
@@ -262,7 +267,9 @@ def trace(
             and not prec.is_f32
             and fb == "mxu3"
             and frame.dense_chunk_lo is not None
-            and ti > 4 * TC
+            # below wavefront_min_tris the anchor-sorted tile path wins
+            # outright (measured — see config.py); above it the wavefront
+            and ti > max(4 * TC, cfg.wavefront_min_tris)
             and ti <= cfg.packet_bvh_max_tris  # HBM-streamed table band
         ):
             from low_precision_raytracer_tpu.ops.wavefront import (
@@ -280,6 +287,7 @@ def trace(
                 max_dist=max_dist,
                 find_any=find_any,
                 interpret=interpret,
+                mode=cfg.wavefront_mode,
             )
         if (
             not coherent

@@ -77,6 +77,18 @@ GROUP_WIDTH = 2048   # max schedule sweep width -> s_group = ceil(NC / this)
 RESIDENT_BYTES = 48 * 1024 * 1024  # VMEM-resident table ceiling, else HBM
 CYCLE2_MIN_GROUPS = 512  # schedule a second candidate-refill cycle above this
 
+# --- one-shot (pair expansion) tuning ---------------------------------------
+ONESHOT_SGROUP = 1   # candidate granularity (chunks per group).  Coarser
+# groups shrink the pair count but LOOSEN the entry bounds (a group's box
+# is the union), measured to leave ~36% of bounce rays unresolved after
+# cycle 1 at sg=4 — exact chunks resolve far more per candidate.
+ONESHOT_K = 8        # candidate chunks per ray in the full-width cycle
+ONESHOT_WTR = 2048   # pair lanes per kernel tile: the global sort leaves
+# ~1 distinct group per tile at ANY width (id runs span tens of thousands
+# of lanes), so wider tiles just amortize per-tile fixed costs — unlike the
+# rounds kernel, where width multiplied the distinct-union body count
+ONESHOT_CH_CAP = 8   # per-tile distinct-group list (runs make ~1-2 typical)
+
 import numpy as np
 
 # host-side constant (numpy, not jax.lax — this module may be imported
@@ -197,13 +209,17 @@ def _assigned_tile_body(active_ref, a32_ref, rays_ref, outf_ref, ids_ref,
 
 
 def _schedule(lo, hi, o_f32, d_f32, maxd, n_chunks: int, id_bits: int, k: int,
-              emin=None):
+              wmin=None):
     """Per-ray K nearest candidate groups: packed (entry bits | group id)
-    words ascending by entry, plus the (K+1)-th entry (retirement bound
-    for candidates beyond the list).  `lo`/`hi` are the (NG, 3) group
-    AABBs (= chunk AABBs when s_group == 1).  `emin` (R,) restricts to
-    candidates with entry >= emin — the second-cycle refill for rays that
-    overflowed the first K (everything below emin was already tested)."""
+    words ascending by entry, plus the (K+1)-th WORD (retirement bound for
+    candidates beyond the list).  `lo`/`hi` are the (NG, 3) group AABBs
+    (= chunk AABBs when s_group == 1).  `wmin` (R,) i32 restricts to
+    candidates with packed word >= wmin — the refill cursor.  Words are a
+    TOTAL order (entry bits tie-broken by id), so a refill from the first
+    untested word always makes progress even when many candidates tie at
+    the same entry distance (e.g. a bounce origin INSIDE several
+    overlapping chunk slabs, where entry == 0 for all of them — an
+    entry-distance cursor would re-enumerate those ties forever)."""
     id_mask = (1 << id_bits) - 1
     sent = jnp.int32((SENT_BITS & ~id_mask) | id_mask)
     ids = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
@@ -212,28 +228,28 @@ def _schedule(lo, hi, o_f32, d_f32, maxd, n_chunks: int, id_bits: int, k: int,
     # (rs, NG, 3) temporaries are the memory budget (3x the sweep itself)
     rs = max(1024, min(R, (1 << 24) // max(3 * n_chunks, 1)))
     r_pad = (-R) % rs
-    if emin is None:
-        emin = jnp.zeros((R,), F32)
+    if wmin is None:
+        wmin = jnp.full((R,), jnp.iinfo(jnp.int32).min, jnp.int32)
     if r_pad:
         o_p = jnp.pad(o_f32, ((0, r_pad), (0, 0)))
         d_p = jnp.pad(d_f32, ((0, r_pad), (0, 0)), constant_values=1.0)
         mx_p = jnp.pad(maxd, (0, r_pad))
-        em_p = jnp.pad(emin, (0, r_pad), constant_values=3e38)
+        wm_p = jnp.pad(wmin, (0, r_pad), constant_values=jnp.iinfo(jnp.int32).max)
     else:
-        o_p, d_p, mx_p, em_p = o_f32, d_f32, maxd, emin
+        o_p, d_p, mx_p, wm_p = o_f32, d_f32, maxd, wmin
 
     def slab(args):
-        o, d, mx, em = args
+        o, d, mx, wm = args
         entry, ok = ray_aabb_entry(lo, hi, o, d, mx)
-        ok = ok & (entry >= em[:, None])
         ebits = jax.lax.bitcast_convert_type(entry, jnp.int32)
         words = jnp.where(ok, (ebits & ~id_mask) | ids, sent)
+        words = jnp.where(words >= wm[:, None], words, sent)
         outs = []
         for _ in range(k):  # k min-extraction passes, ascending
             m = jnp.min(words, axis=1)
             outs.append(m)
             words = jnp.where(words == m[:, None], sent, words)
-        tcut = jnp.min(words, axis=1)  # (k+1)-th nearest (sent if none)
+        tcut = jnp.min(words, axis=1)  # (k+1)-th nearest WORD (sent if none)
         return jnp.stack(outs, axis=1), tcut
 
     n_slabs = (R + r_pad) // rs
@@ -243,18 +259,17 @@ def _schedule(lo, hi, o_f32, d_f32, maxd, n_chunks: int, id_bits: int, k: int,
             o_p.reshape(n_slabs, rs, 3),
             d_p.reshape(n_slabs, rs, 3),
             mx_p.reshape(n_slabs, rs),
-            em_p.reshape(n_slabs, rs),
+            wm_p.reshape(n_slabs, rs),
         ),
     )
     cand = cand.reshape(-1, k)[:R]
     tcut = tcut.reshape(-1)[:R]
-    tcut_e = jax.lax.bitcast_convert_type(tcut & ~id_mask, F32)
-    return cand, tcut_e
+    return cand, tcut
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("prec", "find_any", "interpret"),
+    static_argnames=("prec", "find_any", "interpret", "mode"),
 )
 def trace_rays_wavefront(
     scene,
@@ -268,12 +283,30 @@ def trace_rays_wavefront(
     max_dist=1e5,
     find_any: bool = False,
     interpret: bool = False,
+    mode: str = "auto",  # 'rounds' | 'oneshot' | 'auto' (measured default)
 ) -> Hit:
     """Per-ray wavefront launch (see module docstring).  Semantics match
     `trace_rays_dense_pallas(fallback='mxu3')` up to cross-chunk exact-t
-    tie ordering; bf16/fp16 only."""
+    tie ordering; bf16/fp16 only.
+
+    `mode='oneshot'`: chunk-major PAIR EXPANSION instead of rank-major
+    rounds — every (ray, candidate) pair becomes one kernel lane, ONE
+    global sort by chunk id groups pairs so each 512-lane tile holds ~1
+    distinct chunk (vs the round kernel's up-to-CH_CAP distinct bodies per
+    tile, the measured ~850 ms fixed round cost).  All candidates are
+    tested (no ordered early exit — the measured pre-trace candidate count
+    4.9 is within 10% of the ideal 4.5 visits, so the exit buys little),
+    then a per-ray argmin over the K pair results picks the winner."""
     assert not prec.is_f32, "wavefront launch is mxu3-only (bf16/fp16)"
     assert frame.dense_n is not None and frame.dense_chunk_lo is not None
+    if mode == "auto":
+        # measured (v5e 2026-08-20, tools/bench_incoherent_ab.py 6 3,
+        # 46.5k-tri hemisphere bounce, 2.07M rays): oneshot 640 ms vs
+        # rounds 843 vs tile-anchor 1765, agreement 0.9999; at 1.3k tris
+        # oneshot 272 vs rounds 632 (the tile path wins below the
+        # wavefront_min_tris gate either way)
+        mode = "oneshot"
+    assert mode in ("rounds", "oneshot")
 
     R = origins.shape[0]
     if skip_tri is None:
@@ -313,6 +346,10 @@ def trace_rays_wavefront(
     # Streamed mode keeps the table in HBM and DMAs one contiguous group
     # slab per body; VMEM-resident up to ~48 MB.
     s_group = max(1, -(-n_chunks // GROUP_WIDTH))
+    if mode == "oneshot":
+        # coarser candidates: the pair sorts scale with R * K, the kernel
+        # amortizes the extra chunks per body on wide coherent tiles
+        s_group = max(s_group, ONESHOT_SGROUP)
     g_pad = (-n_chunks) % s_group
     n_groups = (n_chunks + g_pad) // s_group
     clo = frame.dense_chunk_lo
@@ -334,7 +371,7 @@ def trace_rays_wavefront(
     # one extra bit so the sentinel id (all-ones) exceeds every real id
     id_bits = max(2, n_groups.bit_length())
     id_mask = (1 << id_bits) - 1
-    k = min(K_CAND, n_groups)
+    k = min(ONESHOT_K if mode == "oneshot" else K_CAND, n_groups)
     live0 = maxd > min_dist
     q = min(Q_RANKS, k)
     r_pad = (-R) % WTR
@@ -397,6 +434,221 @@ def trace_rays_wavefront(
     def padr(x, cval=0.0):
         return jnp.pad(x, ((0, r_pad),) + ((0, 0),) * (x.ndim - 1),
                        constant_values=cval) if r_pad else x
+
+    def pair_pass(o_f, d_f, skip_a, mind_a, maxd_a, live_a, emin_a, kk, wtr1):
+        """Schedule + pair-expand + global chunk-id sort + assigned kernel
+        + per-ray combine for ONE ray set (mode='oneshot').
+        -> (t_b, row_b, pk_b, e_next): each ray's best result among its kk
+        nearest candidates and the entry bound of its first UNTESTED
+        candidate (3e38 when none remain).
+
+        Sort-payload packing: the ray components arrive in the render
+        dtype (bf16/fp16), so each (x, y) pair packs LOSSLESSLY into one
+        i32 word via the dtype bit pattern — 3 packed words replace 6 f32
+        payload operands in the dominant pair sort.  Recentering happens
+        AFTER unpacking (in f32), identical to the unpacked path."""
+        Rn = o_f.shape[0]
+        cand, tcut_w = _schedule(
+            glo, ghi, o_f, d_f, jnp.where(live_a, maxd_a, 0.0),
+            n_groups, id_bits, kk, wmin=emin_a,
+        )
+        cand_id = cand & id_mask  # (Rn, kk); absent candidates = id_mask
+
+        u16 = lambda x: jax.lax.bitcast_convert_type(
+            x.astype(dt), jnp.uint16
+        ).astype(jnp.int32)
+        pk2 = lambda a, b: (u16(a) << 16) | u16(b)
+        w0 = pk2(o_f[:, 0], o_f[:, 1])
+        w1 = pk2(o_f[:, 2], d_f[:, 0])
+        w2 = pk2(d_f[:, 1], d_f[:, 2])
+
+        P = Rn * kk
+        pid = cand_id.reshape(P)
+        rrep = lambda x: jnp.repeat(x, kk, axis=0)
+        live_p = (pid < id_mask) & rrep(live_a)
+        key = jnp.where(live_p, pid, jnp.int32(id_mask))
+        pidx = jnp.arange(P, dtype=jnp.int32)
+        srt = jax.lax.sort(
+            [key, rrep(w0), rrep(w1), rrep(w2),
+             rrep(skip_a), rrep(mind_a),
+             jnp.where(live_p, rrep(maxd_a), 0.0), pidx],
+            num_keys=1,
+        )
+        key_s, pidx_s = srt[0], srt[7]
+        p_pad = (-P) % wtr1
+        Pp = P + p_pad
+        padp = lambda x, cv=0.0: (
+            jnp.pad(x, (0, p_pad), constant_values=cv) if p_pad else x
+        )
+        ids_p = padp(key_s, id_mask)
+        grid_p = Pp // wtr1
+        ch_cap1 = max(4, min(ONESHOT_CH_CAP, (192 * 1024) // grid_p - 1))
+        # per-tile distinct lists: the GLOBAL sort makes each tile's slice
+        # already ascending, so distinct ids = values where the neighbor
+        # differs, compacted by ch_cap1 min-extraction passes (no sort)
+        tile_ids = ids_p.reshape(grid_p, wtr1)
+        first = jnp.concatenate(
+            [jnp.ones((grid_p, 1), bool), tile_ids[:, 1:] != tile_ids[:, :-1]],
+            axis=1,
+        )
+        is_real = tile_ids < id_mask
+        dmask = jnp.where(first & is_real, tile_ids, jnp.int32(id_mask))
+        cols = []
+        for _ in range(ch_cap1):
+            m = jnp.min(dmask, axis=1)
+            cols.append(m)
+            dmask = jnp.where(dmask == m[:, None], jnp.int32(id_mask), dmask)
+        distinct = jnp.stack(cols, axis=1)  # (grid_p, ch_cap1) ascending
+        counts = jnp.sum(distinct < id_mask, axis=1, dtype=jnp.int32)
+        thresh = distinct[:, ch_cap1 - 1]  # id_mask when the list holds all
+        covered = ids_p <= jnp.repeat(thresh, wtr1)  # (Pp,)
+        active = jnp.concatenate([counts, distinct.reshape(-1)])
+
+        un16 = lambda wrd, hi: jax.lax.bitcast_convert_type(
+            ((wrd >> 16) if hi else (wrd & 0xFFFF)).astype(jnp.uint16), dt
+        ).astype(F32)
+        w0s, w1s, w2s = padp(srt[1], 0), padp(srt[2], 0), padp(srt[3], 0)
+        ox, oy = un16(w0s, True), un16(w0s, False)
+        oz, dx = un16(w1s, True), un16(w1s, False)
+        dy, dz = un16(w2s, True), un16(w2s, False)
+        c = frame.dense_center
+        rays = jnp.concatenate(
+            [
+                (ox - c[0])[None, :], (oy - c[1])[None, :],
+                (oz - c[2])[None, :],
+                jnp.ones((1, Pp), F32),
+                dx[None, :], dy[None, :], dz[None, :],
+                jnp.zeros((1, Pp), F32),
+                padp(srt[4], -1.0)[None, :].astype(F32),
+                padp(srt[5])[None, :],
+                padp(srt[6])[None, :],
+                jnp.where(covered, ids_p, id_mask)[None, :].astype(F32),
+            ],
+            axis=0,
+        )  # (12, Pp)
+
+        kernel1 = functools.partial(
+            _assigned_kernel, tc=tc, n32=n32, q=1, find_any=find_any,
+            s_group=s_group, stream=stream, ch_cap=ch_cap1,
+        )
+        ray_block1 = lambda rows: pl.BlockSpec(
+            (rows, wtr1), lambda i, *_: (0, i), memory_space=pltpu.VMEM
+        )
+        grid_spec1 = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid_p,),
+            in_specs=[table_spec, ray_block1(12)],
+            out_specs=[ray_block1(1), ray_block1(2)],
+            scratch_shapes=scratch,
+        )
+        outf, oids = pl.pallas_call(
+            kernel1,
+            grid_spec=grid_spec1,
+            out_shape=[
+                jax.ShapeDtypeStruct((1, Pp), F32),
+                jax.ShapeDtypeStruct((2, Pp), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(active, a32t, rays)
+
+        # back to pair order; per-ray argmin over the kk pair results
+        back = jax.lax.sort(
+            [pidx_s, outf[0, :P], oids[0, :P], oids[1, :P],
+             covered[:P].astype(jnp.int32)],
+            num_keys=1,
+        )
+        t_r = back[1].reshape(Rn, kk)
+        row_r = back[2].reshape(Rn, kk)
+        pk_r = back[3].reshape(Rn, kk)
+        cov_r = back[4].reshape(Rn, kk) > 0
+        t_m = jnp.where(row_r >= 0, t_r, jnp.inf)
+        j = jnp.argmin(t_m, axis=1)
+        t_b = jnp.take_along_axis(t_m, j[:, None], axis=1)[:, 0]
+        row_b = jnp.take_along_axis(row_r, j[:, None], axis=1)[:, 0]
+        pk_b = jnp.take_along_axis(pk_r, j[:, None], axis=1)[:, 0]
+
+        # first UNTESTED candidate per ray, as the PACKED WORD (total
+        # order): min over uncovered real candidates, else the (kk+1)-th
+        # (tcut).  The word doubles as the refill cursor.
+        unc = (~cov_r) & (cand_id < id_mask)
+        w_unc = jnp.min(
+            jnp.where(unc, cand, jnp.int32(SENT_BITS | id_mask)), axis=1
+        )
+        w_next = jnp.minimum(w_unc, tcut_w)
+        e_next = jax.lax.bitcast_convert_type(w_next & ~id_mask, F32)
+        return t_b, row_b, pk_b, e_next, w_next
+
+    def oneshot_merge(carry, t_b, row_b, pk_b, e_next, sel=None):
+        """Fold a pair_pass result into the running carry; `sel` indexes
+        the subset the pass covered (None = all rays)."""
+        best_t, best_row, best_pk, resolved = carry
+        if sel is None:
+            bt, br, bp = best_t, best_row, best_pk
+            mx, lv = maxd, live0
+        else:
+            take = lambda x: jnp.take(x, sel, axis=0)
+            bt, br, bp = take(best_t), take(best_row), take(best_pk)
+            mx, lv = take(maxd), take(live0)
+        better = (row_b >= 0) & (t_b < bt)
+        bt = jnp.where(better, t_b, bt)
+        br = jnp.where(better, row_b, br)
+        bp = jnp.where(better, pk_b, bp)
+        cap = jnp.where(lv, jnp.minimum(bt, mx), -jnp.inf)
+        res_n = cap <= e_next
+        if find_any:
+            res_n = res_n | (br >= 0)
+        if sel is None:
+            resolved = resolved | res_n
+            return (bt, br, bp, resolved)
+        resolved = resolved.at[sel].set(
+            jnp.take(resolved, sel) | res_n, mode="drop"
+        )
+        best_t = best_t.at[sel].set(bt, mode="drop")
+        best_row = best_row.at[sel].set(br, mode="drop")
+        best_pk = best_pk.at[sel].set(bp, mode="drop")
+        return (best_t, best_row, best_pk, resolved)
+
+    _W_SENT = jnp.int32(jnp.iinfo(jnp.int32).max)
+
+    def oneshot_cycle(carry, emin):
+        """Full-width cycle: every ray, its kk = k nearest candidates."""
+        live_ray = live0 & ~carry[3]
+        t_b, row_b, pk_b, e_next, w_next = pair_pass(
+            o_f32, d_f32, skip_tri, min_dist, maxd, live_ray, emin,
+            k, ONESHOT_WTR,
+        )
+        carry = oneshot_merge(carry, t_b, row_b, pk_b, e_next)
+        emin2 = jnp.where(carry[3], _W_SENT, w_next)
+        return carry, emin2
+
+    # compacted tail passes: the UNRESOLVED rays sort to the front and the
+    # first r_tail slots get a deep candidate list — the heavy per-ray
+    # candidate tail (ideal visits mean 4.5 but p95 9, p99 12, max ~54)
+    # retires here at a fraction of a full-width refill's cost (the sweep's
+    # fixed costs measured ~1.3 s at 46.5k tris even with ~every lane
+    # resolved)
+    def tail_cycle(carry, emin_arr, r_tail, k_tail):
+        resolved = carry[3]
+        srt_r = jax.lax.sort(
+            [resolved.astype(jnp.int32), jnp.arange(R, dtype=jnp.int32)],
+            num_keys=1,
+        )
+        sel = srt_r[1][:r_tail]  # unresolved first (stable sort)
+        take = lambda x: jnp.take(x, sel, axis=0)
+        live_t = take(live0) & ~take(resolved)
+        t_b, row_b, pk_b, e_next, w_next = pair_pass(
+            take(o_f32), take(d_f32), take(skip_tri), take(min_dist),
+            take(maxd), live_t, take(emin_arr), k_tail, ONESHOT_WTR,
+        )
+        carry = oneshot_merge(carry, t_b, row_b, pk_b, e_next, sel=sel)
+        emin_arr = emin_arr.at[sel].set(
+            jnp.where(jnp.take(carry[3], sel), _W_SENT, w_next),
+            mode="drop",
+        )
+        return carry, emin_arr
 
     def round_step(best_t, best_row, best_pk, ptr, resolved,
                    cand_id, cand_entry, tcut_e):
@@ -505,9 +757,10 @@ def trace_rays_wavefront(
         count 4.9), so a deep N_ROUNDS bound costs nothing once the last
         ray retires."""
         best_t, best_row, best_pk, resolved = carry
-        cand, tcut_e = _schedule(
-            glo, ghi, o_f32, d_f32, maxd, n_groups, id_bits, k, emin=emin
+        cand, tcut_w = _schedule(
+            glo, ghi, o_f32, d_f32, maxd, n_groups, id_bits, k, wmin=emin
         )
+        tcut_e = jax.lax.bitcast_convert_type(tcut_w & ~id_mask, F32)
         cand_entry = jax.lax.bitcast_convert_type(cand & ~id_mask, F32)
         cand_id = cand & id_mask
         ptr = jnp.zeros((R,), jnp.int32)  # first untested candidate rank
@@ -529,28 +782,80 @@ def trace_rays_wavefront(
             (jnp.int32(0), best_t, best_row, best_pk, ptr, resolved),
         )
         _, best_t, best_row, best_pk, ptr, resolved = st
-        # next cycle refills candidates past everything already tested
-        emin2 = jnp.where(resolved, jnp.float32(3e38),
-                          entry_at(ptr, cand_entry, tcut_e))
+        # next cycle refills from the first untested PACKED WORD — a total
+        # order, so entry-distance ties (bounce origins inside overlapping
+        # slabs) cannot stall the cursor
+        w_at = jnp.take_along_axis(
+            cand, jnp.minimum(ptr, k - 1)[:, None], axis=1
+        )[:, 0]
+        w_next = jnp.where(ptr < k, w_at, tcut_w)
+        emin2 = jnp.where(
+            resolved, jnp.int32(jnp.iinfo(jnp.int32).max), w_next
+        )
         return (best_t, best_row, best_pk, resolved), emin2
 
     carry = (best_t, best_row, best_pk, ~live0)
-    carry, emin = run_cycle(carry, None)
-    if n_cycles == 2:
+    if mode == "oneshot":
+        # ONE full-width cycle (k nearest candidates per ray), then
+        # COMPACTED tail cycles under a while_loop: unresolved rays sort
+        # to the front and the first R_TAIL slots get K_TAIL candidates
+        # each.  The tail replaces the tile-path sweep as the overflow
+        # mechanism — the sweep's fixed costs (full-R morton sorts + its
+        # own schedule) measured ~1.3 s at 46.5k tris even with ~every
+        # lane resolved, and a full-width refill pays the whole P-pair
+        # sort for a percent-level tail.  The terminal cond-sweep below
+        # remains as the safety net for rays still unresolved after MAX_C
+        # tail cycles (> MAX_C * K_TAIL + k candidates — pathological).
+        carry, emin = oneshot_cycle(carry, None)
+        rnd = lambda n: max(ONESHOT_WTR, (n // ONESHOT_WTR) * ONESHOT_WTR)
+        # count-gated tail cascade: each tier only fires when the
+        # unresolved count exceeds what the NEXT (cheaper) tier could
+        # absorb, and the deepest tiers give their rays enough candidates
+        # (.. 64, 128 — measured max need ~54 at chunk granularity) that a
+        # selected ray always exhausts its list and resolves.  A lone
+        # unresolved ray costs two small passes, not a full-width refill
+        # (and never the tile-path sweep, whose fixed costs measured
+        # ~1.3 s at 46.5k tris).
+        tiers = [  # (min unresolved count to fire, rays, candidates)
+            (R // 4, R, min(8, n_groups)),
+            (R // 16, rnd(R // 4), min(16, n_groups)),
+            (R // 64, rnd(R // 16), min(32, n_groups)),
+            (1, rnd(R // 64), min(64, n_groups)),
+            (1, rnd(R // 256), min(128, n_groups)),
+        ]
         if interpret:
-            # keep both cycle paths covered by the CPU tests (running a
-            # cycle with every ray resolved is a no-op)
-            carry, _ = run_cycle(carry, emin)
+            # CPU tests: static tail passes keep the path covered (two
+            # tiers exercise both the compaction and the deep-K shapes)
+            for _, r_tail, k_tail in tiers[1:3]:
+                carry, emin = tail_cycle(carry, emin, r_tail, k_tail)
         else:
-            # the refill cycle pays a full (R, NG) schedule sweep; skip it
-            # at runtime when cycle 1 resolved everything (the common case
-            # — K covers ~99.5% of rays at 328k tris)
-            carry = jax.lax.cond(
-                jnp.any(~carry[3]),
-                lambda args: run_cycle(args[0], args[1])[0],
-                lambda args: args[0],
-                (carry, emin),
-            )
+            for min_cnt, r_tail, k_tail in tiers:
+                cnt = jnp.sum((~carry[3]).astype(jnp.int32))
+                carry, emin = jax.lax.cond(
+                    cnt >= min_cnt,
+                    lambda args, rt=r_tail, kt=k_tail: tail_cycle(
+                        args[0], args[1], rt, kt
+                    ),
+                    lambda args: args,
+                    (carry, emin),
+                )
+    else:
+        carry, emin = run_cycle(carry, None)
+        if n_cycles == 2:
+            if interpret:
+                # keep both cycle paths covered by the CPU tests (running a
+                # cycle with every ray resolved is a no-op)
+                carry, _ = run_cycle(carry, emin)
+            else:
+                # the refill cycle pays a full (R, NG) schedule sweep; skip
+                # it at runtime when cycle 1 resolved everything (the
+                # common case — K covers ~99.5% of rays at 328k tris)
+                carry = jax.lax.cond(
+                    jnp.any(~carry[3]),
+                    lambda args: run_cycle(args[0], args[1])[0],
+                    lambda args: args[0],
+                    (carry, emin),
+                )
     best_t, best_row, best_pk, resolved = carry
 
     # ---- decode the packed winners ----
@@ -600,4 +905,10 @@ def trace_rays_wavefront(
         # (CPU tests) keeps the always-run form so both branches stay
         # covered
         return sweep(wave)
+    import os as _os_env
+
+    if _os_env.environ.get("LPRT_WF_NO_SWEEP"):
+        # perf-debug escape: skip the fallback sweep entirely (results may
+        # be missing overflow-ray hits — NEVER for production)
+        return wave
     return jax.lax.cond(jnp.any(~resolved), sweep, lambda w: w, wave)

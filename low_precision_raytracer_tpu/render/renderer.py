@@ -261,7 +261,10 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
     # downstream pack pass).
     svgf_impl = cfg.svgf.wavelet_impl
     if svgf_impl == "auto":
-        svgf_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # fp16: Mosaic rejects f16 operands on this toolchain ("Unsupported
+        # type in mosaic dialect") — the XLA stencils carry fp16 fine
+        on_tpu = jax.default_backend() == "tpu" and cfg.precision != "fp16"
+        svgf_impl = "pallas" if on_tpu else "xla"
     packed_fetch = cfg.demo.svgf and cfg.mesh is None and svgf_impl == "pallas"
     if not cfg.demo.svgf:
         svgf_payload = None

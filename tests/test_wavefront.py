@@ -63,7 +63,8 @@ def _agree(ref, wf, tol=1e-6):
     )
 
 
-def test_wavefront_matches_dense_primary():
+@pytest.mark.parametrize("mode", ["rounds", "oneshot"])
+def test_wavefront_matches_dense_primary(mode):
     """Scrambled primary rays (multi-chunk scene, 42 chunks)."""
     prec, scene, frame, o, d = _setup()
     perm = jax.random.permutation(jax.random.PRNGKey(3), o.shape[0])
@@ -72,11 +73,12 @@ def test_wavefront_matches_dense_primary():
         scene, frame, o, d, prec=prec, fallback="mxu3", cull=True,
         tile_hw=None, interpret=True,
     )
-    wf = trace_rays_wavefront(scene, frame, o, d, prec=prec, interpret=True)
+    wf = trace_rays_wavefront(scene, frame, o, d, prec=prec, interpret=True, mode=mode)
     _agree(ref, wf)
 
 
-def test_wavefront_matches_dense_bounce():
+@pytest.mark.parametrize("mode", ["rounds", "oneshot"])
+def test_wavefront_matches_dense_bounce(mode):
     """Hemisphere bounce rays with per-lane maxd (dead lanes included)."""
     prec, scene, frame, o, d = _setup()
     bo, bd, maxd = _bounce_rays(prec, scene, frame, o, d)
@@ -85,7 +87,7 @@ def test_wavefront_matches_dense_bounce():
         tile_hw=None, interpret=True, min_dist=0.1, max_dist=maxd,
     )
     wf = trace_rays_wavefront(
-        scene, frame, bo, bd, prec=prec, interpret=True,
+        scene, frame, bo, bd, prec=prec, interpret=True, mode=mode,
         min_dist=0.1, max_dist=maxd,
     )
     _agree(ref, wf)
@@ -94,7 +96,8 @@ def test_wavefront_matches_dense_bounce():
     assert (np.asarray(wf.tri)[dead] == -1).all()
 
 
-def test_wavefront_find_any():
+@pytest.mark.parametrize("mode", ["rounds", "oneshot"])
+def test_wavefront_find_any(mode):
     """Any-hit launches: occlusion mask must match the tile path's."""
     prec, scene, frame, o, d = _setup()
     bo, bd, maxd = _bounce_rays(prec, scene, frame, o, d, key=11)
@@ -106,7 +109,7 @@ def test_wavefront_find_any():
     )
     wf = trace_rays_wavefront(
         scene, frame, bo, bd, prec=prec, interpret=True, find_any=True,
-        min_dist=0.1, max_dist=maxd,
+        mode=mode, min_dist=0.1, max_dist=maxd,
     )
     np.testing.assert_array_equal(
         np.asarray(ref.tri) >= 0, np.asarray(wf.tri) >= 0
@@ -132,7 +135,8 @@ def test_wavefront_overflow_sweep(monkeypatch):
     _agree(ref, wf)
 
 
-def test_wavefront_skip_tri():
+@pytest.mark.parametrize("mode", ["rounds", "oneshot"])
+def test_wavefront_skip_tri(mode):
     """skip_tri threading: re-tracing from hit points with the hit triangle
     skipped must not re-hit it at zero distance."""
     prec, scene, frame, o, d = _setup()
@@ -146,7 +150,7 @@ def test_wavefront_skip_tri():
     maxd = jnp.where(live, 1e5, 0.0).astype(jnp.float32)
     wf = trace_rays_wavefront(
         scene, frame, pos.astype(prec.dtype), d, prec=prec, interpret=True,
-        skip_tri=hit.tri, max_dist=maxd,
+        mode=mode, skip_tri=hit.tri, max_dist=maxd,
     )
     re_hit = np.asarray(wf.tri) == np.asarray(hit.tri)
     near = np.asarray(wf.t) < 1e-3
@@ -213,7 +217,8 @@ def test_wavefront_fp16():
     _agree(ref, wf)
 
 
-def test_wavefront_matches_fp64_oracle():
+@pytest.mark.parametrize("mode", ["rounds", "oneshot"])
+def test_wavefront_matches_fp64_oracle(mode):
     """Independent oracle (fp64 brute force), not just the sibling kernel:
     catches modes both Pallas paths could share."""
     import sys
@@ -231,7 +236,7 @@ def test_wavefront_matches_fp64_oracle():
     o, d = o.reshape(-1, 3), d.reshape(-1, 3)
     perm = jax.random.permutation(jax.random.PRNGKey(17), o.shape[0])
     o, d = o[perm], d[perm]
-    wf = trace_rays_wavefront(scene, frame, o, d, prec=prec, interpret=True)
+    wf = trace_rays_wavefront(scene, frame, o, d, prec=prec, interpret=True, mode=mode)
     want = brute_force_trace(
         flat, host.meshes, np.asarray(o, np.float64), np.asarray(d, np.float64)
     )

@@ -90,7 +90,8 @@ def main():
     maxd = jnp.where(live, 1e5, 0.0).astype(jnp.float32)
 
     variants = [
-        ("wavefront", "wavefront", True),
+        ("wf oneshot", "wavefront:oneshot", True),
+        ("wf rounds", "wavefront:rounds", True),
         ("sorted anchor", "anchor", True),
         ("sorted beam", "beam", True),
         ("sorted origin", "origin", True),
@@ -99,13 +100,15 @@ def main():
     results = {}
     base = None
     for name, mode, do_sort in variants:
-        if mode == "wavefront":
+        if mode and mode.startswith("wavefront"):
             from low_precision_raytracer_tpu.ops.wavefront import (
                 trace_rays_wavefront,
             )
 
-            fn = lambda: trace_rays_wavefront(
+            wf_mode = mode.split(":")[1]
+            fn = lambda wf_mode=wf_mode: trace_rays_wavefront(
                 scene, frame, pos, bd, prec=prec, min_dist=0.1, max_dist=maxd,
+                mode=wf_mode,
             )
         elif do_sort:
             fn = lambda: DP.trace_rays_dense_pallas_sorted(
