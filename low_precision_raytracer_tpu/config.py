@@ -236,12 +236,13 @@ class RenderConfig:
     #               bf16/fp16 multi-chunk scenes up to the HBM-streamed
     #               table band (packet_bvh_max_tris, v2 group scheduling);
     #               other launches keep the tile path.
-    # Default from the v5e A/B (2026-08-19): wavefront beats every tile
-    # sort key on the 46.5k incoherent bounce (930 ms tuned vs anchor
-    # 1406), and at 2M tris it is the only incoherent path that completes
-    # (the tile path's overflow sweep trips the TPU watchdog).  Launches
-    # outside the wavefront gate (fp32, non-mxu3, single-chunk scenes)
-    # fall through to the anchor-sorted tile path.
+    # Default from the v5e A/Bs (2026-08-19/20): above wavefront_min_tris
+    # the wavefront beats every tile sort key on the 46.5k incoherent
+    # bounce (oneshot 640 ms vs anchor 1765), and at 2M tris it is the
+    # only incoherent path that completes (the tile path's overflow sweep
+    # trips the TPU watchdog).  Below the gate, and for launches outside
+    # it (fp32, non-mxu3, single-chunk scenes), the anchor-sorted tile
+    # path wins outright (1.3k tris: 89 ms vs 272) and is used instead.
     incoherent_impl: str = "wavefront"
     # minimum instance-triangle count for the wavefront to take incoherent
     # launches; below it the anchor-sorted tile path wins outright

@@ -157,10 +157,17 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
             "Trace DI Ray #1", stats, dec_fn, g_flat["di_vis"], out0.lights
         )
     else:
+        # mirror production coherence flags: round-0 shadow rays start at
+        # screen-ordered primary hits (coherent), bounce-round shadow rays
+        # at scattered GI hits (coherent=False -> sorted tile path)
         di_fn = jax.jit(
-            lambda src, lights, skips: _trace_di(scene, frame, src, lights, skips, prec, cfg)
+            lambda src, lights, skips, coh: _trace_di(
+                scene, frame, src, lights, skips, prec, cfg, coherent=coh
+            ),
+            static_argnums=(3,),
         )
-        di0 = _timed("Trace DI Ray #1", stats, di_fn, out0.source, out0.lights, out0.skip_tri)
+        di0 = _timed("Trace DI Ray #1", stats, di_fn, out0.source, out0.lights,
+                     out0.skip_tri, True)
 
     acc_fn = jax.jit(lambda out, di: out.intensity + jnp.sum(di, axis=1) + out.di_sky)
     intensity0 = _timed("Accumulate DI #1", stats, acc_fn, out0, di0)
@@ -196,7 +203,8 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
         if di_spec is not None:
             di1 = _timed("Trace DI #2", stats, dec_fn, vis1, out1.lights)
         else:
-            di1 = _timed("Trace DI #2", stats, di_fn, out1.source, out1.lights, out1.skip_tri)
+            di1 = _timed("Trace DI #2", stats, di_fn, out1.source, out1.lights,
+                         out1.skip_tri, False)
         intensity1 = _timed("Accumulate DI #2", stats, acc_fn, out1, di1)
 
     # clean-colour split + the PRODUCTION denoiser: ONE vmapped pass over

@@ -21,3 +21,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_collection_modifyitems(session, config, items):
+    """XLA:CPU segfaults (hard crash in backend_compile_and_load) while
+    compiling test_traversal's lax.while_loop program when it runs LATE in
+    the full suite — after hundreds of in-process CPU compilations — but
+    is stable standalone, in any shorter sub-sequence, and early in the
+    order (reproduced 3x on 2026-08-20, same stack each time).  Until the
+    upstream compiler bug is addressed, run that file first; the stable
+    sort leaves all other ordering untouched."""
+    items.sort(key=lambda it: 0 if "test_traversal.py" in str(it.fspath) else 1)
