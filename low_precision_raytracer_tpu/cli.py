@@ -239,7 +239,7 @@ def cmd_view(args) -> int:
 def cmd_bench(args) -> int:
     import bench as bench_mod  # repo-root bench.py
 
-    mrays, dt, n_rays = bench_mod.bench(
+    mrays, dt, n_rays, _reps = bench_mod.bench(
         width=args.width, height=args.height, precision=args.precision, frames=args.frames
     )
     print(json.dumps({"mrays_per_s": round(mrays, 2), "ms_per_frame": round(dt * 1e3, 2)}))

@@ -130,6 +130,19 @@ class SVGFConfig:
     # Pallas wavelet chain), 'xla' (stencils), or 'xla_halo' (unrolled-tap
     # stencils for GSPMD halo partitioning under device meshes)
     wavelet_impl: str = "auto"
+    # Keep the CARRIED temporal state (color history + moments) and the
+    # denoiser arithmetic in fp32 even when the render dtype is bf16/fp16.
+    # Deliberate deviation from the reference, which stores history in
+    # DataT (`rt/rtrt/cuda.hpp:1234-1243`) and pays for it: with bf16
+    # state, every frame requantises the history lerp to an 8-bit
+    # mantissa, so the accumulator never converges below the mantissa
+    # step — measured 3.2 dB lost against a converged ground truth
+    # (BENCH_r04, delta_db_vs_truth).  fp32 state closes that and is
+    # ~free on TPU: the fused Pallas kernels already compute in f32
+    # internally; only the carried planes (and their temporal fetch)
+    # double in HBM, ~0.1 ms at 1080p.  False = reference behaviour
+    # (state in the render dtype), kept for the ablation harness.
+    state_f32: bool = True
 
 
 @dataclass(frozen=True)

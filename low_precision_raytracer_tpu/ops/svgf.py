@@ -441,13 +441,12 @@ def svgf_denoise_pair(
             from low_precision_raytracer_tpu.ops.svgf_pallas import PAD
 
             if H % n_dev == 0 and H // n_dev >= PAD:
-                # multi-chip: the fused temporal kernel and the packed fetch
-                # are single-chip layouts, but the WAVELET chain (2/3 of the
-                # denoise cost) runs the same Pallas kernels per shard with
-                # bounded halo ppermutes
-                # (svgf_pallas.wavelet_chain_pallas_pair_sharded).  The
-                # temporal stages run in the unrolled-tap XLA form that
-                # GSPMD partitions with halo ppermutes.
+                # multi-chip: the WHOLE fused pipeline (temporal kernel +
+                # wavelet chain) runs the same Pallas kernels per shard
+                # with bounded halo ppermutes
+                # (svgf_pallas.svgf_pallas_pair_full_sharded); only the
+                # history fetch stays XLA (halo fetch — its Pallas fast
+                # path needs a global motion roll)
                 impl = "pallas_sharded"
             else:
                 # shards too short to carry the PAD-row halo (tiny test
@@ -463,6 +462,63 @@ def svgf_denoise_pair(
         "impl before choosing the packed fetch (render/renderer.py does)"
     )
 
+    # cfg.state_f32: denoiser arithmetic + the carried state run in fp32
+    # regardless of the render dtype (bf16 history requantisation costs
+    # ~3 dB of converged quality — config.SVGFConfig.state_f32).  The
+    # denoised colour still leaves in the render dtype; the returned
+    # SVGFState leaves in fp32.  On the fused Pallas path this costs
+    # nothing (its kernels already compute in f32); the XLA stencil path
+    # upcasts here.
+    out_dt = color2.dtype
+    if cfg.state_f32 and out_dt != jnp.float32:
+        f32 = jnp.float32
+        color2 = color2.astype(f32)
+        normal = normal.astype(f32)
+        depth = depth.astype(f32)
+        grad = grad.astype(f32)
+        state2 = SVGFState(*(x.astype(f32) for x in state2))
+        if prefetch2 is not None:
+            prefetch2 = jax.tree_util.tree_map(
+                lambda x: x.astype(f32), prefetch2
+            )
+        # prefetch_ctr is already (N_CTR, hp, wp) f32 by layout
+
+    def _fetch_prefetch2(state2_):
+        """Finished weighted history fetches for both instances (the
+        caller-side prefetch the fused paths require) — single-chip
+        gathers; meshed callers should prefetch via the halo fetch."""
+
+        def fetch(state):
+            h = weighted_taps(
+                svgf_map, gather_taps(svgf_map, state.color_history),
+                0.0, channel=True,
+            )
+            m1 = weighted_taps(
+                svgf_map, gather_taps(svgf_map, state.miu1), 0.0, channel=False
+            )
+            m2 = weighted_taps(
+                svgf_map, gather_taps(svgf_map, state.miu2), 0.0, channel=False
+            )
+            return h, m1, m2
+
+        return jax.vmap(fetch)(state2_)
+
+    if impl == "pallas_sharded":
+        # the WHOLE fused pipeline per shard (temporal kernel + wavelet
+        # chain) with bounded halo ppermutes — svgf_pallas.py
+        from low_precision_raytracer_tpu.ops.svgf_pallas import (
+            svgf_pallas_pair_full_sharded,
+        )
+
+        if prefetch2 is None:
+            prefetch2 = _fetch_prefetch2(state2)
+        out2, new_state2 = svgf_pallas_pair_full_sharded(
+            color2, svgf_map, depth, grad, normal, cfg,
+            color_taa_w, moments_taa_w, prefetch2, cfg.strides, mesh,
+            interpret=interpret or jax.default_backend() == "cpu",
+        )
+        return out2.astype(out_dt), new_state2
+
     if impl == "pallas":
         # fully fused path: temporal accumulation + wavelet chain in packed
         # channel-major Pallas kernels (one pack, one unpack).  Finished
@@ -477,31 +533,20 @@ def svgf_denoise_pair(
         interpret = interpret or _jax.default_backend() == "cpu"
 
         if prefetch_ctr is not None:
-            return svgf_pallas_pair_full(
+            out2, new_state2 = svgf_pallas_pair_full(
                 color2, svgf_map, depth, grad, normal, cfg,
                 color_taa_w, moments_taa_w, None, cfg.strides,
                 interpret=interpret, prefetch_ctr=prefetch_ctr,
             )
+            return out2.astype(out_dt), new_state2
         if prefetch2 is None:
-            def fetch(state):
-                h = weighted_taps(
-                    svgf_map, gather_taps(svgf_map, state.color_history),
-                    0.0, channel=True,
-                )
-                m1 = weighted_taps(
-                    svgf_map, gather_taps(svgf_map, state.miu1), 0.0, channel=False
-                )
-                m2 = weighted_taps(
-                    svgf_map, gather_taps(svgf_map, state.miu2), 0.0, channel=False
-                )
-                return h, m1, m2
-
-            prefetch2 = jax.vmap(fetch)(state2)
-        return svgf_pallas_pair_full(
+            prefetch2 = _fetch_prefetch2(state2)
+        out2, new_state2 = svgf_pallas_pair_full(
             color2, svgf_map, depth, grad, normal, cfg,
             color_taa_w, moments_taa_w, prefetch2, cfg.strides,
             interpret=interpret,
         )
+        return out2.astype(out_dt), new_state2
 
     def temporal(color, state, pre):
         hist_pre = m1_pre = m2_pre = None
@@ -525,17 +570,6 @@ def svgf_denoise_pair(
             color2, state2, prefetch2
         )
 
-    if impl == "pallas_sharded":
-        from low_precision_raytracer_tpu.ops.svgf_pallas import (
-            wavelet_chain_pallas_pair_sharded,
-        )
-
-        out2, hist2 = wavelet_chain_pallas_pair_sharded(
-            integrated2, var2, depth, grad, normal, illum2, cfg.strides, cfg,
-            mesh, interpret=interpret or jax.default_backend() == "cpu",
-        )
-        return out2, SVGFState(miu1=miu1_2, miu2=miu2_2, color_history=hist2)
-
     if impl == "pallas_wavelet":
         # XLA temporal stages + the Pallas wavelet chain (the pre-fusion
         # TPU path, kept as the measured-safe fallback tier)
@@ -547,7 +581,9 @@ def svgf_denoise_pair(
             integrated2, var2, depth, grad, normal, illum2, cfg.strides, cfg,
             interpret=interpret or jax.default_backend() == "cpu",
         )
-        return out2, SVGFState(miu1=miu1_2, miu2=miu2_2, color_history=hist2)
+        return out2.astype(out_dt), SVGFState(
+            miu1=miu1_2, miu2=miu2_2, color_history=hist2
+        )
 
     def chain(c, v, illum):
         hist = None
@@ -560,4 +596,4 @@ def svgf_denoise_pair(
 
     out2, hist2 = jax.vmap(chain)(integrated2, var2, illum2)
     new_state2 = SVGFState(miu1=miu1_2, miu2=miu2_2, color_history=hist2)
-    return out2, new_state2
+    return out2.astype(out_dt), new_state2

@@ -40,10 +40,14 @@ class FrameState:
 def init_frame_state(cfg: RenderConfig, n_objects: int) -> FrameState:
     dt = cfg.dtype
     H, W = cfg.height, cfg.width
+    # SVGF state rides in fp32 under svgf.state_f32 (the default): bf16
+    # history requantisation costs ~3 dB of converged quality (see
+    # config.SVGFConfig.state_f32)
+    sdt = jnp.float32 if cfg.svgf.state_f32 else dt
     eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (n_objects, 4, 4))
     return FrameState(
-        svgf_colored=init_svgf_state(H, W, dt),
-        svgf_white=init_svgf_state(H, W, dt),
+        svgf_colored=init_svgf_state(H, W, sdt),
+        svgf_white=init_svgf_state(H, W, sdt),
         taa_history=jnp.zeros((H, W, 3), dt),
         svgf_frame_count=jnp.zeros((H, W), jnp.int32),
         last_mesh_id=jnp.full((H, W), -1, jnp.int32),

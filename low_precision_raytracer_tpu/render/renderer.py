@@ -440,11 +440,11 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
             mul2, st2, svgf_map, normal2d, depth2d, grad, cfg.svgf,
             cfg.svgf.color_mix_weight, cfg.svgf.moments_mix_weight,
             prefetch2=pre2, prefetch_ctr=pre_ctr,
-            # under a device mesh the wavelet chain runs the SAME fused
-            # Pallas kernels per shard (bounded halo ppermutes, zero
-            # all-gathers — svgf_pallas.wavelet_chain_pallas_pair_sharded);
-            # the temporal stages take the unrolled-tap XLA form that GSPMD
-            # partitions with halo ppermutes
+            # under a device mesh the WHOLE fused pipeline (temporal
+            # kernel + wavelet chain) runs the SAME Pallas kernels per
+            # shard (bounded halo ppermutes, zero all-gathers —
+            # svgf_pallas.svgf_pallas_pair_full_sharded); only the history
+            # fetch stays on the XLA halo path
             wavelet_impl=svgf_impl, mesh=cfg.mesh,
         )
         mul_c, mul_w = mul2[0], mul2[1]

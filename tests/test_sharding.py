@@ -167,6 +167,67 @@ def test_sharded_wavelet_chain_bitwise():
     np.testing.assert_array_equal(np.asarray(hist1), np.asarray(histS))
 
 
+def test_sharded_fused_svgf_full_bitwise():
+    """VERDICT r4 item 6: the FUSED temporal-accumulation kernel must run
+    per shard too (not just the wavelet chain).  svgf_denoise_pair with a
+    mesh routes the whole fused pipeline through
+    svgf_pallas_pair_full_sharded; given identical prefetched history
+    fetches, sharded image rows must be BITWISE equal to the single-chip
+    fused path (same kernels, interior halos carry real neighbor rows)."""
+    import jax.numpy as jnp
+
+    from low_precision_raytracer_tpu.config import SVGFConfig
+    from low_precision_raytracer_tpu.ops.svgf import SVGFState, svgf_denoise_pair
+
+    if jax.device_count() < 4:
+        pytest.skip("needs the virtual CPU mesh")
+    H, W = 160, 40
+    cfg = SVGFConfig()
+    k = jax.random.PRNGKey(7)
+    ks = jax.random.split(k, 10)
+    color2 = jax.random.uniform(ks[0], (2, H, W, 3))
+    depth = jax.random.uniform(ks[1], (H, W)) * 5
+    grad = jax.random.normal(ks[2], (H, W, 2)) * 0.1
+    normal = jax.random.normal(ks[3], (H, W, 3))
+    normal = normal / np.linalg.norm(np.asarray(normal), axis=-1, keepdims=True)
+    state2 = SVGFState(
+        miu1=jax.random.uniform(ks[4], (2, H, W)),
+        miu2=jax.random.uniform(ks[5], (2, H, W)) + 1.0,
+        color_history=jax.random.uniform(ks[6], (2, H, W, 3)),
+    )
+    svgf_map = dict(
+        frame_count=(jax.random.uniform(ks[7], (H, W)) > 0.2).astype(jnp.int32) * 5,
+        weights=jax.random.uniform(ks[8], (H, W, 4), jnp.float32),
+        base_y=jnp.clip(jax.random.randint(ks[9], (H, W), 0, H), 0, H),
+        base_x=jnp.clip(jax.random.randint(ks[0], (H, W), 0, W), 0, W),
+    )
+    # identical finished prefetches feed both paths (the fetch itself is
+    # path-specific in production: packed Pallas vs halo XLA)
+    prefetch2 = (
+        jax.random.uniform(ks[1], (2, H, W, 3), jnp.float32),
+        jax.random.uniform(ks[2], (2, H, W), jnp.float32),
+        jax.random.uniform(ks[3], (2, H, W), jnp.float32) + 1.0,
+    )
+    # a NaN next to a shard boundary exercises halo'd fallback semantics
+    color2 = color2.at[0, 41, 7, 1].set(np.nan)
+    out1, st1 = svgf_denoise_pair(
+        color2, state2, svgf_map, normal, depth, grad, cfg, 0.1, 0.1,
+        prefetch2=prefetch2, wavelet_impl="pallas", interpret=True,
+    )
+    mesh = make_pixel_mesh(4)  # 40 rows/shard (>= PAD=32)
+    outS, stS = svgf_denoise_pair(
+        color2, state2, svgf_map, normal, depth, grad, cfg, 0.1, 0.1,
+        prefetch2=prefetch2, wavelet_impl="pallas", interpret=True,
+        mesh=mesh,
+    )
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(outS))
+    np.testing.assert_array_equal(
+        np.asarray(st1.color_history), np.asarray(stS.color_history)
+    )
+    np.testing.assert_array_equal(np.asarray(st1.miu1), np.asarray(stS.miu1))
+    np.testing.assert_array_equal(np.asarray(st1.miu2), np.asarray(stS.miu2))
+
+
 @needs_devices
 def test_sharded_wavefront_per_shard():
     """The per-ray wavefront (incoherent_impl='wavefront') under the
