@@ -534,22 +534,31 @@ def wavelet_chain_pallas_pair(color2, var2, depth, grad, normal, illum2,
     return _run_chain(geo, cv, strides, cfg, H, W, interpret)
 
 
-def _fill_pads(planes, h_img, axis_name, n):
+def _fill_pads(planes, h_img, axis_name, n, rows: int = PAD):
     """Fill a packed plane stack's row pads with the NEIGHBOR shards' edge
-    rows (row-sharded mesh): rows [0, PAD) get the previous shard's last
-    PAD image rows, rows [PAD + h_img, PAD + h_img + PAD) the next shard's
-    first PAD.  `ppermute` leaves zeros where no source exists (the first/
-    last shard), which is bitwise the unsharded layout's own zero pad — so
-    a sharded iteration's image rows equal the unsharded iteration's
-    exactly: interior halos are real data, edge halos are the same zeros
-    the kernel's mask channels already exclude."""
-    top_src = planes[:, h_img : PAD + h_img]  # last PAD image rows
-    bot_src = planes[:, PAD : 2 * PAD]  # first PAD image rows
+    rows (row-sharded mesh): the `rows` pad rows nearest the image get the
+    previous shard's last `rows` image rows (and symmetrically below).
+    `ppermute` leaves zeros where no source exists (the first/last shard),
+    which is bitwise the unsharded layout's own zero pad — so a sharded
+    iteration's image rows equal the unsharded iteration's exactly:
+    interior halos are real data, edge halos are the same zeros the
+    kernel's mask channels already exclude.
+
+    `rows` defaults to the full PAD but callers pass the consuming
+    kernel's actual halo reach (8 for the temporal kernel, _halo(stride)
+    for a wavelet iteration) — the kernel never reads pad rows beyond its
+    halo, so exchanging only those keeps bitwise equality while cutting
+    the ICI payload ~2.4x per step."""
+    assert 0 < rows <= PAD
+    top_src = planes[:, PAD + h_img - rows : PAD + h_img]  # last image rows
+    bot_src = planes[:, PAD : PAD + rows]  # first image rows
     fwd = [(i, i + 1) for i in range(n - 1)]
     bwd = [(i + 1, i) for i in range(n - 1)]
     top = jax.lax.ppermute(top_src, axis_name, fwd)
     bot = jax.lax.ppermute(bot_src, axis_name, bwd)
-    planes = jax.lax.dynamic_update_slice_in_dim(planes, top, 0, axis=1)
+    planes = jax.lax.dynamic_update_slice_in_dim(
+        planes, top, PAD - rows, axis=1
+    )
     return jax.lax.dynamic_update_slice_in_dim(
         planes, bot, PAD + h_img, axis=1
     )
@@ -613,9 +622,11 @@ def svgf_pallas_pair_full_sharded(color2, svgf_map, depth, grad, normal,
             h_l, W, hp, wp,
         )
         geo7, _fin = pack_geometry_base(de, gr, no, cfg)
-        col6 = _fill_pads(col6, h_l, axis, n)
-        ctr11 = _fill_pads(ctr11, h_l, axis, n)
-        geo7 = _fill_pads(geo7, h_l, axis, n)
+        # temporal kernel slab reach: _TROWS // 2 rows into the pads
+        treach = _TROWS // 2
+        col6 = _fill_pads(col6, h_l, axis, n, rows=treach)
+        ctr11 = _fill_pads(ctr11, h_l, axis, n, rows=treach)
+        geo7 = _fill_pads(geo7, h_l, axis, n, rows=treach)
         cv, extra, mst = temporal_accum_pallas_pair(
             col6, geo7, ctr11, cfg, H=h_l, W=W,
             color_w=float(color_taa_w), moments_w=float(moments_taa_w),
@@ -628,7 +639,7 @@ def svgf_pallas_pair_full_sharded(color2, svgf_map, depth, grad, normal,
         geo = _fill_pads(jnp.concatenate([geo7, extra], axis=0), h_l, axis, n)
         hist = None
         for it, s in enumerate(strides):
-            cv = _fill_pads(cv, h_l, axis, n)
+            cv = _fill_pads(cv, h_l, axis, n, rows=_halo(s))
             cv = wavelet_iter_pallas(
                 geo, cv, s, cfg, H=h_l, W=W, interpret=interpret
             )
@@ -696,7 +707,7 @@ def wavelet_chain_pallas_pair_sharded(color2, var2, depth, grad, normal,
         cv = pack_cv_pair(c2, v2, fgeo2)
         hist = None
         for it, s in enumerate(strides):
-            cv = _fill_pads(cv, h_l, axis, n)
+            cv = _fill_pads(cv, h_l, axis, n, rows=_halo(s))
             cv = wavelet_iter_pallas(
                 geo, cv, s, cfg, H=h_l, W=W, interpret=interpret
             )

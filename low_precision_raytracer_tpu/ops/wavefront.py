@@ -311,6 +311,11 @@ def trace_rays_wavefront(
     R = origins.shape[0]
     if skip_tri is None:
         skip_tri = jnp.full((R,), -1, jnp.int32)
+    # a UNIFORM min_dist (the production case: every launch passes the
+    # scalar prec.ray_moveforward_t) does not ride the pair sort — the
+    # sorted rays rebuild it by broadcast, one payload operand fewer in
+    # the dominant sort
+    mind_scalar = jnp.asarray(min_dist, F32) if jnp.ndim(min_dist) == 0 else None
     min_dist = jnp.broadcast_to(jnp.asarray(min_dist, F32), (R,))
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, F32), (R,))
     o_f32 = origins.astype(F32)
@@ -468,13 +473,16 @@ def trace_rays_wavefront(
         live_p = (pid < id_mask) & rrep(live_a)
         key = jnp.where(live_p, pid, jnp.int32(id_mask))
         pidx = jnp.arange(P, dtype=jnp.int32)
-        srt = jax.lax.sort(
-            [key, rrep(w0), rrep(w1), rrep(w2),
-             rrep(skip_a), rrep(mind_a),
-             jnp.where(live_p, rrep(maxd_a), 0.0), pidx],
-            num_keys=1,
-        )
-        key_s, pidx_s = srt[0], srt[7]
+        ops = [key, rrep(w0), rrep(w1), rrep(w2), rrep(skip_a)]
+        if mind_scalar is None:
+            ops.append(rrep(mind_a))
+        ops += [jnp.where(live_p, rrep(maxd_a), 0.0), pidx]
+        srt = jax.lax.sort(ops, num_keys=1)
+        key_s, pidx_s = srt[0], srt[-1]
+        if mind_scalar is None:
+            mind_s, maxd_s = srt[5], srt[6]
+        else:
+            mind_s, maxd_s = None, srt[5]
         p_pad = (-P) % wtr1
         Pp = P + p_pad
         padp = lambda x, cv=0.0: (
@@ -512,6 +520,11 @@ def trace_rays_wavefront(
         oz, dx = un16(w1s, True), un16(w1s, False)
         dy, dz = un16(w2s, True), un16(w2s, False)
         c = frame.dense_center
+        mind_row = (
+            jnp.full((1, Pp), mind_scalar, F32)
+            if mind_scalar is not None
+            else padp(mind_s)[None, :]
+        )
         rays = jnp.concatenate(
             [
                 (ox - c[0])[None, :], (oy - c[1])[None, :],
@@ -520,8 +533,8 @@ def trace_rays_wavefront(
                 dx[None, :], dy[None, :], dz[None, :],
                 jnp.zeros((1, Pp), F32),
                 padp(srt[4], -1.0)[None, :].astype(F32),
-                padp(srt[5])[None, :],
-                padp(srt[6])[None, :],
+                mind_row,
+                padp(maxd_s)[None, :],
                 jnp.where(covered, ids_p, id_mask)[None, :].astype(F32),
             ],
             axis=0,
@@ -808,37 +821,61 @@ def trace_rays_wavefront(
         # tail cycles (> MAX_C * K_TAIL + k candidates — pathological).
         carry, emin = oneshot_cycle(carry, None)
         rnd = lambda n: max(ONESHOT_WTR, (n // ONESHOT_WTR) * ONESHOT_WTR)
-        # count-gated tail cascade: each tier only fires when the
-        # unresolved count exceeds what the NEXT (cheaper) tier could
-        # absorb, and the deepest tiers give their rays enough candidates
-        # (.. 64, 128 — measured max need ~54 at chunk granularity) that a
-        # selected ray always exhausts its list and resolves.  A lone
-        # unresolved ray costs two small passes, not a full-width refill
-        # (and never the tile-path sweep, whose fixed costs measured
-        # ~1.3 s at 46.5k tris).
-        tiers = [  # (min unresolved count to fire, rays, candidates)
-            (R // 4, R, min(8, n_groups)),
-            (R // 16, rnd(R // 4), min(16, n_groups)),
-            (R // 64, rnd(R // 16), min(32, n_groups)),
-            (1, rnd(R // 64), min(64, n_groups)),
-            (1, rnd(R // 256), min(128, n_groups)),
+        # Count-sized tail: EXACTLY ONE tier fires — the smallest whose
+        # capacity captures every unresolved ray — followed by one
+        # count-gated safety pass for stragglers that outlived the tier's
+        # candidate budget.  (The previous always-fire cascade paid two
+        # full-R compaction sorts + two pair passes for a handful of
+        # stragglers — ~half the 46.5k one-shot frame time.)  Deep tiers
+        # give each selected ray enough candidates (64/128; measured max
+        # need ~54 at chunk granularity) that it exhausts its list.
+        tiers = [  # (capacity, candidates) — capacity descending
+            (R, min(8, n_groups)),
+            (rnd(R // 4), min(16, n_groups)),
+            (rnd(R // 16), min(32, n_groups)),
+            (rnd(R // 64), min(64, n_groups)),
+            (rnd(R // 256), min(128, n_groups)),
         ]
+        # drop duplicate capacities (small R: rnd() clamps to one tile)
+        tiers = [t for i, t in enumerate(tiers)
+                 if i == 0 or t[0] < tiers[i - 1][0]]
         if interpret:
             # CPU tests: static tail passes keep the path covered (two
             # tiers exercise both the compaction and the deep-K shapes)
-            for _, r_tail, k_tail in tiers[1:3]:
+            for r_tail, k_tail in tiers[1:3]:
                 carry, emin = tail_cycle(carry, emin, r_tail, k_tail)
         else:
-            for min_cnt, r_tail, k_tail in tiers:
+            def run_ladder(args):
+                carry, emin = args
                 cnt = jnp.sum((~carry[3]).astype(jnp.int32))
+                for j, (r_tail, k_tail) in enumerate(tiers):
+                    below = tiers[j + 1][0] if j + 1 < len(tiers) else 0
+                    fire = cnt > below
+                    if j > 0:
+                        fire &= cnt <= r_tail
+                    carry, emin = jax.lax.cond(
+                        fire,
+                        lambda a, rt=r_tail, kt=k_tail: tail_cycle(
+                            a[0], a[1], rt, kt
+                        ),
+                        lambda a: a,
+                        (carry, emin),
+                    )
+                # safety pass: stragglers that needed more than the fired
+                # tier's candidate budget (deeper-K, small width)
+                cnt2 = jnp.sum((~carry[3]).astype(jnp.int32))
+                r_s = rnd(R // 16)
                 carry, emin = jax.lax.cond(
-                    cnt >= min_cnt,
-                    lambda args, rt=r_tail, kt=k_tail: tail_cycle(
-                        args[0], args[1], rt, kt
-                    ),
-                    lambda args: args,
+                    (cnt2 > 0) & (cnt2 <= r_s),
+                    lambda a: tail_cycle(a[0], a[1], r_s, min(128, n_groups)),
+                    lambda a: a,
                     (carry, emin),
                 )
+                return carry, emin
+
+            carry, emin = jax.lax.cond(
+                jnp.any(~carry[3]), run_ladder, lambda a: a, (carry, emin)
+            )
     else:
         carry, emin = run_cycle(carry, None)
         if n_cycles == 2:

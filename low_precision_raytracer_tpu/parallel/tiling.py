@@ -75,9 +75,13 @@ def render_frame_sharded(mesh: Mesh, scene, frame, state, cfg: RenderConfig, key
     ppermute exchange in ops/reproject.py).  Nothing re-replicates the
     pixel arrays.  History: round 2 had 117 all-gathers (whole history
     rows, temporal fetch), round 3 interim 27 (fori_loop wavelet taps
-    whose traced slice offsets defeat XLA's halo analysis).  The Pallas
-    wavelet chain is not shard_map-wrapped; render_frame routes meshes
-    to 'xla_halo' automatically.
+    whose traced slice offsets defeat XLA's halo analysis).  With
+    wavelet_impl='pallas' (the TPU default) the WHOLE fused SVGF —
+    temporal-accumulation kernel + wavelet chain — runs per shard via
+    svgf_pallas.svgf_pallas_pair_full_sharded: 9 explicit 2*PAD-row
+    _fill_pads ppermutes per step replace the hundreds of xla_halo
+    stencil exchanges; only the CPU-mesh tests keep the 'xla_halo'
+    form.
 
     Cost model (per-collective payloads summed from the HLO result
     shapes, tools/hlo_collectives.py): 23.3 MB/step total permute
