@@ -71,6 +71,15 @@ class Precision:
     # dtype-keyed self-intersection ray origin offset
     # (`rt/rtrt/cuda.hpp:934-942`: 1e-4 fp32 / 1e-1 fp16)
     ray_moveforward_t: float = 1e-4
+    # the epsilon for launches whose ORIGINS ride exactly (f32 hit
+    # positions through the dense kernel's high+low bf16 split): only the
+    # intersection test's own t error (~2^-17 relative) needs clearing,
+    # not the dtype position quantization (|p| * 2^-9 ≈ 0.02 scene units
+    # in bf16) the 1e-1 offset guards.  A 1e-1 offset from an EXACT
+    # origin blinds shadow rays to every occluder within 0.1 units —
+    # measured as displaced contact-shadow boundaries vs fp32
+    # (ops/trace.py:moveforward_eps picks per launch).
+    ray_moveforward_t_exact: float = 1e-4
 
     @property
     def dtype(self):
@@ -94,8 +103,10 @@ class Precision:
 
 
 FP32 = Precision("fp32", delta1=2.0**-10, delta2=2.0**-8, ray_moveforward_t=1e-4)
-FP16 = Precision("fp16", delta1=2.0**-10, delta2=2.0**-8, ray_moveforward_t=1e-1)
-BF16 = Precision("bf16", delta1=2.0**-7, delta2=2.0**-5, ray_moveforward_t=1e-1)
+FP16 = Precision("fp16", delta1=2.0**-10, delta2=2.0**-8, ray_moveforward_t=1e-1,
+                 ray_moveforward_t_exact=1e-2)
+BF16 = Precision("bf16", delta1=2.0**-7, delta2=2.0**-5, ray_moveforward_t=1e-1,
+                 ray_moveforward_t_exact=1e-2)
 
 _PRECISIONS = {"fp32": FP32, "fp16": FP16, "bf16": BF16}
 
@@ -183,6 +194,20 @@ class RenderConfig:
     # as a bitwise identity.  Lets tests compare elided vs full output.
     taa_force_full: bool = False
 
+    # Shade-stage compute dtype: f32 (default) even in bf16/fp16 modes.
+    # Deliberate deviation from the reference's DataT shading: shading
+    # error is SYSTEMATIC (the same BRDF/cosine/falloff rounding every
+    # frame, which no amount of temporal accumulation washes out) —
+    # measured as a converged-mean bias of ~29 dB vs fp32 in bf16 mode,
+    # the dominant term of the ground-truth parity gap after the trace
+    # geometry fixes (docs/TPU_NOTES.md round-5).  The low-precision
+    # claim lives in the INTERSECTION path, which stays bf16: dtype
+    # coefficient tables (half the HBM), the M-shift dtype triangle test,
+    # dtype AABB culling, dtype sort payloads.  Shade is a small slice of
+    # frame time; the f32 VPU cost is ~1 ms at 1080p.  RNG draws stay in
+    # the render dtype (sample-sequence compatibility with the dtype
+    # shader); False = reference behaviour for the ablation harness.
+    shade_f32: bool = True
     # 'both'  : compute dtype + fp32 triangle tests for every lane and select
     #           by the ambiguity band (exact reference semantics; on a vector
     #           machine all lanes pay both paths)

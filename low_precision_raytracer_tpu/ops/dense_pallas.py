@@ -1123,7 +1123,15 @@ def trace_rays_dense_pallas(
         ablate=ablate,
         pack=pack,
         di_lights=fuse_di,
-        d_mov=float(prec.ray_moveforward_t),
+        # in-kernel shadow origins are f32 (o + t*d from the split rays);
+        # the mxu3/f32 tests keep ~f32 t accuracy, so only the exact
+        # epsilon applies — the dtype test re-quantizes and keeps the
+        # dtype offset (config.Precision.ray_moveforward_t_exact)
+        d_mov=float(
+            prec.ray_moveforward_t_exact
+            if (fallback == "mxu3" or prec.is_f32)
+            else prec.ray_moveforward_t
+        ),
     )
 
     # index maps take (grid index[, scalar-prefetch ref])

@@ -64,8 +64,11 @@ def _interpolate_onehot(scene, frame, hit: Hit, dtype):
         attr = u_c * a0 + v_c * a1 + w_c * a2  # (chunk, 16)
 
         onehot_o = (obj_c[:, None] == jnp.arange(O, dtype=jnp.int32)[None, :]).astype(dt)
+        # f32 attrs (cfg.shade_f32) read the f32 L2W shadow — a dtype
+        # matrix would re-quantize the world transform itself
+        l2w_tab = frame.obj_l2w_f32 if dt == jnp.float32 else frame.obj_l2w
         l2w = jnp.dot(
-            onehot_o, frame.obj_l2w.reshape(O, 16), preferred_element_type=jnp.float32
+            onehot_o, l2w_tab.reshape(O, 16), preferred_element_type=jnp.float32
         ).astype(dt).reshape(-1, 4, 4)
         # material ids ride the one-hot matmul in f32, NOT the render dtype:
         # bf16 represents integers exactly only up to 256, so ids above that
@@ -142,7 +145,8 @@ def _interpolate_gather(scene, frame, hit: Hit, dtype):
     uv0 = lerp(scene.v_uv0)
     uv1 = lerp(scene.v_uv1)
 
-    l2w = jnp.take(frame.obj_l2w, obj, axis=0, mode="clip")  # (R, 4, 4) dtype
+    l2w_tab = frame.obj_l2w_f32 if dt == jnp.float32 else frame.obj_l2w
+    l2w = jnp.take(l2w_tab, obj, axis=0, mode="clip")  # (R, 4, 4)
     pos_w, normal, tangent = _finish_world(l2w, position, normal, tangent)
     material = jnp.take(frame.obj_material, obj, mode="clip")
     return dict(
@@ -187,7 +191,11 @@ def fill_gbuffer(scene, frame, origins, directions, prec: Precision, *, cfg: Ren
             cfg=cfg,
             find_any=False,
         )
-    attrs = interpolate_hit_attributes(scene, frame, hit, prec.dtype)
+    # under cfg.shade_f32 the G-buffer attributes interpolate in f32 (the
+    # one-hot matmuls accumulate in f32 anyway — this just skips the dtype
+    # round-trip that quantizes normals/colors before shading)
+    attr_dt = jnp.float32 if cfg.shade_f32 else prec.dtype
+    attrs = interpolate_hit_attributes(scene, frame, hit, attr_dt)
     valid = hit.tri >= 0
     vz = valid[..., None]
     zero3 = jnp.zeros_like(attrs["position"])

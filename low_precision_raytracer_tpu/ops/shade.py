@@ -52,6 +52,16 @@ class ShadeInput(NamedTuple):
     material: jnp.ndarray  # (R,) i32
     obj: jnp.ndarray  # (R,) i32 inscene object id
     tri: jnp.ndarray  # (R,) i32 global triangle id
+    # f32 hit position o32 + t * d32 (t is always f32) — the LIGHT-GEOMETRY
+    # precision anchor in low-precision modes.  Deliberate deviation from
+    # the reference (which shades entirely in DataT): a dtype position
+    # wobbles the shadow-ray origin by |p| * 2^-9 ≈ 0.02 scene units in
+    # bf16, which displaces contact-shadow boundaries by whole pixels, and
+    # a dtype 1/dist^2 falloff bands the light attenuation into visible
+    # contour rings (measured: bf16 DI-only vs fp32 at 31.6 dB; the rays
+    # themselves trace near-f32 on the split-coefficient MXU path).
+    # None -> position.astype(f32) (fp32 mode: exact no-op).
+    position_f32: jnp.ndarray | None = None
 
 
 class LightCommands(NamedTuple):
@@ -76,10 +86,11 @@ class ShadeOutputs(NamedTuple):
     source: jnp.ndarray  # (R, 3) ray origin for both command kinds
 
 
-def gbuffer_to_shade_input(g) -> ShadeInput:
+def gbuffer_to_shade_input(g, position_f32=None) -> ShadeInput:
     return ShadeInput(
         type=jnp.where(g["valid"], SHADE_COMMON, SHADE_INVALID).astype(jnp.int32),
         position=g["position"],
+        position_f32=position_f32,
         normal=g["normal"],
         tangent=g["tangent"],
         color=g["color"],
@@ -151,7 +162,21 @@ def shade(
     (`settings.get_primary_ray_direction`, negated) or the carried
     `buffer.view_direction` on bounce rounds.
     """
-    dt = prec.dtype
+    # cfg.shade_f32 (default): SHADING computes in f32 even in bf16/fp16
+    # modes — shading error is systematic and survives any amount of
+    # temporal accumulation (see config.RenderConfig.shade_f32).  The
+    # inputs upcast exactly; RNG draws stay in the render dtype so the
+    # sample sequence matches the dtype shader's.
+    dt = jnp.float32 if cfg.shade_f32 else prec.dtype
+    if sinput.position.dtype != dt:
+        up = lambda x: x.astype(dt)
+        sinput = sinput._replace(
+            position=up(sinput.position), normal=up(sinput.normal),
+            tangent=up(sinput.tangent), color=up(sinput.color),
+            uv0=up(sinput.uv0), uv1=up(sinput.uv1),
+        )
+    if view_dir.dtype != dt:
+        view_dir = view_dir.astype(dt)
     R = sinput.position.shape[0]
     zero3 = jnp.zeros((R, 3), dt)
     # only the scene's real light count is traced (static, see FrameInput)
@@ -171,6 +196,11 @@ def shade(
         di_sky = jnp.where(sky_mask[:, None], sky_rgb, zero3)
 
     mat = _gather_material(scene, sinput.material)
+    if mat["color"].dtype != dt:
+        # material values upcast to the shade compute dtype (the gather's
+        # one-hot matmul accumulated in f32 anyway)
+        for k in ("color", "emission", "metallic", "roughness"):
+            mat[k] = mat[k].astype(dt)
 
     # ---- base colour: texture x vertex colour (`rt/rtrt/cuda.hpp:1849-1856`)
     color = mat["color"]
@@ -212,7 +242,7 @@ def shade(
         # (erfinv + 1.5x bits) — so everything is uniforms, ONE flat draw,
         # sliced contiguously.  (A (R, 9) draw would put 9 on the 128-lane
         # axis and waste 93% of every op that touches it.)
-        us = jax.random.uniform(key, (7 * R,), dt)
+        us = jax.random.uniform(key, (7 * R,), prec.dtype).astype(dt)
         (r_mirror, r_spec, r_metal, u_ggx1, u_ggx2, uh1, uh2) = (
             jax.lax.slice(us, (i * R,), ((i + 1) * R,)) for i in range(7)
         )
@@ -308,39 +338,59 @@ def shade(
 
     view_dir_out = -gi_direction
 
-    # ---- direct-light commands (`rt/rtrt/cuda.hpp:2009-2055`)
+    # ---- direct-light commands (`rt/rtrt/cuda.hpp:2009-2055`).
+    # LIGHT GEOMETRY runs in f32 from the f32 hit position (see
+    # ShadeInput.position_f32): direction, distance falloff, cosine, and
+    # range are precision-critical control values (a bf16 1/dist^2 bands
+    # the falloff into contour rings; a bf16 origin displaces shadow
+    # boundaries).  The BRDF itself stays in the render dtype — that IS
+    # the low-precision claim.  In fp32 mode every line is bitwise the
+    # dtype form.
+    f32 = jnp.float32
+    pos32 = (
+        sinput.position_f32
+        if sinput.position_f32 is not None
+        else sinput.position.astype(f32)
+    )
+    n32 = normal.astype(f32)
     l_valid, l_dir, l_maxt, l_mult = [], [], [], []
     rough_di = jnp.maximum(mat["roughness"], jnp.asarray(0.10, dt))
     for i in range(L):
         lt = frame.light_type[i]
-        lpos = frame.light_pos[i].astype(dt)
-        ldirw = frame.light_dir[i].astype(dt)
-        lint = frame.light_intensity[i].astype(dt)
+        lpos = frame.light_pos[i].astype(f32)
+        ldirw = frame.light_dir[i].astype(f32)
+        lint = frame.light_intensity[i].astype(f32)
         lv = frame.light_valid[i]
 
         is_dir = lt == LIGHT_DIRECTIONAL
         # point/spot path
-        dvec = lpos - sinput.position
+        dvec = lpos - pos32
         dist2 = dot(dvec, dvec)
         pdir = normalize(dvec)
         # directional path
         ddir = -normalize(ldirw)
         ldir_i = jnp.where(is_dir, ddir, pdir)
-        cosine = dot(ldir_i, normal)
+        cosine = dot(ldir_i, n32)
 
-        brdf3 = material_brdf(
-            mat["metallic"], rough_di, view_dir, ldir_i, normal
-        ).get_brdf(color)
-        point_mult = (cosine / dist2 / jnp.asarray(10.0, dt))[:, None] * brdf3 * lint
-        dir_mult = cosine[:, None] * brdf3 * lint
+        # the DI BRDF chain also runs f32: direct lighting is DETERMINISTIC
+        # (no Monte-Carlo averaging can wash its rounding out), and the
+        # ~15-op dtype chain costs ~1% relative error — the densest term of
+        # the measured bf16-vs-fp32 DI gap.  GI lobe generation stays in
+        # the render dtype (unbiased sampling noise dominates there).
+        b32 = material_brdf(
+            mat["metallic"].astype(f32), rough_di.astype(f32),
+            view_dir.astype(f32), ldir_i, n32
+        ).get_brdf(color.astype(f32))
+        point_mult = (cosine / dist2 / jnp.asarray(10.0, f32))[:, None] * b32 * lint
+        dir_mult = cosine[:, None] * b32 * lint
         mult_i = jnp.where(is_dir, dir_mult, point_mult)
-        maxt_i = jnp.where(is_dir, jnp.asarray(1000.0, dt), jnp.sqrt(dist2))
+        maxt_i = jnp.where(is_dir, jnp.asarray(1000.0, f32), jnp.sqrt(dist2))
 
         ok = valid & lv & (cosine >= 0)
         l_valid.append(ok)
-        l_dir.append(jnp.where(ok[:, None], ldir_i, jnp.broadcast_to(jnp.asarray([0, 0, 1], dt), (R, 3))))
-        l_maxt.append(jnp.where(ok, maxt_i, jnp.asarray(0.0, dt)))
-        l_mult.append(jnp.where(ok[:, None], mult_i, zero3))
+        l_dir.append(jnp.where(ok[:, None], ldir_i, jnp.broadcast_to(jnp.asarray([0, 0, 1], f32), (R, 3))))
+        l_maxt.append(jnp.where(ok, maxt_i, jnp.asarray(0.0, f32)))
+        l_mult.append(jnp.where(ok[:, None], mult_i, jnp.zeros((R, 3), f32)))
 
     if L > 0:
         lights = LightCommands(
@@ -352,9 +402,9 @@ def shade(
     else:
         lights = LightCommands(
             valid=jnp.zeros((R, 0), jnp.bool_),
-            direction=jnp.zeros((R, 0, 3), dt),
-            max_t=jnp.zeros((R, 0), dt),
-            multiplier=jnp.zeros((R, 0, 3), dt),
+            direction=jnp.zeros((R, 0, 3), f32),
+            max_t=jnp.zeros((R, 0), f32),
+            multiplier=jnp.zeros((R, 0, 3), f32),
         )
 
     return ShadeOutputs(
@@ -367,5 +417,8 @@ def shade(
         gi_multiplier=gi_multiplier,
         view_dir_out=view_dir_out,
         skip_tri=jnp.where(valid, sinput.tri, -1),
-        source=sinput.position,
+        # ray origins leave in f32: the MXU trace path honors them via its
+        # split-coefficient high+low products, so shadow/bounce rays start
+        # from the true surface point in every precision mode
+        source=pos32,
     )

@@ -117,6 +117,41 @@ def di_fusible(scene, frame, cfg: RenderConfig, prec: Precision) -> bool:
     return 0 < ti <= TC and frame.n_lights > 0
 
 
+def moveforward_eps(scene, frame, cfg: RenderConfig, prec: Precision,
+                    coherent: bool = True) -> float:
+    """Self-intersection epsilon for a secondary-ray launch.
+
+    The dtype-keyed `ray_moveforward_t` (1e-1 in bf16) exists to clear a
+    DTYPE-QUANTIZED origin's position error; launches whose origins ride
+    exactly — f32 hit positions through the dense kernel's high+low bf16
+    split (mxu3) — only need to clear the test's own t error and take
+    `ray_moveforward_t_exact` (1e-2, measured plateau of the r5 epsilon sweep).  Backends that re-quantize the
+    origin keep the dtype epsilon: the XLA reference-shape paths (cast to
+    the render dtype) and the per-ray wavefront (its pair sort packs the
+    origin as dtype bit patterns)."""
+    impl = cfg.traversal_impl
+    if impl == "auto":
+        impl = resolve_impl(scene, frame, cfg)
+    if prec.is_f32 or impl != "dense_pallas":
+        return prec.ray_moveforward_t
+    fb = resolve_fallback(cfg.triangle_fallback, prec, "dense_pallas")
+    if fb != "mxu3":
+        return prec.ray_moveforward_t  # dtype triangle test re-quantizes
+    if not coherent:
+        from low_precision_raytracer_tpu.ops.dense_pallas import TC
+
+        ti = _instance_tris(frame)
+        if (
+            cfg.incoherent_impl == "wavefront"
+            and frame.dense_chunk_lo is not None
+            and ti > max(4 * TC, cfg.wavefront_min_tris)
+            and ti <= cfg.packet_bvh_max_tris
+        ):
+            # routes to the wavefront (trace() below): packed dt origins
+            return prec.ray_moveforward_t
+    return prec.ray_moveforward_t_exact
+
+
 def resolve_fallback(fb: str, prec: Precision, impl: str) -> str:
     """Per-backend triangle-fallback resolution: 'mxu3' exists only in the
     Pallas kernels (dense + packet) and only for sub-fp32 dtypes (see

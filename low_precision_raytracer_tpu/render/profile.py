@@ -33,7 +33,7 @@ from low_precision_raytracer_tpu.ops.svgf import (
     svgf_denoise_pair,
 )
 from low_precision_raytracer_tpu.ops.taa import temporal_anti_aliasing
-from low_precision_raytracer_tpu.ops.trace import di_fusible
+from low_precision_raytracer_tpu.ops.trace import di_fusible, moveforward_eps
 from low_precision_raytracer_tpu.render.renderer import (
     _di_from_vis,
     _di_light_spec,
@@ -90,11 +90,16 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
 
     @jax.jit
     def primary(frame):
-        o, d = primary_ray_grid(frame.cam_l2w, frame.cam_fov_y, W, H, dt)
-        o = o.reshape(R, 3)
-        d = d.reshape(R, 3)
-        g, _ = fill_gbuffer(scene, frame, o, d, prec, cfg=cfg, di_lights=di_spec)
-        return g, d
+        # production traces the f32 camera grid in every mode
+        # (render/renderer.py: bf16 directions carry ~2.3 px of wobble)
+        o32, d32 = primary_ray_grid(
+            frame.cam_l2w_f32, frame.cam_fov_y_f32, W, H, jnp.float32
+        )
+        o32 = o32.reshape(R, 3)
+        d32 = d32.reshape(R, 3)
+        g, _ = fill_gbuffer(scene, frame, o32, d32, prec, cfg=cfg,
+                            di_lights=di_spec)
+        return g, d32.astype(dt) if not cfg.prec.is_f32 else d32
 
     # warm up each stage once (compile), then measure
     g_flat, d = _timed("Primary Ray", stats, primary, frame)
@@ -148,7 +153,18 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
             first_round=True, no_gi=not cfg.gi_on, key=k,
         )
     )
-    sin0 = gbuffer_to_shade_input(g_flat)
+    # production passes the f32-reconstructed primary positions into shade
+    # (ShadeInput.position_f32); rebuild them here the same way
+    if cfg.prec.is_f32:
+        pos32_flat = None
+    else:
+        o32p, d32p = primary_ray_grid(
+            frame.cam_l2w_f32, frame.cam_fov_y_f32, W, H, jnp.float32
+        )
+        pos32_flat = (
+            o32p + g2d["t"].reshape(H, W)[..., None].astype(jnp.float32) * d32p
+        ).reshape(H * W, 3)
+    sin0 = gbuffer_to_shade_input(g_flat, position_f32=pos32_flat)
     out0 = _timed("Pixel Shade #1", stats, shade_fn, sin0, d, k0)
 
     if di_spec is not None:
@@ -187,7 +203,8 @@ def profile_frame(renderer, time_value: float = 0.0) -> dict[str, float]:
                 hit = _trace(
                     scene, frame, o.source, o.gi_direction, prec=prec, cfg=cfg,
                     find_any=False, skip_tri=o.skip_tri,
-                    min_dist=prec.ray_moveforward_t, max_dist=maxt, coherent=False,
+                    min_dist=moveforward_eps(scene, frame, cfg, prec, False),
+                    max_dist=maxt, coherent=False,
                 )
                 return _gi_shade_input(scene, frame, o, hit, prec)
 

@@ -47,7 +47,11 @@ from low_precision_raytracer_tpu.ops.svgf import (
     svgf_denoise_pair,
 )
 from low_precision_raytracer_tpu.ops.taa import temporal_anti_aliasing
-from low_precision_raytracer_tpu.ops.trace import di_fusible, trace
+from low_precision_raytracer_tpu.ops.trace import (
+    di_fusible,
+    moveforward_eps,
+    trace,
+)
 from low_precision_raytracer_tpu.render.framestate import FrameState, init_frame_state
 
 
@@ -78,7 +82,7 @@ def _trace_di(scene, frame, source, lights, skip_tri, prec, cfg, coherent=True):
         cfg=cfg,
         find_any=True,
         skip_tri=skips,
-        min_dist=prec.ray_moveforward_t,
+        min_dist=moveforward_eps(scene, frame, cfg, prec, coherent),
         max_dist=maxt,
         coherent=coherent,
         lane_k=L,
@@ -99,9 +103,16 @@ def _gi_shade_input(scene, frame, shade_out, hit, prec):
         jnp.where(got, SHADE_COMMON, SHADE_SKYBOX),
         SHADE_INVALID,
     ).astype(jnp.int32)
+    # f32 bounce-hit position: ray-origin chain o32 + t * d32 (t is f32,
+    # the origin is the previous round's f32 source) — see
+    # ShadeInput.position_f32
+    pos32 = shade_out.source + hit.t[:, None] * shade_out.gi_direction.astype(
+        jnp.float32
+    )
     return ShadeInput(
         type=stype,
         position=attrs["position"],
+        position_f32=pos32,
         normal=attrs["normal"],
         tangent=attrs["tangent"],
         color=attrs["color"],
@@ -146,7 +157,8 @@ def _trace_gi_fused_di(scene, frame, shade_out, prec, cfg, di_spec):
         scene, frame, shade_out.source, shade_out.gi_direction,
         prec=prec, cfg=cfg, find_any=False,
         skip_tri=shade_out.skip_tri,
-        min_dist=prec.ray_moveforward_t, max_dist=maxt,
+        min_dist=moveforward_eps(scene, frame, cfg, prec, False),
+        max_dist=maxt,
         coherent=False,
         di_lights=di_spec,
     )
@@ -190,7 +202,8 @@ def _trace_di_gi(scene, frame, shade_out, prec, cfg, *, want_gi, coherent):
                 scene, frame, shade_out.source, shade_out.gi_direction,
                 prec=prec, cfg=cfg, find_any=False,
                 skip_tri=shade_out.skip_tri,
-                min_dist=prec.ray_moveforward_t, max_dist=maxt,
+                min_dist=moveforward_eps(scene, frame, cfg, prec, False),
+                max_dist=maxt,
                 coherent=False,
             )
             sin_next = _gi_shade_input(scene, frame, shade_out, hit, prec)
@@ -215,7 +228,9 @@ def _trace_di_gi(scene, frame, shade_out, prec, cfg, *, want_gi, coherent):
     hit = trace(
         scene, frame, o, d,
         prec=prec, cfg=cfg, find_any=False,
-        skip_tri=skips, min_dist=prec.ray_moveforward_t, max_dist=maxt,
+        skip_tri=skips,
+        min_dist=moveforward_eps(scene, frame, cfg, prec, False),
+        max_dist=maxt,
         coherent=False,  # gi lanes are hemisphere-sampled
         lane_k=K,
     )
@@ -246,10 +261,24 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
     # the reference's separate `trace_di_light` schedule is
     # `rt/gui/imgui_window.cu:156-223`).
     di_spec = _di_light_spec(frame, cfg) if di_fusible(scene, frame, cfg, prec) else None
-    o, d = primary_ray_grid(frame.cam_l2w, frame.cam_fov_y, W, H, dt)
-    o = o.reshape(R, 3)
-    d = d.reshape(R, 3)
-    g_flat, _ = fill_gbuffer(scene, frame, o, d, prec, cfg=cfg, di_lights=di_spec)
+    # The camera grid is generated in f32 in EVERY precision mode and
+    # handed to trace as-is.  Deliberate deviation from the reference
+    # (which generates DataT primary rays, `rt/rtrt/cuda.hpp:950-961`): a
+    # bf16 direction carries ~2^-9 rad of error ≈ 2.3 PIXELS of angular
+    # wobble at 1080p — measured as the dominant term of the bf16-vs-fp32
+    # gap (silhouette flip bands + displaced shadow boundaries; r5
+    # DI-only probe).  The low-precision claim lives in the INTERSECTION
+    # test, and the MXU kernels consume rays through an exact
+    # high+low bf16 split regardless — f32 rays cost nothing there.
+    o32g, d32g = primary_ray_grid(
+        frame.cam_l2w_f32, frame.cam_fov_y_f32, W, H, jnp.float32
+    )
+    o = o32g.reshape(R, 3)
+    d32 = d32g.reshape(R, 3)
+    # shade's view_dir: full f32 under shade_f32 (a dtype round-trip would
+    # re-quantize it), render dtype otherwise
+    d = d32 if (cfg.prec.is_f32 or cfg.shade_f32) else d32.astype(dt)
+    g_flat, _ = fill_gbuffer(scene, frame, o, d32, prec, cfg=cfg, di_lights=di_spec)
     g2d = {k: v.reshape((H, W) + v.shape[1:]) for k, v in g_flat.items()}
 
     # ---- "Generate Temporal Map" (+ all temporal history fetched in the
@@ -312,10 +341,7 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
     if cfg.prec.is_f32:
         pos32 = None
     else:
-        o32, d32 = primary_ray_grid(
-            frame.cam_l2w_f32, frame.cam_fov_y_f32, W, H, jnp.float32
-        )
-        pos32 = o32 + g2d["t"].reshape(H, W)[..., None].astype(jnp.float32) * d32
+        pos32 = o32g + g2d["t"].reshape(H, W)[..., None].astype(jnp.float32) * d32g
     svgf_map, taa_map, svgf_taps, taa_taps = generate_temporal_maps(
         g2d, frame, state, W, H, dt, k_taa,
         svgf_payload=svgf_payload, taa_payload=taa_payload,
@@ -325,8 +351,12 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
         want_taa=taa_active,
     )
 
-    # ---- "Pixel Shade #1"
-    sin0 = gbuffer_to_shade_input(g_flat)
+    # ---- "Pixel Shade #1" (f32 primary hit positions anchor the light
+    # geometry + ray origins in low-precision modes, ShadeInput.position_f32)
+    sin0 = gbuffer_to_shade_input(
+        g_flat,
+        position_f32=None if pos32 is None else pos32.reshape(R, 3),
+    )
     out0 = shade(
         scene,
         frame,
@@ -460,7 +490,10 @@ def render_frame(scene, frame, state: FrameState, cfg: RenderConfig, key):
             color, state.taa_history, taa_map, cfg.taa_mix_weight,
             hist_pre=taa_taps,
         )
-    new_taa_history = color
+    # keep the carried dtype stable (the f32 DI accumulation promotes
+    # `color` to f32 in low-precision modes; a dtype change in a carried
+    # leaf would retrace the jitted step on frame 2)
+    new_taa_history = color.astype(state.taa_history.dtype)
 
     # ---- output + "Backup Temporal Data"
     image = tonemap_gamma(color)
