@@ -14,7 +14,8 @@ import re
 import sys
 
 
-def collective_counts(height=128, width=128, n_devices=8, precision="bf16"):
+def collective_counts(height=128, width=128, n_devices=8, precision="bf16",
+                      wavelet_impl=None):
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -38,6 +39,10 @@ def collective_counts(height=128, width=128, n_devices=8, precision="bf16"):
     from low_precision_raytracer_tpu.render.renderer import render_frame
 
     cfg = RenderConfig(width=width, height=height, precision=precision, gi_on=True)
+    if wavelet_impl:
+        from low_precision_raytracer_tpu.config import SVGFConfig
+
+        cfg = cfg.replace(svgf=SVGFConfig(wavelet_impl=wavelet_impl))
     host = cornell_box_scene()
     scene = build_scene_arrays(host, cfg.prec, leaf_size=cfg.bvh_leaf_size)
     frame = flatten_frame(host, cfg.prec, max_direct_lights=4, width=width, height=height)
@@ -90,9 +95,11 @@ def _shape_bytes(shape_str: str) -> int:
     return total
 
 
+
 if __name__ == "__main__":
     h = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     w = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    counts, nbytes = collective_counts(h, w)
+    impl = sys.argv[3] if len(sys.argv) > 3 else None
+    counts, nbytes = collective_counts(h, w, wavelet_impl=impl)
     print("instances:", counts)
     print("payload bytes/step:", nbytes, f"(total {sum(nbytes.values())/1e6:.2f} MB)")
