@@ -57,7 +57,14 @@ def _interpolate_onehot(scene, frame, hit: Hit, dtype):
 
     def interp_chunk(args):
         tri_c, obj_c, u_c, v_c, w_c = args
-        onehot_t = (tri_c[:, None] == jnp.arange(T, dtype=jnp.int32)[None, :]).astype(dt)
+        # the big (R, T) one-hot rides in the TABLE's dtype (bf16 scene
+        # storage): 0/1 is exact in any dtype and bf16-in/f32-accumulate
+        # is the MXU-native rate — an f32 one-hot (dt == f32 under
+        # shade_f32) would run the matmul at 1/8 MXU throughput for the
+        # same result (the bf16 table bounds the accuracy either way)
+        onehot_t = (
+            tri_c[:, None] == jnp.arange(T, dtype=jnp.int32)[None, :]
+        ).astype(scene.tri_attr.dtype)
         a = jnp.dot(onehot_t, scene.tri_attr, preferred_element_type=jnp.float32)
         a = a.astype(dt)
         a0, a1, a2 = a[:, 0:16], a[:, 16:32], a[:, 32:48]

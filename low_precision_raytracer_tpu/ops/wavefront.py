@@ -861,16 +861,27 @@ def trace_rays_wavefront(
                         lambda a: a,
                         (carry, emin),
                     )
-                # safety pass: stragglers that needed more than the fired
-                # tier's candidate budget (deeper-K, small width)
+                # safety passes: stragglers that outlived the fired tier's
+                # candidate budget get a deeper-K list — SMALL widths only
+                # (a wide safety at rnd(R//16) x 128 candidates costs as
+                # many pair lanes as the whole main pass; measured +250 ms
+                # at 46.5k).  Stragglers beyond rnd(R//32) fall to the
+                # terminal sweep as before.
+                safeties = [
+                    (rnd(R // 32), min(64, n_groups)),
+                    (rnd(R // 256), min(128, n_groups)),
+                ]
+                safeties = [t for i, t in enumerate(safeties)
+                            if i == 0 or t[0] < safeties[i - 1][0]]
                 cnt2 = jnp.sum((~carry[3]).astype(jnp.int32))
-                r_s = rnd(R // 16)
-                carry, emin = jax.lax.cond(
-                    (cnt2 > 0) & (cnt2 <= r_s),
-                    lambda a: tail_cycle(a[0], a[1], r_s, min(128, n_groups)),
-                    lambda a: a,
-                    (carry, emin),
-                )
+                for j, (r_s, k_s) in enumerate(safeties):
+                    below = safeties[j + 1][0] if j + 1 < len(safeties) else 0
+                    carry, emin = jax.lax.cond(
+                        (cnt2 > below) & (cnt2 <= r_s),
+                        lambda a, rs=r_s, ks=k_s: tail_cycle(a[0], a[1], rs, ks),
+                        lambda a: a,
+                        (carry, emin),
+                    )
                 return carry, emin
 
             carry, emin = jax.lax.cond(

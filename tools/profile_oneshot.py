@@ -94,7 +94,7 @@ def main():
     print(f"R={R} TI={TI} n_chunks={n_chunks} k={k}", flush=True)
 
     sched = jax.jit(lambda mx: WF._schedule(
-        glo, ghi, o_f32, d_f32, mx, n_groups, id_bits, k, emin=None))
+        glo, ghi, o_f32, d_f32, mx, n_groups, id_bits, k, wmin=None))
     t_sched, (cand, tcut_e) = timeit(sched, maxd)
     print(f"schedule: {t_sched*1e3:8.1f} ms")
 
