@@ -242,7 +242,16 @@ def shade(
         # (erfinv + 1.5x bits) — so everything is uniforms, ONE flat draw,
         # sliced contiguously.  (A (R, 9) draw would put 9 on the 128-lane
         # axis and waste 93% of every op that touches it.)
-        us = jax.random.uniform(key, (7 * R,), prec.dtype).astype(dt)
+        # Uniforms are drawn in the SHADE dtype (f32 under cfg.shade_f32):
+        # a bf16 draw puts the sampled hemisphere on a ~2^-8 grid — a
+        # quadrature bias no accumulation removes — and decorrelates the
+        # bf16 path tree from the fp32 pipeline's (same key, different
+        # values), which is most of the 8-frame ground-truth delta.  The
+        # reference casts curand's f32 draws to DataT
+        # (`rt/rtrt/cuda.hpp:1714-1717, 1906`); keeping them f32 is part of
+        # this repo's measured low-precision boundary (BASELINE.md round-5:
+        # intersection in bf16, light-transport control values in f32).
+        us = jax.random.uniform(key, (7 * R,), dt)
         (r_mirror, r_spec, r_metal, u_ggx1, u_ggx2, uh1, uh2) = (
             jax.lax.slice(us, (i * R,), ((i + 1) * R,)) for i in range(7)
         )
