@@ -217,7 +217,11 @@ def fill_gbuffer(scene, frame, origins, directions, prec: Precision, *, cfg: Ren
         obj=jnp.where(valid, hit.obj, 0),
         tri=jnp.where(valid, hit.tri, 0),
         material=jnp.where(valid, attrs["material"], 0),
-        depth=jnp.where(valid, hit.t, 0.0).astype(prec.dtype),
+        # depth is a FILTER CONTROL value (SVGF's edge-stopping weight and
+        # its gradients — bf16 depth differences cancel catastrophically at
+        # an 8-bit mantissa), so under shade_f32 it stays f32 like normal;
+        # the raw f32 t rides separately for position reconstruction
+        depth=jnp.where(valid, hit.t, 0.0).astype(attr_dt),
         t=hit.t,
     )
     if vis is not None:
