@@ -48,7 +48,10 @@ def init_frame_state(cfg: RenderConfig, n_objects: int) -> FrameState:
     return FrameState(
         svgf_colored=init_svgf_state(H, W, sdt),
         svgf_white=init_svgf_state(H, W, sdt),
-        taa_history=jnp.zeros((H, W, 3), dt),
+        # TAA history is carried state like the SVGF planes: a bf16 history
+        # re-rounds the displayed image every blend (random-walk of rounding
+        # error through the 0.8*hist recursion), so it follows state_f32
+        taa_history=jnp.zeros((H, W, 3), sdt),
         svgf_frame_count=jnp.zeros((H, W), jnp.int32),
         last_mesh_id=jnp.full((H, W), -1, jnp.int32),
         last_prim=jnp.zeros((H, W), jnp.int32),
